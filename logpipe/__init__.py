@@ -1,0 +1,18 @@
+"""logpipe — a PySpark-native log/telemetry parse → mask → enrich → route →
+aggregate engine with the capabilities of sematext/logagent-js.
+
+Built from scratch Spark-first (DataFrame/SQL + vectorized pandas/Arrow UDFs);
+the reference (/root/reference, read-only) defines WHAT is computed, not HOW.
+
+Stage map (reference → module):
+  parser (lib/parser/parser.js)            → logpipe.parse
+  pattern DSL (patterns.yml)               → logpipe.rules
+  masking output-filters                   → logpipe.mask
+  enrichment output-filters                → logpipe.enrich
+  router / output plugins                  → logpipe.route
+  SQL output-filter / printStats           → logpipe.aggregate
+  multiline (lib/parser/multiLine.js)      → logpipe.order
+  tail checkpoints (input/files.js)        → logpipe.lineage
+"""
+
+__version__ = "0.1.0"

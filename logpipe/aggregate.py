@@ -1,0 +1,91 @@
+"""Aggregations: per-sink counts (north star) + the alasql-style interval
+SQL aggregation of lib/plugins/output-filter/sql.js.
+
+The reference buffers events per sourceName and runs configured SQL strings
+against the buffer every `interval` seconds (sql.js:10-13,29-82). Spark
+restatement: event-time tumbling windows (batch: `window(ts, 'N seconds')`
+group-by; streaming: identical + watermark) and arbitrary SQL via
+`spark.sql` over a temp view with the window pre-applied — Catalyst-native,
+no UDAF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def per_sink_counts(
+    df: DataFrame,
+    group_cols: list[str] = ("sink", "conv_id", "role", "tool"),
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """North-star per-sink aggregate: counts by conv_id/role/tool/hour.
+
+    Map-side partial aggregation makes this one shuffle on the group keys;
+    AQE coalesces post-shuffle partitions (generalizes printStats.js:11-83
+    and the per-file line counters files.js:180)."""
+    return (
+        df.groupBy(*group_cols, F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+        .agg(F.count("*").alias("events"))
+    )
+
+
+def interval_sql(
+    spark: SparkSession,
+    df: DataFrame,
+    query: str,
+    interval_seconds: int = 60,
+    ts_col: str = "ts",
+    source_col: str | None = "log_source",
+    view_name: str = "buffer",
+) -> DataFrame:
+    """alasql output-filter (sql.js:4-98): run `query` per (interval window
+    [, source]) buffer. The configured query sees the view `buffer` — the
+    reference's `FROM ?` table. Window/source columns are available as
+    `window_start` / `log_source` for grouping.
+
+    Example (test/sql-filter-test.js:18):
+      SELECT SUM(size) AS size, path FROM buffer GROUP BY path
+    Invalid SQL raises (surfaced, no crash — caller catches), matching the
+    error event path of sql-filter-test.js:42-65.
+    """
+    windowed = df.withColumn(
+        "window_start",
+        F.window(F.col(ts_col), f"{interval_seconds} seconds").getField("start"),
+    )
+    group_extra = ["window_start"] + ([source_col] if source_col and source_col in df.columns else [])
+    windowed.createOrReplaceTempView(view_name)
+    try:
+        result = spark.sql(_inject_window_grouping(query, view_name, group_extra))
+    finally:
+        spark.catalog.dropTempView(view_name)
+    return result
+
+
+def _inject_window_grouping(query: str, view: str, group_extra: list[str]) -> str:
+    """Per-interval semantics: add the window (and source) to SELECT and
+    GROUP BY when the query aggregates. Queries may also reference
+    window_start explicitly, in which case they are run verbatim."""
+    q = query.strip().rstrip(";")
+    lowered = q.lower()
+    if "window_start" in lowered or "group by" not in lowered:
+        return q
+    extra = ", ".join(group_extra)
+    head, _, tail = q.partition("GROUP BY") if "GROUP BY" in q else q.partition("group by")
+    select_head = head.replace("SELECT", f"SELECT {extra},", 1) if "SELECT" in head else head.replace(
+        "select", f"select {extra},", 1
+    )
+    return f"{select_head} GROUP BY {extra}, {tail}"
+
+
+def throughput_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """printStats counters (lib/core/printStats.js:11-83): rows, bytes,
+    empty lines — one map-side-combinable aggregate."""
+    return df.agg(
+        F.count("*").alias("lines"),
+        F.sum(F.octet_length(F.col(text_col))).alias("bytes"),
+        F.sum(
+            F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0, 1).otherwise(0)
+        ).alias("empty_lines"),
+    )

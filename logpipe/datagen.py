@@ -1,0 +1,192 @@
+"""Deterministic synthetic transcript generator (no external data).
+
+Emits the BASELINE.json input_hint schema
+  (conv_id string, turn_idx int, role string, text string, tool string,
+   ts timestamp)
+with `text` drawn from the FIXTURES.md §2 line pool (nginx combined, JSON,
+bunyan, redis, kafka, mongodb, mysql, heroku router, macOS syslog,
+elasticsearch multiline, unparseable fallback) so parse rates are controlled
+and every rule family is exercised.
+
+Everything is pure Spark expressions over `spark.range(n)` — no driver-side
+loops, no RNG state: the same (n, seed) yields the same table at any
+parallelism and any scale (the 100 TB generator is this same code with a
+bigger n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLES = ["user", "assistant", "system", "tool"]
+
+# (tool/source name, format_string template, arg builders)
+# arg builders are (id) -> Column; rendered per-row with when-chain dispatch.
+_TOOLS = [
+    "json",
+    "json",
+    "nginx",
+    "nginx",
+    "redis",
+    "kafka",
+    "mongo",
+    "mysql",
+    "heroku",
+    "system.log",
+    "elasticsearch",
+    "elasticsearch",
+]
+
+
+def _templates(i):
+    """Template expressions by index; i is the id column."""
+    status = F.element_at(F.array(F.lit("200"), F.lit("404"), F.lit("500"), F.lit("301")), (i % 4 + 1).cast("int"))
+    size = (i % 90000 + 100).cast("string")
+    octet = (i % 250 + 1).cast("string")
+    counter = (i % 1000).cast("string")
+    pid = (i % 32768).cast("string")
+    ms = F.lpad((i % 1000).cast("string"), 3, "0")
+    user_email = F.concat(F.lit("user"), (i % 500).cast("string"), F.lit("@example.com"))
+    api_key = F.concat(F.lit("sk-"), F.lpad(F.conv((i % 100000).cast("string"), 10, 16), 20, "a"))
+    return [
+        # 0: json_simple (test/test.js:5-32)
+        F.format_string('{"message":"hello world","counter":%s}', counter),
+        # 1: json_bunyan (test/test.js:34-65)
+        F.format_string(
+            '{"pid":%s,"level":30,"msg":"request done","time":"2017-02-08T21:13:49.%sZ","v":0,"counter":%s}',
+            pid,
+            ms,
+            counter,
+        ),
+        # 2: nginx combined (patterns.yml:544-568) — carries IP + email + key
+        F.format_string(
+            '91.67.80.%s - - [03/Apr/2016:06:25:38 +0000] "GET /about/%s HTTP/1.1" %s %s "https://sematext.com/x" "Mozilla/5.0"',
+            octet,
+            counter,
+            status,
+            size,
+        ),
+        # 3: unparseable fallback, with maskable content (email/IP/API key)
+        F.format_string(
+            "agent note: contact %s from 10.0.0.%s using key %s",
+            user_email,
+            octet,
+            api_key,
+        ),
+        # 4: redis (patterns.yml:473-502)
+        F.format_string(
+            "%s:M 22 Jul 21:58:28.%s # Server started, Redis version 3.0.%s",
+            pid,
+            ms,
+            (i % 10).cast("string"),
+        ),
+        # 5: kafka (patterns.yml:381-387)
+        F.format_string(
+            "[2017-03-30 09:26:39,%s] INFO Client session %s timed out", ms, counter
+        ),
+        # 6: mongodb (patterns.yml:463-471)
+        F.format_string(
+            "2015-07-28T00:35:46.%s+0000 I JOURNAL  [initandlisten] journal dir=/data/db/journal%s",
+            ms,
+            counter,
+        ),
+        # 7: mysql (patterns.yml:524-531)
+        F.format_string(
+            "2015-07-25 14:11:35 %s [Note] mysqld starting as process %s ...", counter, pid
+        ),
+        # 8: heroku router (patterns.yml:876-938)
+        F.format_string(
+            '285 <158>1 2016-04-05T19:36:48.459692+00:00 host heroku router - at=info method=GET path="/p/%s" status=%s bytes=%s',
+            counter,
+            status,
+            size,
+        ),
+        # 9: macOS syslog (patterns.yml:1100-1122)
+        F.format_string(
+            "Jul 25 14:11:%s myhost myservice[%s]: something happened %s",
+            F.lpad((i % 60).cast("string"), 2, "0"),
+            pid,
+            counter,
+        ),
+        # 10: elasticsearch block head (patterns.yml:111-135)
+        F.format_string(
+            "[2016-01-01 10:00:00,%s][ERROR][index.engine     ][node-1] merge failed %s", ms, counter
+        ),
+        # 11: stack continuation line (attaches to previous blockStart)
+        F.format_string("\tat java.lang.Foo.bar(Foo.java:%s)", counter),
+    ]
+
+
+def transcripts(
+    spark: SparkSession,
+    n_turns: int = 100_000,
+    turns_per_conv: int = 20,
+    skew: float | None = None,
+    base_ts: str = "2024-01-01 00:00:00",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic transcript table of n_turns rows.
+
+    skew=None: dense conv_ids of exactly `turns_per_conv` turns.
+    skew=k (>1): conv sizes follow a power law (conv 0 hottest) — the hot
+    conv_id regime the north rule requires handling; turn_idx stays unique +
+    increasing within conv (the ordering key contract) but is not dense.
+    """
+    df = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    n_convs = max(n_turns // turns_per_conv, 1)
+    if skew is None:
+        conv = (i / turns_per_conv).cast("long")
+        turn = (i % turns_per_conv).cast("int")
+    else:
+        u = i / F.lit(float(n_turns))
+        conv = F.floor(F.pow(u, F.lit(float(skew))) * n_convs).cast("long")
+        turn = F.pmod(i, F.lit(2_000_000_000)).cast("int")
+    tmpl_idx = F.pmod(i + conv, F.lit(len(_TOOLS))).cast("int")
+    texts = _templates(i)
+    text = None
+    for k, t in enumerate(texts):
+        text = F.when(tmpl_idx == k, t) if text is None else text.when(tmpl_idx == k, t)
+    tool = F.element_at(F.array(*[F.lit(t) for t in _TOOLS]), tmpl_idx + 1)
+    role = F.element_at(F.array(*[F.lit(r) for r in ROLES]), F.pmod(i, F.lit(4)).cast("int") + 1)
+    out = df.select(
+        F.format_string("conv-%08d", conv).alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        (F.to_timestamp(F.lit(base_ts)) + F.make_dt_interval(0, 0, 0, i * F.lit(0.001))).alias("ts"),
+    )
+    return out
+
+
+def role_dim(spark: SparkSession) -> DataFrame:
+    """Enrichment dimension (FIXTURES.md §3): display/team payload + routing
+    token + drop flag, kubernetes-enrichment.js annotation semantics."""
+    rows = [
+        ("user", "End User", "product", None, True),
+        ("assistant", "Assistant", "ml", None, True),
+        ("system", "System", "platform", "SYSTEM-TOKEN", True),
+        ("tool", "Tool Runner", "platform", None, True),
+    ]
+    return spark.createDataFrame(
+        rows, "role string, display_name string, team string, sink_token string, logs_enabled boolean"
+    )
+
+
+def tool_dim(spark: SparkSession) -> DataFrame:
+    rows = [
+        ("json", "JSON emitter", "structured", None, True),
+        ("nginx", "Web proxy", "web", None, True),
+        ("redis", "Redis", "datastore", None, True),
+        ("kafka", "Kafka", "queue", None, True),
+        ("mongo", "MongoDB", "datastore", None, True),
+        ("mysql", "MySQL", "datastore", None, True),
+        ("heroku", "Heroku drain", "paas", None, True),
+        ("system.log", "Syslog", "os", None, True),
+        ("elasticsearch", "Elasticsearch", "search", None, False),  # dropped by dim flag
+    ]
+    return spark.createDataFrame(
+        rows, "tool string, tool_name string, category string, sink_token string, logs_enabled boolean"
+    )

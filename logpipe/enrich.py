@@ -1,0 +1,118 @@
+"""Enrichment = broadcast hash-join lookups against dimension tables.
+
+Every "join" in the reference is a hash-lookup against a cached dimension
+(SURVEY.md §2.5): docker/k8s metadata LRU caches, geoip ranges, UA parsing.
+The cache IS the dimension table; left-outer broadcast join is the exact
+Spark restatement (missing key ⇒ null enrichment, like the pod-cache miss
+path kubernetes-enrichment.js:221-224).
+
+Dimension-driven behaviors ported from kubernetes-enrichment.js:
+  * logs_enabled=false  ⇒ drop the row            (:104-143)
+  * sink_token          ⇒ routing override _index (:158-179)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    prefix: str = "",
+    drop_flag_col: str | None = "logs_enabled",
+    token_col: str | None = "sink_token",
+) -> DataFrame:
+    """Left-outer broadcast join; small dims never shuffle the fact table.
+
+    `prefix` namespaces payload columns (reference nests under data.container /
+    data.kubernetes — docker-log-enrichment.js:60-65); `drop_flag_col` and
+    `token_col` apply the k8s-annotation semantics if present in the dim.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in dim.columns if c not in keys]
+    renamed = dim
+    if prefix:
+        for c in payload:
+            renamed = renamed.withColumnRenamed(c, f"{prefix}{c}")
+        payload = [f"{prefix}{c}" for c in payload]
+    out = df.join(F.broadcast(renamed), on=keys, how="left")
+    flag = f"{prefix}{drop_flag_col}" if drop_flag_col else None
+    if flag and flag in out.columns:
+        # annotation logs-enabled=false ⇒ drop (kubernetes-enrichment.js:104-143);
+        # unmatched rows (null flag) are kept.
+        out = out.filter(F.col(flag).isNull() | F.col(flag))
+    tok = f"{prefix}{token_col}" if token_col else None
+    if tok and tok in out.columns:
+        # routing token wins over any existing _index (kubernetes-enrichment.js:158-179)
+        existing = F.col("_index") if "_index" in out.columns else F.lit(None).cast("string")
+        out = out.withColumn("_index", F.coalesce(F.col(tok), existing))
+    return out
+
+
+def geo_enrich(
+    df: DataFrame,
+    geo_dim: DataFrame,
+    ip_col: str = "client_ip",
+) -> DataFrame:
+    """GeoIP range lookup (geoip.js:20-53): the one non-equi join — an IP
+    mapped into the [ip_lo, ip_hi] range of a broadcast dimension.
+
+    geo_dim schema: (ip_lo long, ip_hi long, country string, ...). At 100 TB
+    the dim stays MB-scale (MaxMind ~3M ranges) so broadcast-range-join is
+    shuffle-free; Spark turns it into BroadcastNestedLoopJoin — acceptable
+    because the stream side passes once.
+    """
+    ip_int = ip_to_long(F.col(ip_col))
+    payload = [c for c in geo_dim.columns if c not in ("ip_lo", "ip_hi")]
+    return df.join(
+        F.broadcast(geo_dim),
+        ip_int.between(F.col("ip_lo"), F.col("ip_hi")),
+        "left",
+    ).drop("ip_lo", "ip_hi")
+
+
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 → int64 (pure expression)."""
+    parts = F.split(col, r"\.")
+    return (
+        F.element_at(parts, 1).cast("long") * 16777216
+        + F.element_at(parts, 2).cast("long") * 65536
+        + F.element_at(parts, 3).cast("long") * 256
+        + F.element_at(parts, 4).cast("long")
+    )
+
+
+def parse_image_name(col: Column) -> Column:
+    """Docker image name split 'registry/name:tag@digest' → struct
+    (lib/util/parser.js:37-54 semantics, pure expressions)."""
+    no_digest = F.regexp_replace(col, r"@.*$", "")
+    registry = F.when(
+        F.regexp_like(no_digest, F.lit(r"^[^/]+[.:][^/]*/")),
+        F.regexp_extract(no_digest, r"^([^/]+)/", 1),
+    )
+    rest = F.when(registry.isNotNull(), F.regexp_replace(no_digest, r"^[^/]+/", "")).otherwise(no_digest)
+    return F.struct(
+        registry.alias("registry"),
+        F.regexp_extract(rest, r"^([^:]+)", 1).alias("name"),
+        F.nullif(F.regexp_extract(rest, r":([^:]+)$", 1), F.lit("")).alias("tag"),
+        F.nullif(F.regexp_extract(col, r"@(.+)$", 1), F.lit("")).alias("digest"),
+    )
+
+
+def k8s_container_name_split(col: Column) -> Column:
+    """'k8s_<container>_<pod>_<namespace>_<uid>' → struct
+    (docker-log-enrichment.js:50-120 semantics)."""
+    parts = F.split(col, "_")
+    is_k8s = F.element_at(parts, 1) == "k8s"
+    return F.when(
+        is_k8s,
+        F.struct(
+            F.element_at(parts, 2).alias("container"),
+            F.element_at(parts, 3).alias("pod"),
+            F.element_at(parts, 4).alias("namespace"),
+            F.element_at(parts, 5).alias("uid"),
+        ),
+    )

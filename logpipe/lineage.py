@@ -1,0 +1,126 @@
+"""Per-partition lineage + metrics tables: idempotent resumable runs.
+
+The reference persists tail byte-offsets + inodes on shutdown and resumes
+from them (lib/plugins/input/files.js:84-115,210-255). The Spark/table
+restatement (SURVEY.md §2.11): the input is carved into work units (buckets
+of conv_id — the same hidden-partitioning scheme the 100 TB table would use),
+each unit is processed and written with dynamic partition OVERWRITE (so a
+re-run of a unit replaces, never duplicates), and a lineage row
+(run_id, unit, status, rows_in, rows_out, wall_ms) is committed AFTER the
+unit's data commit. Resume = skip units whose lineage row says 'done'.
+
+Crash windows: if the job dies after the data write but before the lineage
+append, the re-run overwrites the same unit partition — idempotent by
+construction. A killed run therefore never double-counts (north rule).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id string, unit int, status string, rows_in long, rows_out long, wall_ms long, finished_at timestamp"
+)
+
+
+def unit_column(key: str = "conv_id", n_units: int = 16) -> F.Column:
+    """Deterministic work-unit id: hash-bucket of the conversation key —
+    aligns with bucket(conv_id) table partitioning at scale."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_units)).cast("int")
+
+
+def completed_units(spark: SparkSession, lineage_dir: str, run_id: str) -> set[int]:
+    try:
+        rows = (
+            spark.read.schema(LINEAGE_SCHEMA)
+            .parquet(lineage_dir)
+            .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .select("unit")
+            .collect()
+        )
+        return {r["unit"] for r in rows}
+    except Exception:
+        return set()
+
+
+def run_resumable(
+    spark: SparkSession,
+    df: DataFrame,
+    process: Callable[[DataFrame], DataFrame],
+    out_dir: str,
+    lineage_dir: str,
+    run_id: str = "run-0",
+    n_units: int = 16,
+    key: str = "conv_id",
+    fail_after_unit: int | None = None,
+) -> dict:
+    """Process `df` unit-by-unit with lineage checkpointing.
+
+    `process` maps a unit's rows to the output frame. Output lands under
+    out_dir/unit=<k>/ via overwrite (idempotent). `fail_after_unit` injects a
+    crash for the resume test. Returns {'processed': [...], 'skipped': [...]}.
+
+    At cluster scale each unit is a partition-pruned scan (bucket pruning on
+    the Iceberg table); here we filter on the computed bucket, which Catalyst
+    pushes to the parquet scan as a deterministic expression.
+    """
+    done = completed_units(spark, lineage_dir, run_id)
+    with_unit = df.withColumn("_unit", unit_column(key, n_units))
+    processed, skipped = [], []
+    for unit in range(n_units):
+        if unit in done:
+            skipped.append(unit)
+            continue
+        t0 = time.time()
+        part = with_unit.filter(F.col("_unit") == unit).drop("_unit")
+        out = process(part)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"unit={unit}"))
+        rows_out = spark.read.parquet(os.path.join(out_dir, f"unit={unit}")).count()
+        rows_in = part.count()
+        _append_lineage(
+            spark,
+            lineage_dir,
+            run_id,
+            unit,
+            "done",
+            rows_in,
+            rows_out,
+            int((time.time() - t0) * 1000),
+        )
+        processed.append(unit)
+        if fail_after_unit is not None and unit >= fail_after_unit:
+            raise RuntimeError(f"injected failure after unit {unit}")
+    return {"processed": processed, "skipped": skipped}
+
+
+def _append_lineage(spark, lineage_dir, run_id, unit, status, rows_in, rows_out, wall_ms):
+    row = [(run_id, unit, status, rows_in, rows_out, wall_ms)]
+    (
+        spark.createDataFrame(
+            row, "run_id string, unit int, status string, rows_in long, rows_out long, wall_ms long"
+        )
+        .withColumn("finished_at", F.current_timestamp())
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(lineage_dir)
+    )
+
+
+def metrics_table(spark: SparkSession, lineage_dir: str) -> DataFrame:
+    """The metrics view over lineage (replaces printStats heartbeats)."""
+    return (
+        spark.read.schema(LINEAGE_SCHEMA)
+        .parquet(lineage_dir)
+        .groupBy("run_id")
+        .agg(
+            F.count("*").alias("units"),
+            F.sum("rows_in").alias("rows_in"),
+            F.sum("rows_out").alias("rows_out"),
+            F.sum("wall_ms").alias("wall_ms"),
+        )
+    )

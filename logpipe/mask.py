@@ -1,0 +1,179 @@
+"""Masking operators — the reference's data-masking output-filters plus the
+content-level email/IP/API-key redaction the north star asks for.
+
+All pure Catalyst column expressions (sha2 / aes_encrypt / regexp_replace /
+replace): no UDFs, whole-stage-codegen friendly, pushdown-safe.
+
+Reference semantics preserved:
+  * hash-fields: hash the field AND replace every occurrence of the original
+    value inside `message` (lib/plugins/output-filter/hash-fields.js:24-47,
+    replaceAll :5-13).
+  * aes-encrypt-fields: same shape with AES (aes-encrypt-fields.js:15-53).
+  * ip-truncate-fields: IPv4 keeps first 3 octets (+ '.0'), IPv6 zeroes the
+    last block; message occurrences rewritten too (ip-truncate-fields.js:31-87).
+  * remove-fields: drop columns; removed values inside other fields become
+    `maskValuesString` (default '!REMOVED!') (remove-fields.js:14-44).
+  * rename/lowercase-fields (rename-fields.js:5-27, lowercase-fields.js:5-43).
+Filter-chain order is the caller's responsibility, exactly like the config
+order execution at bin/logagent.js:612-623 (SURVEY.md §7 hard part 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Content-masking rules (north star): applied to free-text columns.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# API-key shapes: OpenAI-style sk-..., AWS AKIA..., generic 32+ hex, bearer
+API_KEY_RE = r"\b(?:sk-[A-Za-z0-9]{16,}|AKIA[0-9A-Z]{16}|gh[pousr]_[A-Za-z0-9]{20,}|[0-9a-f]{32,64})\b"
+# UUID anonymization regex class (lib/plugins/output/elasticsearch.js:7-17)
+UUID_RE = r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+
+DEFAULT_CONTENT_RULES: tuple[tuple[str, str], ...] = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (API_KEY_RE, "<API_KEY>"),
+)
+
+
+def mask_content(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    rules: tuple[tuple[str, str], ...] = DEFAULT_CONTENT_RULES,
+) -> DataFrame:
+    """Regex-sweep redaction over free-text columns (generalizes the UUID
+    anonymizer at elasticsearch.js:7-17 to the north star's email/IP/API-key
+    rules). Rules apply in order on each column."""
+    for c in cols or ["text"]:
+        expr = F.col(c)
+        for pattern, token in rules:
+            expr = F.regexp_replace(expr, pattern, token)
+        df = df.withColumn(c, expr)
+    return df
+
+
+def _replace_in(message: Column, original: Column, replacement: Column) -> Column:
+    """replaceAll(message, original, new) — hash-fields.js:5-13. `replace` is
+    literal (not regex), matching the reference's split/join implementation."""
+    return F.when(
+        message.isNotNull() & original.isNotNull(),
+        F.replace(message, original.cast("string"), replacement),
+    ).otherwise(message)
+
+
+def hash_fields(
+    df: DataFrame,
+    fields: list[str],
+    bits: int = 256,
+    message_col: str = "message",
+) -> DataFrame:
+    """sha2 listed columns; rewrite occurrences of the original value in
+    `message_col` (hash-fields.js:24-47). `algorithm: sha512` → bits=512."""
+    for f in fields:
+        hashed = F.sha2(F.col(f).cast("string"), bits)
+        if message_col in df.columns:
+            df = df.withColumn(message_col, _replace_in(F.col(message_col), F.col(f), hashed))
+        df = df.withColumn(f, F.when(F.col(f).isNotNull(), hashed))
+    return df
+
+
+def aes_encrypt_fields(
+    df: DataFrame,
+    fields: list[str],
+    password: str,
+    message_col: str = "message",
+) -> DataFrame:
+    """AES-encrypt listed columns to hex + message masking
+    (aes-encrypt-fields.js:15-53). The reference's crypto.createCipher derives
+    a key from the password (EVP_BytesToKey); we use sha2(password)[:32] as a
+    256-bit key with ECB to stay deterministic/columnar."""
+    key = F.substring(F.sha2(F.lit(password), 256), 1, 32)
+    for f in fields:
+        enc = F.hex(F.aes_encrypt(F.col(f).cast("string"), key, F.lit("ECB")))
+        if message_col in df.columns:
+            df = df.withColumn(message_col, _replace_in(F.col(message_col), F.col(f), enc))
+        df = df.withColumn(f, F.when(F.col(f).isNotNull(), enc))
+    return df
+
+
+def truncate_ipv4(col: Column, keep_octets: int = 3) -> Column:
+    """'91.67.80.14' → '91.67.80.0' (ip-truncate-fields.js:31-42)."""
+    kept = F.slice(F.split(col, r"\."), 1, keep_octets)
+    zeros = F.array_repeat(F.lit("0"), 4 - keep_octets)
+    return F.array_join(F.concat(kept, zeros), ".")
+
+
+def truncate_ipv6(col: Column) -> Column:
+    """Zero the last block: '2a01:4f8::9:1/64' → '2a01:4f8::9:0'
+    (ip-truncate-fields.js:44-54; the reference also strips any /cidr)."""
+    no_cidr = F.regexp_replace(col, r"/\d+$", "")
+    return F.concat(F.regexp_replace(no_cidr, r"[0-9A-Fa-f]*$", ""), F.lit("0"))
+
+
+def ip_truncate_fields(
+    df: DataFrame,
+    fields: list[str],
+    message_col: str = "message",
+) -> DataFrame:
+    """Anonymize IP columns, v4/v6 dispatch on ':' (ip-truncate-fields.js:56-87)
+    + message occurrence rewrite."""
+    for f in fields:
+        col = F.col(f)
+        truncated = F.when(col.contains(":"), truncate_ipv6(col)).otherwise(truncate_ipv4(col))
+        if message_col in df.columns:
+            df = df.withColumn(message_col, _replace_in(F.col(message_col), col, truncated))
+        df = df.withColumn(f, F.when(col.isNotNull(), truncated))
+    return df
+
+
+def remove_fields(
+    df: DataFrame,
+    fields: list[str],
+    mask_values_in_fields: list[str] | None = None,
+    mask_values_string: str = "!REMOVED!",
+) -> DataFrame:
+    """Drop listed columns; removed values found inside other columns become
+    `mask_values_string` (remove-fields.js:14-44)."""
+    for target in mask_values_in_fields or []:
+        expr = F.col(target)
+        for f in fields:
+            expr = _replace_in(expr, F.col(f), F.lit(mask_values_string))
+        df = df.withColumn(target, expr)
+    return df.drop(*[f for f in fields if f in df.columns])
+
+
+def rename_fields(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+    """rename-fields.js:5-27 (top-level columns; dotted paths = struct fields
+    are re-expressed as withField/dropFields by callers)."""
+    for old, new in renames.items():
+        if old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def lowercase_fields(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """Lowercase column NAMES (lowercase-fields.js:5-43). fields=None ⇒ all."""
+    targets = set(fields) if fields is not None else set(df.columns)
+    return df.toDF(*[c.lower() if c in targets else c for c in df.columns])
+
+
+def mask_map_fields(df: DataFrame, name_regex: str, bits: int = 256, map_col: str = "fields") -> DataFrame:
+    """autohash over the open fields map: hash VALUES whose KEY matches the
+    name regex (patterns.yml:14-19, parser.js:270-272) — map_zip-free, pure
+    transform_values."""
+    return df.withColumn(
+        map_col,
+        F.map_from_entries(
+            F.transform(
+                F.map_entries(F.col(map_col)),
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    F.when(e["key"].rlike(name_regex), F.sha2(e["value"], bits))
+                    .otherwise(e["value"])
+                    .alias("value"),
+                ),
+            )
+        ),
+    )

@@ -1,0 +1,103 @@
+"""Ordering + multiline block reassembly.
+
+The reference's only ordering notion is arrival order per file — multiline
+reassembly depends on it (lib/parser/multiLine.js:27-71). Our input has an
+explicit stable key: (conv_id, turn_idx) — the north rule's required window.
+
+Multiline: lines buffer until the next blockStart match, joined with '\n'
+(multiLine.js:53-71; default separator ^\S{2,} patterns.yml:30-31; per-source
+reader selection parser.js:197-230). Batch restatement: cumulative-sum
+sessionization over the ordering window — exact, no timeout needed on finite
+blocks (the 250 ms flush at multiLine.js:21-24 is processing-time streaming
+machinery; streaming mode would use session_window / applyInPandasWithState).
+
+Scale: the window shuffles once on conv_id. Hot conv_ids are handled by
+`salted_repartition` before the window for the non-windowed stages and AQE
+for joins; the window itself must see a whole conv_id per partition
+(semantics), so skew mitigation = bucket the table by conv_id at write time
++ AQE post-shuffle coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rules import DEFAULT_RULESET, RuleSet
+
+
+def turn_order() -> Window:
+    """The stable-turn-order window the north rule mandates."""
+    return Window.partitionBy("conv_id").orderBy("turn_idx")
+
+
+def with_turn_rank(df: DataFrame) -> DataFrame:
+    """Stable per-conversation sequence (row_number over turn order)."""
+    return df.withColumn("turn_rank", F.row_number().over(turn_order()))
+
+
+def reassemble_multiline(
+    df: DataFrame,
+    ruleset: RuleSet = DEFAULT_RULESET,
+    text_col: str = "text",
+    source_col: str = "tool",
+    block_start: str | None = None,
+) -> DataFrame:
+    """Join continuation lines to their block head with '\n'.
+
+    block_start=None selects the per-source reader like parser.js:197-230:
+    an ordered when-chain over groups that declare blockStart, falling back
+    to the global default separator. A line matching blockStart begins a new
+    block; continuations attach to the previous head (multiLine.js:53-71).
+    Output: one row per block with the head row's metadata, text joined,
+    turn_idx = head turn_idx (keeps the stable ordering key).
+    """
+    if block_start is not None:
+        is_start = F.col(text_col).rlike(block_start)
+    else:
+        chain = None
+        for g in ruleset.groups:
+            if g.block_start is None:
+                continue
+            cond = F.col(source_col).rlike(g.source_name)
+            branch = F.col(text_col).rlike(g.block_start)
+            chain = F.when(cond, branch) if chain is None else chain.when(cond, branch)
+        default_branch = F.col(text_col).rlike(ruleset.multiline_default_separator)
+        is_start = chain.otherwise(default_branch) if chain is not None else default_branch
+    w = turn_order().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocks = df.withColumn("_is_start", is_start).withColumn(
+        "_block_id", F.sum(F.col("_is_start").cast("int")).over(w)
+    )
+    head_cols = [c for c in df.columns if c not in (text_col,)]
+    agg = (
+        blocks.groupBy("conv_id", "_block_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("turn_idx"), F.col(text_col).alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n",
+            ).alias(text_col),
+            *[
+                F.min_by(F.col(c), F.col("turn_idx")).alias(c)
+                for c in head_cols
+                if c not in ("conv_id",)
+            ],
+        )
+        .drop("_block_id")
+    )
+    return agg.select(*df.columns)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, key: str = "conv_id", salt_buckets: int = 16) -> DataFrame:
+    """Skew mitigation for non-keyed stages (parse/mask are narrow per-row
+    ops — a hot conv_id must not pin one task): spread rows of the same key
+    across `salt_buckets` partitions deterministically by turn_idx."""
+    return df.repartition(
+        num_partitions,
+        F.col(key),
+        F.pmod(F.col("turn_idx").cast("int"), F.lit(salt_buckets)),
+    )

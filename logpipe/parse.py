@@ -1,0 +1,318 @@
+"""Vectorized first-match-wins log parser (the reference's hot path).
+
+Re-expresses /root/reference/lib/parser/parser.js as ONE struct-returning
+pandas/Arrow UDF over the `text` column:
+
+  * JSON detect + parse        (parser.js:390-468, detect regex :392)
+  * bunyan normalization       (parser.js:32-39, 424-439)
+  * per-source pattern pruning (parser.js:170-196)
+  * first-match-wins cascade   (parser.js:527-556; order contract
+                                patterns.yml:78-79)
+  * capture-group extraction + :number/:string coercion (parser.js:264-299)
+  * date parsing, `ts` consumed into event_ts (parser.js:236-263, 322-331)
+  * per-rule transforms        (parser.js:333-338)
+  * autohash                   (parser.js:231-235, 270-272)
+  * inputFilter / inputDrop    (parser.js:303-316)
+  * untrained-source fallback  (parser.js:556-564)
+
+Vectorization strategy (SURVEY.md §4): rules are broadcast as plain data;
+inside each Arrow batch rows are grouped by source, each candidate rule runs
+`Series.str.contains` + `Series.str.extract` on the *not-yet-matched* subset
+only (explicit vectorized short-circuit — order is semantics, see the
+disabled bubbleUp MRU at parser.js:364-375,533).
+
+Intentional divergences (SURVEY.md §7):
+  * wall-clock `new Date()` fallbacks (parser.js:410,520,559) use the row's
+    `ts` column instead — deterministic and fixture-stable.
+  * the adaptive 100-miss source blacklist (parser.js:50-53,516-526) is
+    dropped: it is a single-process throughput heuristic that *changes
+    results* (forces fallback rows for later matchable lines); we are
+    strictly more correct.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rules import DEFAULT_RULESET, MatchRule, RuleSet, datefns_to_strptime, format_has_year
+from .schema import PARSED_STRUCT
+
+# JSON detect heuristic, parser.js:392 (`^\[{0,1}\{.*\}]{0,1}`)
+_JSON_DETECT = re.compile(r"^\s*\[?\{.*\}\]?")
+
+# bunyan numeric level → severity, parser.js:32-39
+_BUNYAN_LEVELS = {60: "fatal", 50: "error", 40: "warn", 30: "info", 20: "debug", 10: "trace"}
+
+DROP_MARKER = "__logagent_drop"  # in-band drop sentinel (parser.js:306-315)
+
+
+def _canon(v) -> str:
+    """Canonical string form for the open fields map."""
+    if v is None:
+        return ""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, (int, float)):
+        return str(v)
+    return json.dumps(v, separators=(",", ":"), sort_keys=True)
+
+
+def _hash_series(s: pd.Series, algo: str) -> pd.Series:
+    fn = getattr(hashlib, algo)
+    return s.map(lambda v: fn(str(v).encode()).hexdigest() if pd.notna(v) else v)
+
+
+def _parse_dates(s: pd.Series, fmt: str | None, ref_ts: pd.Series) -> pd.Series:
+    """date-fns semantics (parser.js:236-263): named format or ISO; formats
+    without a year inherit the reference year (row ts, not wall clock);
+    invalid ⇒ ref_ts."""
+    if fmt is None or fmt == "iso":
+        out = pd.to_datetime(s, format="ISO8601", errors="coerce", utc=True)
+    else:
+        py = datefns_to_strptime(fmt)
+        if not format_has_year(fmt):
+            years = ref_ts.dt.year.fillna(1970).astype(int).astype(str)
+            out = pd.to_datetime(years + " " + s.fillna(""), format="%Y " + py, errors="coerce")
+        else:
+            out = pd.to_datetime(s, format=py, errors="coerce", utc=("%z" in py))
+    if getattr(out.dt, "tz", None) is not None:
+        out = out.dt.tz_convert("UTC").dt.tz_localize(None)
+    return out.fillna(ref_ts)
+
+
+def _parse_json_rows(text: pd.Series, ts: pd.Series, ruleset: RuleSet, res: dict) -> pd.Series:
+    """JSON branch (parser.js:390-468). Returns boolean mask of consumed rows.
+    json.loads runs per element inside the Arrow batch (no Python-UDF
+    row plumbing); failed parses fall through to the pattern cascade."""
+    cand = text.str.contains(_JSON_DETECT, na=False)
+    if not cand.any():
+        return cand
+    ok = pd.Series(False, index=text.index)
+    for i in text.index[cand]:
+        try:
+            obj = json.loads(text[i])
+        except (ValueError, TypeError):
+            continue
+        if isinstance(obj, list):
+            obj = obj[0] if obj and isinstance(obj[0], dict) else None
+        if not isinstance(obj, dict):
+            continue
+        ok[i] = True
+        fields = {}
+        event_ts = None
+        message = None
+        severity = None
+        # bunyan normalize (parser.js:424-439): all of msg,time,v,pid,level
+        if all(k in obj for k in ("msg", "time", "v", "pid", "level")):
+            message = str(obj.pop("msg"))
+            raw_t = obj.pop("time")
+            event_ts = pd.to_datetime(raw_t, errors="coerce", utc=True)
+            lvl = obj.pop("level")
+            severity = _BUNYAN_LEVELS.get(lvl, str(lvl))
+            obj.pop("v", None)
+        else:
+            # timestamp inference (parser.js:401-422): time | t | timestamp
+            for k, mult in (("time", 1), ("t", 1), ("timestamp", 1000)):
+                if k in obj:
+                    raw_t = obj.pop(k)
+                    if isinstance(raw_t, (int, float)):
+                        unit = "ms" if mult == 1000 or raw_t > 1e11 else "s"
+                        event_ts = pd.to_datetime(raw_t, unit=unit, errors="coerce", utc=True)
+                    else:
+                        event_ts = pd.to_datetime(raw_t, errors="coerce", utc=True)
+                    break
+            if "message" in obj:
+                message = _canon(obj.pop("message"))
+        if event_ts is None or pd.isna(event_ts):
+            event_ts = ts[i]  # reference: new Date() (parser.js:410); we use row ts
+        elif getattr(event_ts, "tz", None) is not None or getattr(event_ts, "tzinfo", None) is not None:
+            event_ts = event_ts.tz_convert("UTC").tz_localize(None)
+        for k, v in obj.items():
+            fields[k] = _canon(v)
+        if ruleset.autohash:
+            ah = re.compile(ruleset.autohash)
+            algo = ruleset.hash_function
+            for k in list(fields):
+                if ah.search(k):
+                    fields[k] = getattr(hashlib, algo)(fields[k].encode()).hexdigest()
+        if severity is not None:
+            fields["severity"] = severity
+        res["event_ts"][i] = event_ts
+        res["message"][i] = message
+        res["log_type"][i] = "json"
+        res["severity"][i] = severity
+        res["matched"][i] = True
+        res["fields"][i] = fields
+    return ok
+
+
+def _apply_rule(rule: MatchRule, sub_text: pd.Series, sub_ts: pd.Series, ruleset: RuleSet, res: dict) -> pd.Series:
+    """Run one rule on the unmatched subset; fill `res`; return hit mask."""
+    # single extract pass: non-matching rows come back all-NaN (our rules all
+    # have ≥1 mandatory capture group, so all-NaN ⟺ no match)
+    ext = sub_text.str.extract(rule.regex, expand=True)
+    hit = ext.notna().any(axis=1)
+    if rule.input_filter:
+        hit &= sub_text.str.contains(rule.input_filter, na=False, regex=True)
+    dropped = pd.Series(False, index=sub_text.index)
+    if rule.input_drop:
+        dropped = hit & sub_text.str.contains(rule.input_drop, na=False, regex=True)
+    if not hit.any():
+        return hit
+    ext = ext[hit]
+    names = list(rule.field_names())
+    if len(ext.columns) > len(names):
+        names = names + [f"_g{i}" for i in range(len(names), len(ext.columns))]
+    ext.columns = names[: len(ext.columns)]
+    casts = rule.field_casts()
+    for name, cast in casts.items():
+        if name in ext.columns and cast == "number":
+            # parser.js:280-290 — failed cast defaults to 0
+            num = pd.to_numeric(ext[name], errors="coerce").fillna(0)
+            ext[name] = num.map(_canon)
+    # auto-Number coercion of unannotated numeric strings happens lazily in
+    # consumers via try_cast (parser.js:266-268 semantics; map stays string).
+    event_ts = None
+    if "ts" in ext.columns:
+        event_ts = _parse_dates(ext["ts"], rule.date_format, sub_ts[hit])
+        ext = ext.drop(columns=["ts"])  # consumed, parser.js:327-331
+    if rule.transform is not None:
+        ext = rule.transform(ext)
+    if ruleset.autohash:
+        ah = re.compile(ruleset.autohash)
+        algo = {"sha256": "sha256", "sha512": "sha512"}.get(ruleset.hash_function, "sha256")
+        for c in ext.columns:
+            if not c.startswith("__") and ah.search(c):
+                ext[c] = _hash_series(ext[c], algo)
+    message = ext["__message"] if "__message" in ext.columns else ext.get("message")
+    severity = ext["__severity"] if "__severity" in ext.columns else ext.get("severity")
+    field_cols = [c for c in ext.columns if not c.startswith("__")]
+    fields_records = ext[field_cols].to_dict("index")
+    for i in ext.index:
+        if dropped.get(i, False):
+            res["fields"][i] = {DROP_MARKER: "1"}
+            res["matched"][i] = True
+            continue
+        d = {k: v for k, v in fields_records[i].items() if pd.notna(v)}
+        if "__severity" in ext.columns and pd.notna(severity[i]):
+            d["severity"] = severity[i]
+        res["fields"][i] = d
+        res["message"][i] = message[i] if message is not None and pd.notna(message[i]) else None
+        res["severity"][i] = severity[i] if severity is not None and pd.notna(severity[i]) else None
+        res["log_type"][i] = rule.log_type
+        res["matched"][i] = True
+        if event_ts is not None:
+            res["event_ts"][i] = event_ts[i]
+        else:
+            res["event_ts"][i] = sub_ts[i]
+    return hit
+
+
+def make_parse_udf(ruleset: RuleSet = DEFAULT_RULESET):
+    """Build the struct-returning pandas UDF closing over a rule set.
+
+    The rule table ships to executors inside the UDF closure (it is small,
+    plain data); the per-source rule resolution is cached closure-locally —
+    the Spark analog of the reference's per-source pattern cache
+    (parser.js:170-196, purged every 5 min; ours lives per python worker).
+    """
+    source_cache: dict[str, tuple] = {}
+
+    def _rules_for_source(src: str):
+        hit = source_cache.get(src)
+        if hit is None:
+            hit = tuple(
+                r
+                for g in ruleset.groups
+                if re.search(g.source_name, src or "")
+                for r in g.rules
+            )
+            source_cache[src] = hit
+        return hit
+
+    def _parse(text: pd.Series, source: pd.Series, ts: pd.Series) -> pd.DataFrame:
+        n = len(text)
+        res = {
+            "event_ts": pd.Series([pd.NaT] * n, index=text.index, dtype="datetime64[ns]"),
+            "message": pd.Series([None] * n, index=text.index, dtype="object"),
+            "log_type": pd.Series([None] * n, index=text.index, dtype="object"),
+            "severity": pd.Series([None] * n, index=text.index, dtype="object"),
+            "matched": pd.Series(False, index=text.index),
+            "fields": pd.Series([None] * n, index=text.index, dtype="object"),
+        }
+        remaining = pd.Series(True, index=text.index)
+        if ruleset.json_enabled:
+            consumed = _parse_json_rows(text, ts, ruleset, res)
+            remaining &= ~consumed
+        # per-source pattern-group routing (parser.js:170-196)
+        if remaining.any():
+            for src, idx in text.index[remaining].groupby(source[remaining].fillna("")).items():
+                sub_remaining = pd.Series(True, index=idx)
+                for rule in _rules_for_source(src):
+                    live = sub_remaining[sub_remaining].index
+                    if len(live) == 0:
+                        break
+                    hit = _apply_rule(rule, text[live], ts[live], ruleset, res)
+                    sub_remaining.loc[hit[hit].index] = False
+        # fallback (parser.js:556-564): message = line, ts = row ts
+        fb = ~res["matched"]
+        if fb.any():
+            res["message"][fb] = text[fb]
+            res["event_ts"][fb] = ts[fb]
+            res["fields"][fb] = [dict() for _ in range(int(fb.sum()))]
+        return pd.DataFrame(res)
+
+    return F.pandas_udf(_parse, PARSED_STRUCT)
+
+
+def parse_text(
+    df: DataFrame,
+    ruleset: RuleSet = DEFAULT_RULESET,
+    text_col: str = "text",
+    source_col: Column | str | None = None,
+    ts_col: str = "ts",
+    drop_marked: bool = True,
+    keep_original_line: bool | None = None,
+) -> DataFrame:
+    """Parse `text_col`, appending the well-known columns + `fields` map.
+
+    `source_col` plays logSource (parser.js:27,400,514): a column name, a
+    Column expression, or None (uses 'log_source' if present else 'tool').
+    """
+    if source_col is None:
+        source_col = "log_source" if "log_source" in df.columns else "tool"
+    src = F.col(source_col) if isinstance(source_col, str) else source_col
+    udf = make_parse_udf(ruleset)
+    out = df.withColumn("_p", udf(F.col(text_col), src, F.col(ts_col)))
+    keep_orig = ruleset.original_line if keep_original_line is None else keep_original_line
+    if keep_orig:
+        out = out.withColumn("original_line", F.col(text_col))  # parser.js:511-513
+    out = out.select("*", "_p.*").drop("_p")
+    if "log_source" not in df.columns:
+        out = out.withColumn("log_source", src)
+    if drop_marked:
+        out = out.filter(
+            F.col("fields").isNull() | F.col("fields").getItem(DROP_MARKER).isNull()
+        )
+    return out
+
+
+def field(name: str, cast: str | None = None) -> Column:
+    """Typed access into the open fields map (auto-Number semantics of
+    parser.js:266-268 via try_cast)."""
+    c = F.col("fields").getItem(name)
+    if cast in ("number", "double"):
+        return F.coalesce(c.try_cast("double"), F.lit(0.0))
+    if cast in ("int", "long"):
+        return F.coalesce(c.try_cast("long"), F.lit(0))
+    return c

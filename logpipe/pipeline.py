@@ -1,0 +1,99 @@
+"""End-to-end composed pipeline: parse → mask → enrich → route → aggregate.
+
+The reference's "plan" is its config-ordered plugin/filter chain
+(bin/logagent.js:307-541, execution order :612-623). Ours is the same shape
+as a declarative DataFrame composition — Catalyst fuses the narrow stages
+(parse/mask/route are shuffle-free), the enrich joins broadcast, and only the
+final aggregate + any ordering window shuffle (SURVEY.md §3.1 restatement).
+
+Also the structured-object fast path (bin/logagent.js:715-727): pre-parsed
+frames enter after the parse stage — `stages` composes, parse is skippable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import aggregate as agg_mod
+from . import mask as mask_mod
+from .enrich import enrich
+from .parse import parse_text
+from .route import TokenMapper, fan_out, resolve_sink
+from .rules import DEFAULT_RULESET, RuleSet
+
+DEFAULT_MAPPER = TokenMapper.from_dict(
+    {
+        "web-logs": [r"nginx", r"access", r"httpd"],
+        "datastore-logs": [r"redis", r"mongo", r"mysql", r"elasticsearch"],
+        "queue-logs": [r"kafka", r"heroku"],
+        "app-logs-YYYY-MM-DD": [r"json", r"\.log"],
+    }
+)
+
+
+@dataclass
+class TranscriptPipeline:
+    """Configurable parse→mask→enrich→route→aggregate over transcripts."""
+
+    ruleset: RuleSet = dc_field(default_factory=lambda: DEFAULT_RULESET)
+    mapper: TokenMapper = dc_field(default_factory=lambda: DEFAULT_MAPPER)
+    mask_text: bool = True
+    hash_field_names: tuple[str, ...] = ()
+    default_index: str = "default"
+    drop_unrouted: bool = False
+    role_dim: Optional[DataFrame] = None
+    tool_dim: Optional[DataFrame] = None
+    extra_stages: tuple[Callable[[DataFrame], DataFrame], ...] = ()
+
+    def parsed(self, transcripts: DataFrame) -> DataFrame:
+        return parse_text(transcripts, self.ruleset, source_col="tool")
+
+    def routed(self, transcripts: DataFrame) -> DataFrame:
+        df = self.parsed(transcripts)
+        # masking precedes enrichment like the shipped config order
+        # (bin/logagent.js:612-623 runs output-filters sequentially).
+        if self.mask_text:
+            df = mask_mod.mask_content(df, cols=["message"])
+        if self.hash_field_names:
+            df = mask_mod.mask_map_fields(df, "|".join(self.hash_field_names))
+        if self.role_dim is not None:
+            df = enrich(df, self.role_dim, on="role", prefix="role_")
+        if self.tool_dim is not None:
+            df = enrich(df, self.tool_dim, on="tool", prefix="tool_")
+        for stage in self.extra_stages:
+            df = stage(df)
+        return resolve_sink(
+            df,
+            mapper=self.mapper,
+            source_col="log_source",
+            default_index=self.default_index,
+            drop_unrouted=self.drop_unrouted,
+        )
+
+    def aggregates(self, routed: DataFrame) -> DataFrame:
+        return agg_mod.per_sink_counts(routed)
+
+    def run(
+        self,
+        spark: SparkSession,
+        transcripts: DataFrame,
+        out_dir: str | None = None,
+    ) -> dict[str, DataFrame]:
+        routed = self.routed(transcripts)
+        if out_dir:
+            routed = routed.persist()
+            sinks = fan_out(
+                routed.withColumn("fields", F.to_json("fields")),
+                f"{out_dir}/routed",
+                partition_by_sink=True,
+                mode="overwrite",
+            )
+            aggs = self.aggregates(routed)
+            aggs.write.mode("overwrite").parquet(f"{out_dir}/aggregates")
+            routed.unpersist()
+            return {"routed": routed, "aggregates": aggs, "sinks": sinks}
+        return {"routed": routed, "aggregates": self.aggregates(routed)}

@@ -1,0 +1,155 @@
+"""Routing / fan-out: the reference's output multiplexer as a `sink` column
+plus a single-pass multi-table writer.
+
+Semantics preserved:
+  * index precedence `data._index || context.index || config.index`
+    (lib/plugins/output/elasticsearch.js:172-207)
+  * ordered logSource→token regex mapper, first token whose any regex matches
+    wins (lib/core/logSourceToIndexMapper.js:20-49)
+  * dropLogsForUnmatchedIndices (elasticsearch.js:192-199)
+  * date-patterned index names YYYY/MM/DD ← event_ts
+    (applyDateFormatToIndex, elasticsearch.js:227-241)
+  * per-output sourceName/_type gates (files.js:44-48)
+
+Scale notes: the router is ONE ordered when-chain (constant-folded by
+Catalyst, codegen'd, shuffle-free). Fan-out persists the routed frame once
+and writes each sink as a filter+append — the upstream parse/mask/enrich runs
+once, not per sink (SURVEY.md §4 item 3). With `partition_by_sink=True` it is
+a single dynamic-partitioned write instead (one pass, zero re-reads) — the
+100 TB default when per-sink schemas align.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TokenMapper:
+    """Ordered {token: [regexes]} (logSourceToIndexMapper.js:20-49)."""
+
+    indices: tuple[tuple[str, tuple[str, ...]], ...]
+
+    @classmethod
+    def from_dict(cls, d: dict[str, list[str]]) -> "TokenMapper":
+        return cls(tuple((k, tuple(v)) for k, v in d.items()))
+
+    def expr(self, source: Column) -> Column:
+        """First-match-wins ordered when-chain; null if no token matches."""
+        out = F.lit(None).cast("string")
+        chain = None
+        for token, regexes in self.indices:
+            cond = None
+            for r in regexes:
+                c = source.rlike(r)
+                cond = c if cond is None else (cond | c)
+            if cond is None:
+                continue
+            chain = F.when(cond, F.lit(token)) if chain is None else chain.when(cond, F.lit(token))
+        return chain if chain is not None else out
+
+
+def resolve_sink(
+    df: DataFrame,
+    mapper: TokenMapper | None = None,
+    source_col: str = "log_source",
+    default_index: str | None = None,
+    drop_unrouted: bool = False,
+    date_pattern: bool = True,
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Compute the `sink` routing column.
+
+    Precedence (elasticsearch.js:181-199): per-row `_index` override (set by
+    enrichment tokens) → token mapper on log_source → default index → null.
+    """
+    parts = []
+    if "_index" in df.columns:
+        parts.append(F.col("_index"))
+    if mapper is not None:
+        parts.append(mapper.expr(F.col(source_col)))
+    if default_index is not None:
+        parts.append(F.lit(default_index))
+    sink = F.coalesce(*parts) if parts else F.lit(None).cast("string")
+    out = df.withColumn("sink", sink)
+    if date_pattern and ts_col in df.columns:
+        # index.replace(/YYYY|MM|DD/) from event time (elasticsearch.js:227-241)
+        out = out.withColumn(
+            "sink",
+            F.when(
+                F.col("sink").rlike("YYYY|MM|DD"),
+                F.replace(
+                    F.replace(
+                        F.replace(F.col("sink"), F.lit("YYYY"), F.date_format(F.col(ts_col), "yyyy")),
+                        F.lit("MM"),
+                        F.date_format(F.col(ts_col), "MM"),
+                    ),
+                    F.lit("DD"),
+                    F.date_format(F.col(ts_col), "dd"),
+                ),
+            ).otherwise(F.col("sink")),
+        )
+    if drop_unrouted:
+        out = out.filter(F.col("sink").isNotNull())  # elasticsearch.js:192-199
+    return out
+
+
+def type_gate(df: DataFrame, type_regex: str | None = None, source_regex: str | None = None) -> DataFrame:
+    """Per-output sourceName/_type regex gate (files.js:44-48)."""
+    if type_regex is not None:
+        df = df.filter(F.col("log_type").rlike(type_regex))
+    if source_regex is not None:
+        df = df.filter(F.col("log_source").rlike(source_regex))
+    return df
+
+
+def fan_out(
+    df: DataFrame,
+    base_dir: str,
+    sinks: list[str] | None = None,
+    partition_by_sink: bool = True,
+    fmt: str = "parquet",
+    mode: str = "append",
+    extra_partition_cols: list[str] | None = None,
+) -> dict[str, str]:
+    """Write routed rows to per-sink tables, single upstream pass.
+
+    partition_by_sink=True: one dynamic-partitioned write (sink becomes a
+    partition column — the Spark-native multiplexer; per-sink directories are
+    independent tables-by-prefix). Iceberg deployments swap this for
+    `writeTo(catalog.db.tbl).append()` per sink over the persisted frame.
+
+    partition_by_sink=False: persist + one filtered append per sink (needed
+    when per-sink schemas diverge). Returns {sink: path}.
+    """
+    parts = ["sink"] + (extra_partition_cols or [])
+    if partition_by_sink:
+        (
+            df.write.mode(mode)
+            .partitionBy(*parts)
+            .format(fmt)
+            .save(base_dir)
+        )
+        if sinks is None:
+            sinks = [r["sink"] for r in df.select("sink").distinct().collect()]
+        return {s: os.path.join(base_dir, f"sink={s}") for s in s_escape(sinks)}
+    df = df.persist()
+    try:
+        if sinks is None:
+            sinks = [r["sink"] for r in df.select("sink").distinct().collect()]
+        out = {}
+        for s in sinks:
+            path = os.path.join(base_dir, f"sink={s}")
+            df.filter(F.col("sink") == s).drop("sink").write.mode(mode).format(fmt).save(path)
+            out[s] = path
+        return out
+    finally:
+        df.unpersist()
+
+
+def s_escape(sinks: list[str]) -> list[str]:
+    return [str(s) for s in sinks]

@@ -1,0 +1,446 @@
+"""Pattern-rule model: the patterns.yml DSL re-expressed as plain data.
+
+The reference compiles `patterns.yml` (YAML with !!js/regexp / !!js/function
+tags) into an in-process rule list evaluated first-match-wins per source
+(/root/reference/lib/parser/parser.js:527-556, contract documented at
+/root/reference/patterns.yml:78-79). Here the same DSL compiles on the driver
+into frozen Python dataclasses; `logpipe.parse` broadcasts them and evaluates
+vectorized (pandas `Series.str.extract` per rule inside an Arrow batch).
+
+Rules are DATA, not code. The one non-declarative part of the reference —
+per-pattern `!!js/function` transforms — becomes per-rule *vectorized* Python
+callables (pd.DataFrame → pd.DataFrame), ported individually (SURVEY.md §2.12).
+
+JS → Python regex translation notes (SURVEY.md §7 hard part 1): the shipped
+regexes use `{0,1}` for `?`, `[\\s|\\S]` dot-alls and `[GET|POST]` char-class
+abuse — all of which are *also* valid Python syntax with identical semantics,
+so rules below are written fresh in Python syntax with matching behavior and
+fixture-tested against the reference's documented outputs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# date-fns → strptime translation (SURVEY.md §7 hard part 2).
+# Reference parses dates with date-fns `parse(str, fmt, now)` or `parseISO`
+# (lib/parser/parser.js:236-263); formats lacking a year inherit the year of
+# `now` — we inherit the year of the row's `ts` (deterministic).
+# ---------------------------------------------------------------------------
+
+_DATEFNS_TO_STRPTIME = [
+    ("yyyy", "%Y"),
+    ("yy", "%y"),
+    ("MMM", "%b"),
+    ("MM", "%m"),
+    ("dd", "%d"),
+    ("HH", "%H"),
+    ("mm", "%M"),
+    ("ss", "%S"),
+    (",SSS", ",%f"),
+    (".SSS", ".%f"),
+    (",SS", ",%f"),
+    (".SS", ".%f"),
+    (",S", ",%f"),
+    (".S", ".%f"),
+    ("X", "%z"),
+    ("ZZ", "%z"),
+    ("Z", "%z"),
+]
+
+
+def datefns_to_strptime(fmt: str) -> str:
+    out = fmt
+    for a, b in _DATEFNS_TO_STRPTIME:
+        out = out.replace(a, b)
+    return out
+
+
+def format_has_year(fmt: str) -> bool:
+    return "yyyy" in fmt or "yy" in fmt
+
+
+# A transform receives the extracted columns as a pandas DataFrame (string
+# dtype) and mutates/returns it; it may set the well-known columns
+# '__message', '__severity' and any extra field columns. Vectorized only.
+Transform = Callable[[pd.DataFrame], pd.DataFrame]
+
+
+@dataclass(frozen=True)
+class MatchRule:
+    """One `match:` entry of a pattern group (patterns.yml:88-110)."""
+
+    log_type: str
+    regex: str
+    fields: tuple[str, ...]  # names, optionally 'name:number' / 'name:string'
+    date_format: Optional[str] = None
+    transform: Optional[Transform] = None
+    input_filter: Optional[str] = None  # include regex (parser.js:303-316)
+    input_drop: Optional[str] = None  # drop regex
+
+    def compiled(self) -> re.Pattern:
+        return re.compile(self.regex)
+
+    def field_names(self) -> tuple[str, ...]:
+        return tuple(f.split(":")[0] for f in self.fields)
+
+    def field_casts(self) -> dict[str, str]:
+        """name → 'number'|'string' for annotated fields (parser.js:280-297)."""
+        out = {}
+        for f in self.fields:
+            if ":" in f:
+                n, c = f.split(":", 1)
+                out[n] = c
+        return out
+
+
+@dataclass(frozen=True)
+class PatternGroup:
+    """One source group (patterns.yml:84-87): sourceName regex + rules."""
+
+    name: str
+    source_name: str  # regex matched against log_source (parser.js:170-196)
+    rules: tuple[MatchRule, ...]
+    block_start: Optional[str] = None  # multiline boundary (patterns.yml:87)
+
+
+@dataclass(frozen=True)
+class RuleSet:
+    """Compiled pattern set + global parser config (patterns.yml:14-75)."""
+
+    groups: tuple[PatternGroup, ...]
+    json_enabled: bool = True  # patterns.yml:33-34
+    autohash: Optional[str] = None  # field-NAME regex (patterns.yml:14-19)
+    hash_function: str = "sha256"
+    original_line: bool = False  # patterns.yml:24, parser.js:511-513
+    multiline_default_separator: str = r"^\S{2,}"  # patterns.yml:30-31
+
+    def groups_for_source(self, source: str) -> list[PatternGroup]:
+        """Pattern-subset pruning per source (parser.js:170-196)."""
+        return [g for g in self.groups if re.search(g.source_name, source)]
+
+    def block_start_for_source(self, source: str) -> str:
+        """Multiline reader selection (parser.js:197-230): first matching
+        group that declares blockStart wins, else the global default."""
+        for g in self.groups:
+            if g.block_start and re.search(g.source_name, source):
+                return g.block_start
+        return self.multiline_default_separator
+
+
+# ---------------------------------------------------------------------------
+# Ported per-rule transforms (each a fresh vectorized implementation of a
+# shipped !!js/function — citations inline).
+# ---------------------------------------------------------------------------
+
+SYSLOG_SEVERITY = (
+    "emerg alert crit err warning notice info debug".split()
+)  # patterns.yml:888-897
+SYSLOG_FACILITY = (
+    "kern user mail daemon auth syslog lpr news uucp cron authpriv ftp ntp "
+    "logaudit logalert clock local0 local1 local2 local3 local4 local5 "
+    "local6 local7".split()
+)  # patterns.yml:898-923
+
+
+def access_log_transform(df: pd.DataFrame) -> pd.DataFrame:
+    """patterns.yml:559-568: message = method + ' ' + path; '-' counts → 0."""
+    df["__message"] = df["method"].fillna("") + " " + df["path"].fillna("")
+    for c in ("status_code", "size"):
+        df[c] = df[c].mask(df[c] == "-", "0")
+    return df
+
+
+def redis_transform(df: pd.DataFrame) -> pd.DataFrame:
+    """patterns.yml:484-502: decode role char + level char; drop `level`."""
+    roles = {"X": "sentinel", "C": "RDB/AOF writing child", "S": "slave", "M": "master"}
+    levels = {".": "debug", "-": "verbose", "*": "notice", "#": "warning"}
+    df["role"] = df["role"].map(roles)
+    df["__severity"] = df["level"].map(levels).fillna(df["level"])
+    df = df.drop(columns=["level"])
+    return df
+
+
+def _pri_decode(df: pd.DataFrame) -> pd.DataFrame:
+    """Syslog PRI → facility/severity (patterns.yml:885-925): fac=prio>>3,
+    sev=prio&7 — same math as lib/plugins/input/syslog.js:76-88."""
+    prio = pd.to_numeric(df["prio"], errors="coerce").fillna(0).astype(int)
+    df["facility"] = (prio // 8).map(
+        lambda i: SYSLOG_FACILITY[i] if 0 <= i < len(SYSLOG_FACILITY) else str(i)
+    )
+    df["__severity"] = (prio % 8).map(lambda i: SYSLOG_SEVERITY[i])
+    return df
+
+
+def heroku_transform(df: pd.DataFrame) -> pd.DataFrame:
+    """patterns.yml:885-938: PRI decode + router key=value explode."""
+    df = _pri_decode(df)
+    df["os.host"] = df["host"]
+    router = df["process_type"] == "router"
+    if router.any():
+        # key=value explode (patterns.yml:926-937) — the reference splits the
+        # message on spaces and '='. Vectorized extractall per key.
+        msgs = df.loc[router, "message"].fillna("")
+        kv = msgs.str.extractall(r'(\w+)=("[^"]*"|\S+)')
+        if not kv.empty:
+            kv[1] = kv[1].str.strip('"')
+            wide = kv.reset_index().pivot(index="level_0", columns=0, values=1)
+            for col in wide.columns:
+                df.loc[wide.index, col] = wide[col]
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Default rule set: the fixture families from FIXTURES.md §2, first-match
+# order preserved from patterns.yml (more specific first).
+# ---------------------------------------------------------------------------
+
+DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
+    PatternGroup(
+        name="elasticsearch",
+        # patterns.yml:111-135
+        source_name=r"elasticsearch",
+        block_start=r"^\[\d{4}-\d{2}-\d{2}[\sT][\d:]+,\d+\]|^log4j:\S+\s",
+        rules=(
+            MatchRule(
+                log_type="elasticsearch",
+                regex=(
+                    r"^\[(\d{4}-\d{2}-\d{2}[\sT][\d:]+,\d+)\]"
+                    r"\[(.+?)\s*\]\[(\S{0,512})\s*\]\s*\[(.+?)\]\s([\s\S]+)"
+                ),
+                fields=("ts", "severity", "class_name", "node_name", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="kafka",
+        # patterns.yml:381-387
+        source_name=r"kafka",
+        rules=(
+            MatchRule(
+                log_type="apache_kafka",
+                regex=r"^\[(\d{4}-\d{2}-\d{2}\s[\d:]+,\d+)\]\s(\S+)\s(.+)",
+                fields=("ts", "severity", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SSS",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="mongodb",
+        # patterns.yml:463-471
+        source_name=r"mongo",
+        rules=(
+            MatchRule(
+                log_type="mongodb",
+                regex=(
+                    r"^(\d{4}-\d{2}-\d{2}T[\d.:]+\+\d{4})\s(\w+)\s(\S+)\s+"
+                    r"\[(\S+)\]\s(.+)"
+                ),
+                fields=("ts", "severity", "component", "context", "message"),
+                date_format="iso",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="redis",
+        # patterns.yml:473-502
+        source_name=r"(?i)redis",
+        block_start=r"^\d+:.\s\d+",
+        rules=(
+            MatchRule(
+                log_type="redis",
+                regex=r"^(\d+):(\w+)\s+(\d\d\s\w+.+)\s+(\S)\s+([\S\s]+)",
+                fields=("pid", "role", "ts", "level", "message"),
+                date_format="dd MMM HH:mm:ss.SSS",
+                transform=redis_transform,
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="mysql",
+        # patterns.yml:524-531
+        source_name=r"mysql",
+        rules=(
+            MatchRule(
+                log_type="mysql",
+                regex=r"^(\d{4}-\d{2}-\d{2}\s[\d:]+)\s(\d+)\s\[(.+?)\]\s+(.*)",
+                fields=("ts", "pid", "level", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="web",
+        # patterns.yml:540-568 (access_log_combined)
+        source_name=r"httpd|access_log|apache2|nginx|sematext/frontend-app",
+        rules=(
+            MatchRule(
+                log_type="access_log_combined",
+                regex=(
+                    r"^([0-9a-f.:]+)\s(-|\S+)\s(-|\S+)\s\[(.*)\]\s"
+                    r'"(\w+)\s(\S+)\s?(.*)" ([0-9-]+) ([0-9-]+) '
+                    r'"([^"]+)" "([^"]+)"'
+                ),
+                fields=(
+                    "client_ip:string",
+                    "remote_id:string",
+                    "user:string",
+                    "ts",
+                    "method:string",
+                    "path:string",
+                    "protocol:string",
+                    "status_code:number",
+                    "size:number",
+                    "referer:string",
+                    "user_agent:string",
+                ),
+                date_format="dd/MMM/yyyy:HH:mm:ss X",
+                transform=access_log_transform,
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="heroku",
+        # patterns.yml:876-938
+        source_name=r"syslog_framed|heroku",
+        rules=(
+            MatchRule(
+                log_type="heroku",
+                regex=(
+                    r"^\d*\s?<(\d+)>(\d+)\s(\S+)\s(\S+)\s(\S+)\s(\S+)"
+                    r"\.?(\d*)\s+-\s(.*)"
+                ),
+                fields=(
+                    "prio",
+                    "version",
+                    "ts",
+                    "host",
+                    "app",
+                    "process_type",
+                    "dyno",
+                    "message",
+                ),
+                date_format="iso",
+                transform=heroku_transform,
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="syslog_files",
+        # patterns.yml:1100-1122 (macOS /var/log/*.log); 4th variant carries
+        # the FIXTURES.md §2 syslog_macos case.
+        source_name=r"\.log",
+        rules=(
+            MatchRule(
+                log_type="system_log",
+                regex=(
+                    r"^([\w\s]+\s+\d{1,2}\s[\d:]+)\s(\S+)\s(\S+)\[(\d+)\]"
+                    r"\s{0,4}<(.+)>:\s{0,2}(.+)"
+                ),
+                fields=("ts", "syslog_host", "service", "pid", "severity", "message"),
+                date_format="MMM dd HH:mm:ss",
+            ),
+            MatchRule(
+                log_type="system_log",
+                regex=r"^([\w\s]+\s+\d{1,2}\s[\d:]+)\s(\S+)\s(\S+)\[(\d+)\]:\s(.+)",
+                fields=("ts", "host_syslog", "service", "pid", "message"),
+                date_format="MMM dd HH:mm:ss",
+            ),
+            MatchRule(
+                log_type="system_log",
+                regex=r"^([\w\s]+\s+\d{1,2}\s[\d:.]+)\s+(\S+)\s+(\S+):\s(.*)",
+                fields=("ts", "host_syslog", "service", "message"),
+                date_format="MMM dd HH:mm:ss",
+            ),
+        ),
+    ),
+)
+
+DEFAULT_RULESET = RuleSet(groups=DEFAULT_GROUPS)
+
+
+def load_yaml_rules(path: str) -> RuleSet:
+    """Load a patterns.yml-compatible file (declarative subset: no
+    !!js/function — transforms must be registered Python callables).
+
+    Mirrors lib/parser/mergePatternFiles.js:25-55 ordering: file patterns
+    PREPEND to the default set.
+    """
+    import yaml  # lazy; optional dependency
+
+    def _regexp_constructor(loader, node):
+        raw = loader.construct_scalar(node)
+        m = re.match(r"^/(.*)/([a-z]*)$", raw, re.S)
+        if m:
+            pat, flags = m.group(1), m.group(2)
+            if "i" in flags:
+                pat = "(?i)" + pat
+            return pat
+        return raw
+
+    loader_cls = yaml.SafeLoader
+    yaml.add_constructor(
+        "tag:yaml.org,2002:js/regexp", _regexp_constructor, Loader=loader_cls
+    )
+    with open(path) as f:
+        doc = yaml.load(f, Loader=loader_cls)
+
+    groups: list[PatternGroup] = []
+    for i, g in enumerate(doc.get("patterns", []) or []):
+        rules = []
+        for mr in g.get("match", []) or []:
+            if mr.get("regex") is None:
+                continue
+            rules.append(
+                MatchRule(
+                    log_type=mr.get("type", "log"),
+                    regex=_js_regex_to_py(mr["regex"]),
+                    fields=tuple(mr.get("fields", []) or []),
+                    date_format=mr.get("dateFormat"),
+                    input_filter=mr.get("inputFilter"),
+                    input_drop=mr.get("inputDrop"),
+                )
+            )
+        if rules:
+            groups.append(
+                PatternGroup(
+                    name=f"group_{i}",
+                    source_name=_js_regex_to_py(g.get("sourceName", ".*")),
+                    rules=tuple(rules),
+                    block_start=(
+                        _js_regex_to_py(g["blockStart"])
+                        if g.get("blockStart")
+                        else None
+                    ),
+                )
+            )
+    # custom patterns prepend before defaults (mergePatternFiles.js:48)
+    return RuleSet(
+        groups=tuple(groups) + DEFAULT_GROUPS,
+        json_enabled=(doc.get("json", {}) or {}).get("enabled", True),
+        autohash=_js_regex_to_py(doc["autohash"]) if doc.get("autohash") else None,
+        hash_function=doc.get("hashFunction", "sha256"),
+        original_line=doc.get("originalLine", False),
+    )
+
+
+def _js_regex_to_py(raw) -> str:
+    """Translate JS regex source to Python (SURVEY.md §7 hard part 1).
+    `[\\s|\\S]`, `{0,1}`, char-class alternation quirks are valid in Python
+    with identical semantics; only the /.../flags wrapper needs stripping."""
+    if raw is None:
+        return raw
+    s = str(raw)
+    m = re.match(r"^/(.*)/([a-z]*)$", s, re.S)
+    if m:
+        pat, flags = m.group(1), m.group(2)
+        if "i" in flags:
+            pat = "(?i)" + pat
+        return pat
+    return s

@@ -1,0 +1,47 @@
+"""Schemas: transcript input (BASELINE.json input_hint) + parser output.
+
+The reference has no fixed schema — fields materialize from pattern capture
+groups, JSON passthrough, and enrichment (SURVEY.md §1.2). We preserve that
+*behavior* columnar-ly: a fixed set of well-known columns (the de-facto core
+schema of lib/parser/parser.js — @timestamp, message, logSource, _type,
+severity) plus an open ``fields map<string,string>`` for everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# BASELINE.json input_hint: the transcript table.
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+# Parser output struct (one column added by logpipe.parse.parse_text):
+#   event_ts — reference `@timestamp` (lib/parser/parser.js:322-326,401-422;
+#              fallback paths :520,:559 use wall-clock `new Date()`, we use the
+#              row's `ts` for determinism — SURVEY.md §7 hard part 3)
+#   message  — main text (parser.js:520,559; bunyan remap :431-439)
+#   log_type — reference `_type` (parser.js:317,538-540)
+#   severity — well-known level field (bunyan map parser.js:32-39; syslog PRI)
+#   matched  — False = untrained-source fallback row (parser.js:556-564)
+#   fields   — all extracted capture groups / JSON keys as canonical strings
+PARSED_STRUCT = T.StructType(
+    [
+        T.StructField("event_ts", T.TimestampType(), True),
+        T.StructField("message", T.StringType(), True),
+        T.StructField("log_type", T.StringType(), True),
+        T.StructField("severity", T.StringType(), True),
+        T.StructField("matched", T.BooleanType(), False),
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+# Columns the parse stage promotes out of `fields` into top-level columns.
+WELL_KNOWN = ("event_ts", "message", "log_type", "severity", "matched")

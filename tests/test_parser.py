@@ -1,0 +1,211 @@
+"""Parser fixtures — the four reference unit tests (reference test/test.js)
+ported verbatim plus one line per implemented pattern family (FIXTURES.md §2).
+
+Wall-clock divergence (SURVEY.md §7 hard part 3): where the reference stamps
+`new Date()` we assert the row's `ts` instead.
+"""
+
+import datetime
+
+import pytest
+
+from logpipe.parse import field, parse_text
+
+ROW_TS = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+
+def _parse_one(spark, line, source, ts=ROW_TS):
+    df = spark.createDataFrame(
+        [("c1", 0, "user", line, source, ts)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    return parse_text(df, source_col="tool").collect()[0]
+
+
+def test_json_simple(spark):
+    # test/test.js:5-32
+    r = _parse_one(spark, '{"message":"hello world","counter":1}', "json")
+    assert r["message"] == "hello world"
+    assert r["fields"]["counter"] == "1"
+    assert r["event_ts"] is not None
+    assert r["matched"]
+
+
+def test_json_bunyan(spark):
+    # test/test.js:34-65; bunyan remap parser.js:424-439
+    r = _parse_one(
+        spark,
+        '{"pid":6023,"level":30,"msg":"hello world","time":"2017-02-08T21:13:49.515Z","v":0,"counter":1}',
+        "json",
+    )
+    assert r["message"] == "hello world"
+    assert r["severity"] == "info"
+    assert r["fields"]["counter"] == "1"
+    assert r["event_ts"] == datetime.datetime(2017, 2, 8, 21, 13, 49, 515000)
+    for gone in ("msg", "time", "level", "v"):
+        assert gone not in r["fields"]
+
+
+def test_nginx_combined(spark):
+    # test/test.js:67-97; pattern patterns.yml:544-568
+    line = (
+        '91.67.80.14 - - [03/Apr/2016:06:25:38 +0000] "GET /about/ HTTP/1.1" 200 14243 '
+        '"https://sematext.com/consulting/elasticsearch/" "Mozilla/5.0 (iPhone)"'
+    )
+    r = _parse_one(spark, line, "nginx")
+    assert r["message"] == "GET /about/"
+    assert r["fields"]["client_ip"] == "91.67.80.14"
+    assert r["fields"]["status_code"] == "200"  # numeric coercion, canon str
+    assert r["fields"]["size"] == "14243"
+    assert "ts" not in r["fields"]  # consumed (parser.js:327-331)
+    assert r["event_ts"] == datetime.datetime(2016, 4, 3, 6, 25, 38)
+    assert r["log_type"] == "access_log_combined"
+
+
+def test_unknown_fallback(spark):
+    # test/test.js:99-121; fallback parser.js:556-564
+    line = "a simple log line matching no patterns"
+    r = _parse_one(spark, line, "nginx")
+    assert not r["matched"]
+    assert r["message"] == line
+    assert r["log_source"] == "nginx"
+    assert r["event_ts"] == ROW_TS  # row ts stands in for new Date()
+
+
+def test_access_log_dash_counts_zero(spark):
+    # transform patterns.yml:562-568: '-' status/size → 0
+    line = '1.2.3.4 - - [03/Apr/2016:06:25:38 +0000] "GET /x HTTP/1.1" - - "r" "ua"'
+    r = _parse_one(spark, line, "access_log")
+    assert r["fields"]["status_code"] == "0"
+    assert r["fields"]["size"] == "0"
+
+
+def test_mysql(spark):
+    r = _parse_one(spark, "2015-07-25 14:11:35 0 [Note] mysqld starting as process 1 ...", "mysql")
+    assert r["log_type"] == "mysql"
+    assert r["fields"]["pid"] == "0"
+    assert r["fields"]["level"] == "Note"
+
+
+def test_kafka(spark):
+    r = _parse_one(spark, "[2017-03-30 09:26:39,854] INFO Client session timed out", "kafka")
+    assert r["log_type"] == "apache_kafka"
+    assert r["severity"] == "INFO"
+    assert r["event_ts"] == datetime.datetime(2017, 3, 30, 9, 26, 39, 854000)
+
+
+def test_mongodb(spark):
+    r = _parse_one(
+        spark,
+        "2015-07-28T00:35:46.329+0000 I JOURNAL  [initandlisten] journal dir=/data/db/journal",
+        "mongo",
+    )
+    assert r["severity"] == "I"
+    assert r["fields"]["component"] == "JOURNAL"
+    assert r["fields"]["context"] == "initandlisten"
+
+
+def test_redis_transform(spark):
+    # role/level decode patterns.yml:484-502; year inherited from row ts
+    r = _parse_one(spark, "1:M 22 Jul 21:58:28.146 # Server started, Redis version 3.0.2", "redis")
+    assert r["fields"]["pid"] == "1"
+    assert r["fields"]["role"] == "master"
+    assert r["severity"] == "warning"
+    assert "level" not in r["fields"]
+    assert r["event_ts"] == datetime.datetime(2024, 7, 22, 21, 58, 28, 146000)
+
+
+def test_heroku_router(spark):
+    # PRI decode + key=value explode patterns.yml:885-938
+    line = (
+        "285 <158>1 2016-04-05T19:36:48.459692+00:00 host heroku router - "
+        'at=info method=GET path="/" status=200 bytes=1548'
+    )
+    r = _parse_one(spark, line, "heroku")
+    assert r["fields"]["facility"] == "local3"  # 158>>3 = 19
+    assert r["severity"] == "info"  # 158&7 = 6
+    assert r["fields"]["status"] == "200"
+    assert r["fields"]["path"] == "/"
+
+
+def test_syslog_macos(spark):
+    r = _parse_one(spark, "Jul 25 14:11:35 myhost myservice[123]: something happened", "system.log")
+    assert r["log_type"] == "system_log"
+    assert r["fields"]["pid"] == "123"
+    assert r["fields"]["service"] == "myservice"
+    assert r["event_ts"] == datetime.datetime(2024, 7, 25, 14, 11, 35)
+
+
+def test_first_match_wins_order(spark):
+    # order is semantics (patterns.yml:78-79; bubbleUp disabled parser.js:533):
+    # an elasticsearch-style line under source 'elasticsearch' must take the
+    # first matching rule even if later rules could match the same line.
+    r = _parse_one(
+        spark,
+        "[2016-01-01 10:00:00,000][ERROR][index.engine][node-1] merge failed",
+        "elasticsearch",
+    )
+    assert r["log_type"] == "elasticsearch"
+    assert r["severity"] == "ERROR"
+    assert r["fields"]["node_name"] == "node-1"
+
+
+def test_typed_field_access(spark):
+    line = (
+        '91.67.80.14 - - [03/Apr/2016:06:25:38 +0000] "GET /about/ HTTP/1.1" 200 14243 "r" "ua"'
+    )
+    df = spark.createDataFrame(
+        [("c1", 0, "user", line, "nginx", ROW_TS)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = parse_text(df, source_col="tool").select(
+        field("status_code", "long").alias("sc"), field("size", "double").alias("sz")
+    )
+    row = out.collect()[0]
+    assert row["sc"] == 200 and row["sz"] == 14243.0
+
+
+def test_input_drop_marker(spark):
+    from logpipe.rules import MatchRule, PatternGroup, RuleSet
+
+    rs = RuleSet(
+        groups=(
+            PatternGroup(
+                name="g",
+                source_name="app",
+                rules=(
+                    MatchRule(
+                        log_type="app",
+                        regex=r"^(\w+): (.+)",
+                        fields=("level", "message"),
+                        input_drop=r"healthcheck",
+                    ),
+                ),
+            ),
+        ),
+        json_enabled=False,
+    )
+    rows = [
+        ("c1", 0, "u", "INFO: healthcheck ok", "app", ROW_TS),
+        ("c1", 1, "u", "INFO: real work", "app", ROW_TS),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = parse_text(df, rs, source_col="tool").collect()
+    assert len(out) == 1 and out[0]["turn_idx"] == 1
+
+
+def test_autohash(spark):
+    import hashlib
+
+    from logpipe.rules import DEFAULT_GROUPS, RuleSet
+
+    rs = RuleSet(groups=DEFAULT_GROUPS, autohash=r"(?i)user|client_ip|password|email")
+    line = '91.67.80.14 - - [03/Apr/2016:06:25:38 +0000] "GET /a HTTP/1.1" 200 1 "r" "ua"'
+    df = spark.createDataFrame(
+        [("c1", 0, "u", line, "nginx", ROW_TS)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    r = parse_text(df, rs, source_col="tool").collect()[0]
+    assert r["fields"]["client_ip"] == hashlib.sha256(b"91.67.80.14").hexdigest()
