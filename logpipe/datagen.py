@@ -156,7 +156,7 @@ def transcripts(
         role.alias("role"),
         text.alias("text"),
         tool.alias("tool"),
-        (F.to_timestamp(F.lit(base_ts)) + F.make_dt_interval(0, 0, 0, i * F.lit(0.001))).alias("ts"),
+        (F.to_timestamp(F.lit(base_ts)) + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), i * F.lit(0.001))).alias("ts"),
     )
     return out
 

@@ -1,4 +1,4 @@
-"""Ordering + multiline block reassembly.
+r"""Ordering + multiline block reassembly.
 
 The reference's only ordering notion is arrival order per file — multiline
 reassembly depends on it (lib/parser/multiLine.js:27-71). Our input has an

@@ -1,0 +1,101 @@
+"""Aggregation fixtures (FIXTURES.md §6) + ordering/multiline (SURVEY §2.9)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe.aggregate import interval_sql, per_sink_counts, throughput_stats
+from logpipe.order import reassemble_multiline, with_turn_rank
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_sql_filter_sum_group_by(spark):
+    # test/sql-filter-test.js:14-40: 10 × {size:100, path:'/'} ⇒ {size:1000}
+    rows = [(T0, "src", 100, "/") for _ in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, log_source string, size int, path string")
+    out = interval_sql(
+        spark, df, "SELECT SUM(size) AS size, path FROM buffer GROUP BY path", 60
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["size"] == 1000 and out[0]["path"] == "/"
+
+
+def test_sql_filter_two_intervals(spark):
+    rows = [(T0, "s", 100, "/"), (T0 + datetime.timedelta(seconds=61), "s", 50, "/")]
+    df = spark.createDataFrame(rows, "ts timestamp, log_source string, size int, path string")
+    out = interval_sql(spark, df, "SELECT SUM(size) AS size, path FROM buffer GROUP BY path", 60)
+    assert out.count() == 2  # per-interval buffers (sql.js:55-82)
+
+
+def test_sql_filter_invalid_query_raises(spark):
+    # sql-filter-test.js:42-65: error surfaced, no crash
+    df = spark.createDataFrame([(T0, "s", 1, "/")], "ts timestamp, log_source string, size int, path string")
+    with pytest.raises(Exception):
+        interval_sql(spark, df, "SELECT FROM WHERE nonsense !!", 60)
+
+
+def test_per_sink_counts(spark):
+    rows = [
+        ("s1", "c1", "user", "bash", T0),
+        ("s1", "c1", "user", "bash", T0 + datetime.timedelta(minutes=5)),
+        ("s1", "c1", "user", "bash", T0 + datetime.timedelta(hours=1)),
+        ("s2", "c2", "assistant", "web", T0),
+    ]
+    df = spark.createDataFrame(rows, "sink string, conv_id string, role string, tool string, event_ts timestamp")
+    out = {(r["sink"], str(r["hour"])): r["events"] for r in per_sink_counts(df).collect()}
+    assert out[("s1", "2024-01-01 00:00:00")] == 2
+    assert out[("s1", "2024-01-01 01:00:00")] == 1
+    assert out[("s2", "2024-01-01 00:00:00")] == 1
+
+
+def test_throughput_stats(spark):
+    df = spark.createDataFrame([("abc",), ("",), (None,)], "text string")
+    r = throughput_stats(df).collect()[0]
+    assert r["lines"] == 3 and r["bytes"] == 3 and r["empty_lines"] == 2
+
+
+def test_turn_rank_stable(spark):
+    rows = [("c1", 5), ("c1", 1), ("c1", 3), ("c2", 2)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    out = {(r["conv_id"], r["turn_idx"]): r["turn_rank"] for r in with_turn_rank(df).collect()}
+    assert out[("c1", 1)] == 1 and out[("c1", 3)] == 2 and out[("c1", 5)] == 3
+    assert out[("c2", 2)] == 1
+
+
+def test_multiline_reassembly(spark):
+    # FIXTURES.md §2 multiline_stack: ES header + 2 indented stack lines join
+    # with '\n' per blockStart patterns.yml:113 / multiLine.js:53-71
+    rows = [
+        ("c1", 0, "u", "[2016-01-01 10:00:00,000][ERROR][index ][node] boom", "elasticsearch", T0),
+        ("c1", 1, "u", "\tat java.lang.Foo.bar(Foo.java:1)", "elasticsearch", T0),
+        ("c1", 2, "u", "\tat java.lang.Baz.qux(Baz.java:2)", "elasticsearch", T0),
+        ("c1", 3, "u", "[2016-01-01 10:00:01,000][INFO ][index ][node] ok", "elasticsearch", T0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = sorted(reassemble_multiline(df).collect(), key=lambda r: r["turn_idx"])
+    assert len(out) == 2
+    assert out[0]["text"] == (
+        "[2016-01-01 10:00:00,000][ERROR][index ][node] boom\n"
+        "\tat java.lang.Foo.bar(Foo.java:1)\n"
+        "\tat java.lang.Baz.qux(Baz.java:2)"
+    )
+    assert out[0]["turn_idx"] == 0  # head keeps the ordering key
+    assert out[1]["text"].endswith("ok")
+
+
+def test_multiline_default_separator(spark):
+    # default ^\S{2,} (patterns.yml:30-31): whitespace-led lines attach
+    rows = [
+        ("c1", 0, "u", "first line", "someapp", T0),
+        ("c1", 1, "u", "  continuation", "someapp", T0),
+        ("c1", 2, "u", "second line", "someapp", T0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = sorted(reassemble_multiline(df).collect(), key=lambda r: r["turn_idx"])
+    assert [r["text"] for r in out] == ["first line\n  continuation", "second line"]

@@ -1,0 +1,128 @@
+"""Enrichment (broadcast dims) + routing fixtures (FIXTURES.md §3-4)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from logpipe.enrich import enrich, geo_enrich, ip_to_long, k8s_container_name_split, parse_image_name
+from logpipe.route import TokenMapper, fan_out, resolve_sink, type_gate
+
+TS = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+
+def test_enrich_left_outer_and_flags(spark):
+    facts = spark.createDataFrame(
+        [("assistant",), ("system",), ("alien",), ("muted",)], "role string"
+    )
+    dim = spark.createDataFrame(
+        [
+            ("assistant", "Assistant", None, True),
+            ("system", "System", "SYS-TOKEN", True),
+            ("muted", "Muted", None, False),
+        ],
+        "role string, display_name string, sink_token string, logs_enabled boolean",
+    )
+    out = enrich(facts, dim, on="role", prefix="role_")
+    rows = {r["role"]: r for r in out.collect()}
+    assert rows["assistant"]["role_display_name"] == "Assistant"
+    assert rows["alien"]["role_display_name"] is None  # miss ⇒ null (left outer)
+    assert "muted" not in rows  # logs_enabled=false ⇒ drop (k8s-enrichment.js:104-143)
+    assert rows["system"]["_index"] == "SYS-TOKEN"  # token → _index (:158-179)
+
+
+def test_broadcast_join_in_plan(spark):
+    facts = spark.createDataFrame([("a",)], "k string")
+    dim = spark.createDataFrame([("a", 1)], "k string, v int")
+    out = enrich(facts, dim, on="k", drop_flag_col=None, token_col=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_mapper_reference_selftest(spark):
+    # lib/core/logSourceToIndexMapper.js:52-66 inline self-test
+    mapper = TokenMapper.from_dict(
+        {"TOKEN1-ABCD": [".*access.*", ".*nginx.*"], "TOKEN2": [".*myApp.*", ".*test.*"]}
+    )
+    df = spark.createDataFrame(
+        [("/var/log/access.log",), ("myApp.log",), ("other.log",)], "log_source string"
+    )
+    out = df.withColumn("sink", mapper.expr(F.col("log_source"))).collect()
+    got = {r["log_source"]: r["sink"] for r in out}
+    assert got["/var/log/access.log"] == "TOKEN1-ABCD"
+    assert got["myApp.log"] == "TOKEN2"
+    assert got["other.log"] is None
+
+
+def test_resolve_sink_precedence_and_date(spark):
+    mapper = TokenMapper.from_dict({"TOK": ["nginx"]})
+    df = spark.createDataFrame(
+        [
+            ("OVERRIDE", "nginx", TS),
+            (None, "nginx", TS),
+            (None, "unknown", TS),
+        ],
+        "_index string, log_source string, event_ts timestamp",
+    )
+    out = resolve_sink(df, mapper, default_index="logs-YYYY-MM-DD").collect()
+    sinks = [r["sink"] for r in out]
+    # precedence: _index > mapper > default (elasticsearch.js:181-199)
+    assert sinks[0] == "OVERRIDE"
+    assert sinks[1] == "TOK"
+    # date expansion (elasticsearch.js:227-241)
+    assert sinks[2] == "logs-2024-05-01"
+
+
+def test_drop_unrouted(spark):
+    df = spark.createDataFrame([(None, "x", TS)], "_index string, log_source string, event_ts timestamp")
+    out = resolve_sink(df, mapper=None, default_index=None, drop_unrouted=True)
+    assert out.count() == 0  # elasticsearch.js:192-199
+
+
+def test_type_gate(spark):
+    df = spark.createDataFrame(
+        [("mysql", "a"), ("redis", "b")], "log_type string, log_source string"
+    )
+    assert type_gate(df, type_regex="mysql").count() == 1
+
+
+def test_fan_out_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("s1", 1), ("s1", 2), ("s2", 3)], "sink string, v int"
+    )
+    fan_out(df, str(tmp_path / "routed"), mode="overwrite")
+    s1 = spark.read.parquet(str(tmp_path / "routed")).filter(F.col("sink") == "s1")
+    assert s1.count() == 2
+
+
+def test_geoip_range_join(spark):
+    # geoip.js:20-53 as broadcast range join
+    dim = spark.createDataFrame(
+        [(ip2l("10.0.0.0"), ip2l("10.255.255.255"), "PRIVATE"), (ip2l("91.0.0.0"), ip2l("91.255.255.255"), "DE")],
+        "ip_lo long, ip_hi long, country string",
+    )
+    df = spark.createDataFrame([("91.67.80.14",), ("8.8.8.8",)], "client_ip string")
+    rows = {r["client_ip"]: r for r in geo_enrich(df, dim).collect()}
+    assert rows["91.67.80.14"]["country"] == "DE"
+    assert rows["8.8.8.8"]["country"] is None
+
+
+def ip2l(s):
+    p = [int(x) for x in s.split(".")]
+    return p[0] * 16777216 + p[1] * 65536 + p[2] * 256 + p[3]
+
+
+def test_docker_image_and_k8s_name_split(spark):
+    # lib/util/parser.js:37-54 + docker-log-enrichment.js:50-120
+    df = spark.createDataFrame(
+        [("registry.example.com:5000/app:1.2@sha256:ff", "k8s_web_pod-1_ns1_uid9")],
+        "image string, container string",
+    )
+    r = df.select(
+        parse_image_name(F.col("image")).alias("img"),
+        k8s_container_name_split(F.col("container")).alias("k"),
+    ).collect()[0]
+    assert r["img"]["registry"] == "registry.example.com:5000"
+    assert r["img"]["name"] == "app"
+    assert r["img"]["tag"] == "1.2"
+    assert r["img"]["digest"] == "sha256:ff"
+    assert r["k"]["pod"] == "pod-1" and r["k"]["namespace"] == "ns1"

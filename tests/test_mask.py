@@ -1,0 +1,85 @@
+"""Masking fixtures (FIXTURES.md §5) incl. the message-replaceAll side effect."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from logpipe import mask
+
+
+def test_hash_fields_with_message_replace(spark):
+    # hash-fields.js:24-47: field hashed AND its value replaced in message
+    df = spark.createDataFrame([("1.2.3.4", "from 1.2.3.4 ok")], "client_ip string, message string")
+    out = mask.hash_fields(df, ["client_ip"]).collect()[0]
+    h = hashlib.sha256(b"1.2.3.4").hexdigest()
+    assert out["client_ip"] == h
+    assert out["message"] == f"from {h} ok"
+
+
+def test_hash_fields_sha512(spark):
+    df = spark.createDataFrame([("bob", None)], "user string, message string")
+    out = mask.hash_fields(df, ["user"], bits=512).collect()[0]
+    assert out["user"] == hashlib.sha512(b"bob").hexdigest()
+
+
+def test_ip_truncate_v4(spark):
+    # ip-truncate-fields.js:31-42
+    df = spark.createDataFrame([("91.67.80.14", "ip 91.67.80.14 seen")], "client_ip string, message string")
+    out = mask.ip_truncate_fields(df, ["client_ip"]).collect()[0]
+    assert out["client_ip"] == "91.67.80.0"
+    assert out["message"] == "ip 91.67.80.0 seen"
+
+
+def test_ip_truncate_v6(spark):
+    # ip-truncate-fields.js:44-54: last block zeroed, cidr stripped
+    df = spark.createDataFrame([("2a01:4f8::9:1/64", None)], "ip string, message string")
+    out = mask.ip_truncate_fields(df, ["ip"]).collect()[0]
+    assert out["ip"] == "2a01:4f8::9:0"
+
+
+def test_remove_fields_mask_values(spark):
+    # remove-fields.js:14-44
+    df = spark.createDataFrame([("bob", "hi bob")], "user string, message string")
+    out = mask.remove_fields(df, ["user"], mask_values_in_fields=["message"])
+    row = out.collect()[0]
+    assert "user" not in out.columns
+    assert row["message"] == "hi !REMOVED!"
+
+
+def test_rename_and_lowercase(spark):
+    df = spark.createDataFrame([(200,)], "Status_Code int")
+    assert mask.rename_fields(df, {"Status_Code": "status"}).columns == ["status"]
+    assert mask.lowercase_fields(df).columns == ["status_code"]
+
+
+def test_content_masking(spark):
+    # north-star email/IP/API-key redaction (generalizes elasticsearch.js:7-17)
+    df = spark.createDataFrame(
+        [("contact a@b.com from 10.0.0.1 key sk-abc123def456ghi789jkl",)], "text string"
+    )
+    out = mask.mask_content(df, ["text"]).collect()[0]
+    assert out["text"] == "contact <EMAIL> from <IP> key <API_KEY>"
+
+
+def test_uuid_token_anonymize(spark):
+    # elasticsearch.js:7-17 UUID anonymization as a content rule
+    df = spark.createDataFrame([("tok 123e4567-e89b-4d3a-a456-426614174000 x",)], "text string")
+    out = mask.mask_content(df, ["text"], rules=((mask.UUID_RE, "ANONYMIZED"),)).collect()[0]
+    assert out["text"] == "tok ANONYMIZED x"
+
+
+def test_aes_encrypt_fields_deterministic(spark):
+    df = spark.createDataFrame([("secret", "val secret end")], "token string, message string")
+    out = mask.aes_encrypt_fields(df, ["token"], password="pw").collect()
+    out2 = mask.aes_encrypt_fields(df, ["token"], password="pw").collect()
+    assert out[0]["token"] == out2[0]["token"] != "secret"
+    assert out[0]["message"] == f"val {out[0]['token']} end"
+
+
+def test_mask_map_fields_autohash(spark):
+    df = spark.createDataFrame(
+        [({"client_ip": "1.2.3.4", "path": "/x"},)], "fields map<string,string>"
+    )
+    out = mask.mask_map_fields(df, r"(?i)client_ip|user").collect()[0]
+    assert out["fields"]["client_ip"] == hashlib.sha256(b"1.2.3.4").hexdigest()
+    assert out["fields"]["path"] == "/x"

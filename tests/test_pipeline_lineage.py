@@ -1,0 +1,87 @@
+"""End-to-end pipeline + datagen + resumable lineage (SURVEY §5 resume test)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe.datagen import role_dim, tool_dim, transcripts
+from logpipe.lineage import metrics_table, run_resumable
+from logpipe.pipeline import TranscriptPipeline
+
+
+def test_datagen_deterministic(spark):
+    a = transcripts(spark, 2000, 20).orderBy("conv_id", "turn_idx").collect()
+    b = transcripts(spark, 2000, 20).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    assert len(a) == 2000
+    assert a[0]["conv_id"] == "conv-00000000"
+
+
+def test_datagen_skew(spark):
+    df = transcripts(spark, 5000, 20, skew=3.0)
+    top = df.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    assert top["count"] > 500  # hot conv exists
+    # ordering key unique within conv
+    dup = df.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    tr = transcripts(spark, 3000, 20)
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    res = pipe.run(spark, tr, out_dir=str(tmp_path))
+    routed = spark.read.parquet(str(tmp_path / "routed"))
+    aggs = spark.read.parquet(str(tmp_path / "aggregates"))
+    # elasticsearch tool rows dropped by dim flag; everything else routed
+    n_es = tr.filter(F.col("tool") == "elasticsearch").count()
+    assert routed.count() == 3000 - n_es
+    # system role routes to its token (enrichment _index precedence)
+    sys_rows = routed.filter(F.col("role") == "system")
+    assert sys_rows.count() > 0
+    assert set(r["sink"] for r in sys_rows.select("sink").distinct().collect()) == {"SYSTEM-TOKEN"}
+    # aggregate counts reconcile with routed rows
+    assert aggs.agg(F.sum("events")).collect()[0][0] == routed.count()
+    # content masking applied to message of fallback rows
+    masked = routed.filter(F.col("message").contains("<EMAIL>"))
+    assert masked.count() > 0
+    assert routed.filter(F.col("message").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0
+
+
+def test_pipeline_routed_row_equality_stable(spark):
+    # per-turn equality under stable (conv_id, turn_idx) ordering: two runs
+    # at different parallelism produce identical routed rows.
+    tr1 = transcripts(spark, 1000, 10, partitions=2)
+    tr8 = transcripts(spark, 1000, 10, partitions=8)
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    cols = ["conv_id", "turn_idx", "message", "log_type", "severity", "sink"]
+    a = [tuple(r) for r in pipe.routed(tr1).select(cols).orderBy("conv_id", "turn_idx").collect()]
+    b = [tuple(r) for r in pipe.routed(tr8).select(cols).orderBy("conv_id", "turn_idx").collect()]
+    assert a == b
+
+
+def test_resume_no_double_count(spark, tmp_path):
+    tr = transcripts(spark, 800, 10).cache()
+    out_dir, lin_dir = str(tmp_path / "out"), str(tmp_path / "lineage")
+
+    def process(df):
+        return df.withColumn("n", F.length("text"))
+
+    with pytest.raises(RuntimeError):
+        run_resumable(spark, tr, process, out_dir, lin_dir, n_units=4, fail_after_unit=1)
+    # resume: units 0-1 skipped, 2-3 processed
+    res = run_resumable(spark, tr, process, out_dir, lin_dir, n_units=4)
+    assert res["skipped"] == [0, 1]
+    assert res["processed"] == [2, 3]
+    total = spark.read.parquet(out_dir).count()
+    assert total == 800  # identical outputs, no double-counted partitions
+    m = metrics_table(spark, lin_dir).collect()[0]
+    assert m["rows_out"] == 800
+    tr.unpersist()
+
+
+def test_rerun_unit_idempotent(spark, tmp_path):
+    tr = transcripts(spark, 400, 10)
+    out_dir, lin_dir = str(tmp_path / "o"), str(tmp_path / "l")
+    run_resumable(spark, tr, lambda d: d, out_dir, lin_dir, n_units=2)
+    # force re-run of everything under a new run_id: overwrite, not append
+    run_resumable(spark, tr, lambda d: d, out_dir, lin_dir, run_id="run-1", n_units=2)
+    assert spark.read.parquet(out_dir).count() == 400
