@@ -1,0 +1,303 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup — all expressed so
+the expensive comparisons happen only inside LSH/band buckets (never an
+all-pairs cross join; the O(n²) variant exists only as a small-scale oracle).
+
+Scale design: signatures are computed in one narrow pass (built-in exprs or
+one Arrow-batched pandas UDF), candidate generation is an equi-join on band
+keys (shuffle on a short hash string, AQE-skew-safe), verification is a
+per-candidate-pair expression. At 100 TB the band join's fan-out is bounded
+by band width; hot buckets (boilerplate docs) can be capped via a group-size
+filter before the self-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep_col: str | None = None) -> DataFrame:
+    """Keep one row per exact content hash (hash-groupBy, map-side combinable).
+
+    With keep_col set, keeps the row minimizing keep_col (deterministic
+    winner); else a plain dropDuplicates on the hash."""
+    cols = cols or ["text"]
+    fingerprint = F.sha2(F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]), 256)
+    out = df.withColumn("_fp", fingerprint)
+    if keep_col is None:
+        return out.dropDuplicates(["_fp"]).drop("_fp")
+    w_cols = [F.col(keep_col)]
+    keep = out.groupBy("_fp").agg(F.min_by(F.struct(*[F.col(c) for c in df.columns]), *w_cols).alias("_row"))
+    return keep.select("_row.*")
+
+
+def duplicate_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """rows, distinct contents, dup rate — one aggregate pass."""
+    cols = cols or ["text"]
+    fp = F.sha2(F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]), 256)
+    return df.select(fp.alias("_fp")).agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("_fp").alias("distinct_rows"),
+        (F.count("*") - F.countDistinct("_fp")).alias("duplicates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array<string> (pure exprs: split + ranged
+    transform + dedup)."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda s: F.array_join(F.slice(words, s + 1, n), " "),
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
+
+    Candidate generation: explode shingles → equi-join on the shingle (only
+    docs sharing ≥1 shingle ever meet — no cross join), cap pathological
+    shingle buckets at `max_bucket`, then verify with exact Jaccard on the
+    deduped candidate pairs. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+    sh = sh.persist()
+    exploded = sh.select("_id", F.explode("_sh").alias("_g"))
+    # cap boilerplate shingles (stop-gram skew guard)
+    hot = exploded.groupBy("_g").count().filter(F.col("count") > max_bucket).select("_g")
+    exploded = exploded.join(F.broadcast(hot), "_g", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) via an Arrow-batched pandas UDF.
+
+    Shingle base hashes use xxhash-free numpy (FNV-ish) for determinism; each
+    of the `num_hashes` permutations is (a*h+b) mod p, min over shingles —
+    vectorized per batch with numpy broadcasting.
+    """
+    a_params, b_params = _hash_params(num_hashes, seed)
+    n_words = n
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            words = str(t).lower().split()
+            grams = {" ".join(words[i : i + n_words]) for i in range(max(len(words) - n_words + 1, 0))}
+            if not grams:
+                out.append([0] * len(a_params))
+                continue
+            base = np.fromiter(
+                (hash_str64(g) for g in grams), dtype=np.int64, count=len(grams)
+            )
+            # (num_hashes, n_grams) broadcast; python-int math avoids overflow
+            sig = (
+                (a_params[:, None].astype(object) * base[None, :].astype(object) + b_params[:, None])
+                % _MERSENNE
+            ).min(axis=1)
+            out.append([int(x) for x in sig])
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("signature"))
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across processes, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Band signatures → bucket-join candidates → verify by signature overlap.
+
+    bands×rows = len(signature); two docs collide if any band matches
+    (probability curve ~ (1-(1-j^r)^b)). Returns (id_a, id_b, est_jaccard).
+    """
+    sig_len = len(sigs.select("signature").first()["signature"])
+    rows_per_band = sig_len // bands
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.sha2(
+                        F.concat_ws(",", F.slice("signature", i * rows_per_band + 1, rows_per_band)),
+                        256,
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "signature", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.size("sig_a")
+    return cand.withColumn("est_jaccard", est).filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens (Arrow-batched; numpy bit voting)."""
+
+    @F.pandas_udf(T.LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            votes = np.zeros(bits, dtype=np.int64)
+            for w in str(t).lower().split():
+                h = hash_str64(w)
+                for i in range(bits):
+                    votes[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(bits):
+                if votes[i] > 0:
+                    v |= 1 << i
+            # keep sign bit clear so it fits LongType
+            out.append(v & 0x7FFFFFFFFFFFFFFF)
+        return pd.Series(out, dtype="object")
+
+    return df.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(sims: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming.
+
+    Candidates share a `prefix_bits` block (block-LSH on the top bits —
+    avoids the cross join; multiple rotations would raise recall, one block
+    keeps the oracle simple). Verify with bit_count(xor)."""
+    blocked = sims.withColumn("block", F.shiftright("simhash", 64 - prefix_bits - 1))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dups bucketed by random-hyperplane signs (sign-LSH):
+    candidates share the full sign signature; verify exact cosine with
+    zip_with/aggregate exprs. At scale, raise n_planes and add rotations."""
+    from .similarity import cosine_expr, hyperplane_signature
+
+    sig = hyperplane_signature(F.col(vec_col), n_planes=n_planes, seed=seed)
+    s = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", cosine_expr(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (image/audio libraries are not in this container):
+`decode_image` raises NotImplementedError unless `fake=True`, which produces
+a deterministic fake decode so the Spark-side plumbing — schema, batch shape,
+partition sizing — is real and tested. Swap `_decode_image_bytes` for a PIL/
+ffmpeg call in a real deployment; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# media row schema: opaque payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("thumb_w", T.IntegerType(), True),
+        T.StructField("thumb_h", T.IntegerType(), True),
+    ]
+)
+
+
+def synthetic_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table: payload = seeded bytes per id."""
+    df = spark.range(n)
+    payload = F.sha2(F.col("id").cast("string"), 256).cast("binary")
+    return df.select(
+        F.col("id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("id") % 640 + 32).cast("int").alias("width"),
+        (F.col("id") % 480 + 32).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv (not in this container); "
+            "pass fake=True for the deterministic stub"
+        )
+    # deterministic fake decode: 4x4 grayscale derived from payload hash
+    h = hashlib.sha256(payload or b"").digest()
+    return np.frombuffer(h[:16], dtype=np.uint8).reshape(4, 4).astype(np.float32)
+
+
+def extract_image_features(
+    media: DataFrame,
+    target: tuple[int, int] = (4, 4),
+    fake: bool = True,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Decode → resize → feature-vector over mapInPandas (Arrow batches).
+
+    The partitioning contract matters more than the stubbed math: payloads
+    stream through Arrow in bounded batches (`maxRecordsPerBatch` caps memory
+    per task at real image sizes), the decode is per-batch vectorizable, and
+    the output schema is fixed so downstream similarity joins are columnar.
+    """
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, nbytes = [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                arr = _decode_image_bytes(raw, fake)
+                feats.append([float(x) for x in arr.flatten() / 255.0])
+                shas.append(hashlib.sha256(raw).hexdigest())
+                nbytes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha": shas,
+                    "n_bytes": nbytes,
+                    "feature": feats,
+                    "thumb_w": target[0],
+                    "thumb_h": target[1],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_proc, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: explode sample timestamps per clip (pure
+    exprs; actual frame extraction would run in the decode UDF)."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
+        ).alias("sample_ms"),
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one broadcast of the (small) query set,
+dot products as pure zip_with/aggregate exprs (JVM-side, codegen), ranked by
+a window. Scale path: sign-LSH bucketing (hyperplane_signature) or an IVF
+variant (coarse k-means centroids as a broadcast dim; probe nearest cells) —
+both turn the scan into a bucket-pruned join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the query set, score every
+    (query, vector) pair with codegen'd exprs, rank with a per-query window.
+
+    One pass over the corpus; the only shuffle is the top-k window on q_id
+    (tiny: corpus×|Q| rows reduced map-side is not possible for row_number,
+    so keep |Q| modest or use the LSH path)."""
+    joined = emb.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
+    """Sign signature under `n_planes` fixed random hyperplanes, as a bit
+    string — pure exprs: the planes are literal arrays (deterministic from
+    seed), sign = dot ≥ 0."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = []
+    for p in planes:
+        plane_col = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot_expr(vec, plane_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors sharing the query's hyperplane
+    sign signature are scored (bucket equi-join instead of a full scan).
+    Recall grows with fewer planes / multiple signature rotations."""
+    e = emb.withColumn("_sig", hyperplane_signature(F.col(vec_col), n_planes, seed, dim))
+    q = queries.withColumn("_sig", hyperplane_signature(F.col(q_vec_col), n_planes, seed, dim))
+    joined = e.join(F.broadcast(q), "_sig")
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-style ANN: assign corpus vectors to their nearest centroid cell
+    (broadcast centroid dim), probe the query's n_probe nearest cells only.
+
+    `centroids`: (cell int, centroid array<double>) — typically k-means over
+    a sample; at 100 TB the assignment is a narrow pass and the probe join is
+    partition-pruned on `cell`."""
+    cent = centroids.collect()
+    cell_of = None
+    best = None
+    for r in cent:
+        c_col = F.array(*[F.lit(float(x)) for x in r["centroid"]])
+        d = cosine_expr(F.col(vec_col), c_col)
+        if cell_of is None:
+            cell_of, best = F.lit(r["cell"]), d
+        else:
+            cell_of = F.when(d > best, F.lit(r["cell"])).otherwise(cell_of)
+            best = F.greatest(d, best)
+    e = emb.withColumn("cell", cell_of)
+    # per-query probe cells (n_probe nearest centroids)
+    q_scored = []
+    for r in cent:
+        c_col = F.array(*[F.lit(float(x)) for x in r["centroid"]])
+        q_scored.append(F.struct(F.lit(r["cell"]).alias("cell"), cosine_expr(F.col(q_vec_col), c_col).alias("d")))
+    probes = F.slice(F.reverse(F.array_sort(F.array(*q_scored), lambda a, b: F.when(a["d"] < b["d"], -1).when(a["d"] > b["d"], 1).otherwise(0))), 1, n_probe)
+    q = queries.withColumn("cell", F.explode(F.transform(probes, lambda s: s["cell"])))
+    joined = e.join(F.broadcast(q), "cell")
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,106 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting. All pure column expressions
+(JVM-side, codegen) — no UDFs in any of these hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (n-gram/stopword heuristic).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "una"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "et"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over word tokens."""
+    words = F.split(F.lower(col), r"\s+")
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.array_intersect(F.array_distinct(words), marker_arr))
+    return out
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Argmax language by marker hits; 0 hits ⇒ `default`. Deterministic
+    tie-break = alphabetical language order."""
+    scores = lang_scores(col)
+    structs = [
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(scores)
+    ]
+    best = F.array_max(F.array(*structs))  # struct compare: score then lang
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword estimate: count word chunks + digits + punctuation
+    via a GPT-style pre-tokenizer regex (regexp_count, JVM-side)."""
+    return F.regexp_count(F.coalesce(col, F.lit("")), F.lit(r"[A-Za-z]{1,6}|\d{1,3}|[^\sA-Za-z\d]"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition features + a composite
+    quality score in [0,1]."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(c)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = token_count(F.col(text_col))
+    distinct_ratio = F.when(n_words > 0, F.size(F.array_distinct(words)) / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.regexp_count(c, F.lit(r"[^\w\s]")) / n_chars).otherwise(F.lit(0.0))
+    en_stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_ratio = F.when(
+        n_words > 0, F.size(F.array_intersect(F.array_distinct(F.transform(words, F.lower)), en_stop)) / F.lit(8.0)
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    length_ok = F.when((n_words >= 5) & (n_words <= 100000), 1.0).otherwise(0.0)
+    word_len_ok = F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+    low_punct = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    score = F.round((length_ok + word_len_ok + low_punct + distinct_ratio) / 4.0, 6)
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_words.alias("q_words"),
+        F.round(distinct_ratio, 6).alias("q_distinct_ratio"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(stop_ratio, 6).alias("q_stopword_ratio"),
+        F.round(mean_word_len, 6).alias("q_mean_word_len"),
+        score.alias("q_score"),
+    )
+
+
+def fingerprint(col: Column, normalize: bool = True) -> Column:
+    """Deterministic document fingerprint: 64-bit xxhash of the normalized
+    text (lowercase, collapsed whitespace) — the content-defined identity key
+    for dedup joins and lineage."""
+    c = F.coalesce(col, F.lit(""))
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(c)
+
+
+def rolling_fingerprints(col: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: xxhash per word w-gram, as an
+    array — the building block for partial-overlap detection. Pure exprs."""
+    words = F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+")
+    k = F.greatest(F.size(words) - (window - 1), F.lit(0))
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda s: F.xxhash64(F.array_join(F.slice(words, s + 1, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))

@@ -1,0 +1,138 @@
+"""Dedup + similarity + textstats + multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe import dedup, similarity, textstats
+from logpipe.multimodal import extract_image_features, synthetic_media
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup of 0
+        (3, "el rapido zorro marron salta sobre el perro y los gatos", "es"),
+        (4, "completely different content about spark and data engines", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs, ["text"], keep_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 removed, winner = min doc_id
+    stats = dedup.duplicate_stats(docs, ["text"]).collect()[0]
+    assert stats["rows"] == 5 and stats["distinct_rows"] == 4 and stats["duplicates"] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    assert all(p[1] != 4 and p[0] != 4 for p in got)
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (0, 1)][0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_minhash_lsh(spark, docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=64)
+    assert sigs.count() == 5
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert got[(0, 1)] == 1.0  # identical docs always collide
+    assert (0, 4) not in got
+
+
+def test_minhash_deterministic(spark, docs):
+    a = dedup.minhash_signatures(docs).orderBy("id").collect()
+    b = dedup.minhash_signatures(docs).orderBy("id").collect()
+    assert a == b
+
+
+def test_simhash_near_dups(spark, docs):
+    sims = dedup.simhash(docs)
+    rows = {r["id"]: r["simhash"] for r in sims.collect()}
+    assert rows[0] == rows[1]
+    pairs = dedup.simhash_near_dups(sims, max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got
+
+
+def test_embedding_near_dups_and_topk(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(64)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.001 + 0.0001]),  # near-dup of 0
+        (2, [float(x) for x in rng.standard_normal(64)]),
+        (3, [float(x) for x in rng.standard_normal(64)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nd = dedup.embedding_near_dups(emb, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (0, 1) in got
+
+    q = spark.createDataFrame([(0, rows[0][1])], "q_id long, q_vec array<double>")
+    topk = similarity.brute_force_topk(emb, q, k=2).orderBy("rank").collect()
+    assert topk[0]["vec_id"] == 0 and topk[0]["cosine"] == 1.0
+    assert topk[1]["vec_id"] == 1
+
+    lsh = similarity.lsh_topk(emb, q, k=2, n_planes=4)
+    first = lsh.orderBy("rank").first()
+    assert first["vec_id"] == 0  # query's own bucket always contains itself
+
+
+def test_ivf_topk(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    c0, c1 = rng.standard_normal(64), rng.standard_normal(64)
+    rows = [(i, [float(x) for x in (c0 if i % 2 == 0 else c1) + rng.standard_normal(64) * 0.01]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in c0]), (1, [float(x) for x in c1])], "cell int, centroid array<double>"
+    )
+    q = spark.createDataFrame([(0, rows[0][1])], "q_id long, q_vec array<double>")
+    out = similarity.ivf_topk(emb, q, cents, k=3, n_probe=1).orderBy("rank").collect()
+    assert out[0]["vec_id"] == 0
+    assert all(r["vec_id"] % 2 == 0 for r in out)  # only the probed cell
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["l"] for r in docs.select("doc_id", textstats.lang_id(F.col("text")).alias("l")).collect()}
+    assert out[0] == "en" and out[3] == "es"
+
+
+def test_token_counts_and_quality(spark, docs):
+    r = docs.select(
+        textstats.token_count(F.col("text")).alias("tc"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("bc"),
+    ).collect()[0]
+    assert r["tc"] == 9 and r["bc"] >= 9
+    q = textstats.quality_features(docs).filter(F.col("doc_id") == 0).collect()[0]
+    assert 0.0 <= q["q_score"] <= 1.0 and q["q_words"] == 9
+    assert q["q_distinct_ratio"] < 1.0  # 'the' repeats
+
+
+def test_fingerprints(spark, docs):
+    fp = docs.select(textstats.fingerprint(F.col("text")).alias("fp"), "doc_id").collect()
+    vals = {r["doc_id"]: r["fp"] for r in fp}
+    assert vals[0] == vals[1] and vals[0] != vals[2]
+    rf = docs.select(F.size(textstats.rolling_fingerprints(F.col("text"), 8)).alias("n")).collect()[0]
+    assert rf["n"] == 2  # 9 words, window 8 → 2 grams
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 10)
+    feats = extract_image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 10
+    assert len(rows[0]["feature"]) == 16
+    assert all(r["sha"] is not None and r["n_bytes"] > 0 for r in rows)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        extract_image_features(media, fake=False).collect()
