@@ -1,38 +1,665 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship parse→mask→route→aggregate over sf0.001 events.
+queries()      — one entry per implemented operator family (SURVEY.md §2 +
+                 the training-pipeline extras); each takes (spark, sf_dir).
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query (omitted only for the
+                 genuinely non-SQL-expressible approximate/LSH operators and
+                 the transcript pipeline over our own generator — driver
+                 records rows-only checks for those).
+
+Column names are aliased identically on both sides (driver hashes values of
+name-sorted columns). Float aggregates are rounded on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logpipe import dedup, mask, similarity, textstats
+from logpipe.aggregate import interval_sql, per_sink_counts
+from logpipe.datagen import role_dim, tool_dim, transcripts
+from logpipe.parse import field, parse_text
+from logpipe.pipeline import TranscriptPipeline
+from logpipe.route import TokenMapper, resolve_sink
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Router over event_type (ordered, first-match-wins — logSourceToIndexMapper
+# semantics re-keyed to the events stream).
+EVENT_MAPPER = TokenMapper.from_dict(
+    {
+        "errors": ["error"],
+        "growth": ["signup", "purchase"],
+        "engagement": ["click", "view"],
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# flagship: parse (JSON props) → route (ordered regex mapper) → per-sink agg
+# ---------------------------------------------------------------------------
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+    routed = resolve_sink(
+        parsed.withColumnRenamed("event_type", "log_source"),
+        mapper=EVENT_MAPPER,
+        default_index="other",
+        ts_col="ts",
+    )
+    return (
+        routed.groupBy("sink", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_FLAGSHIP_SQL = """
+SELECT
+  CASE
+    WHEN regexp_matches(event_type, 'error') THEN 'errors'
+    WHEN regexp_matches(event_type, 'signup') OR regexp_matches(event_type, 'purchase') THEN 'growth'
+    WHEN regexp_matches(event_type, 'click') OR regexp_matches(event_type, 'view') THEN 'engagement'
+    ELSE 'other'
+  END AS sink,
+  date_trunc('hour', ts) AS hour,
+  count(*) AS events,
+  round(sum(value), 3) AS total_value,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# parse operators
+# ---------------------------------------------------------------------------
+
+
+def q_parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON passthrough parse (parser.js:390-468 restated on the events table)
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.upper("event_type").alias("event_type_uc"),
+    )
+
+
+_PARSE_PROPS_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       upper(event_type) AS event_type_uc
+FROM events
+"""
+
+
+def q_parse_grok_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized pandas-UDF regex parser on synthesized access-log lines
+    (same cascade as the transcripts pipeline), verified against an oracle
+    that derives the fields arithmetically."""
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        "ts",
+        F.format_string(
+            '10.0.%d.%d - - [03/Apr/2016:06:25:38 +0000] "GET /p/%d HTTP/1.1" %d %d "ref" "ua"',
+            (F.col("event_id") % 250).cast("int"),
+            (F.col("user_id") % 250).cast("int"),
+            F.col("event_id").cast("int"),
+            (F.col("event_id") % 4 * 100 + 200).cast("int"),
+            (F.col("event_id") % 9000 + 100).cast("int"),
+        ).alias("text"),
+        F.lit("nginx").alias("tool"),
+    )
+    parsed = parse_text(lines, source_col="tool")
+    return (
+        parsed.groupBy(field("status_code", "long").alias("status_code"))
+        .agg(
+            F.count("*").alias("hits"),
+            F.sum(field("size", "long")).alias("bytes"),
+        )
+    )
+
+
+_PARSE_GROK_SQL = """
+SELECT (event_id % 4 * 100 + 200) AS status_code,
+       count(*) AS hits,
+       sum(event_id % 9000 + 100) AS bytes
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# masking operators
+# ---------------------------------------------------------------------------
+
+
+def q_mask_hash_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-fields.js semantics: field hashed + occurrence replaced in message
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("user"),
+        F.format_string("user %d did %s", F.col("user_id"), F.col("event_type")).alias("message"),
+    )
+    return mask.hash_fields(ev, ["user"]).select("event_id", "user", "message")
+
+
+_MASK_HASH_SQL = """
+SELECT event_id,
+       sha256(CAST(user_id AS VARCHAR)) AS user,
+       replace('user ' || user_id || ' did ' || event_type,
+               CAST(user_id AS VARCHAR), sha256(CAST(user_id AS VARCHAR))) AS message
+FROM events
+"""
+
+
+def q_mask_ip_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string(
+            "10.%d.%d.%d",
+            (F.col("user_id") % 200).cast("int"),
+            (F.col("event_id") % 200).cast("int"),
+            (F.col("event_id") % 250 + 1).cast("int"),
+        ).alias("client_ip"),
+    )
+    return mask.ip_truncate_fields(ev, ["client_ip"], message_col="_none_").select(
+        "event_id", "client_ip"
+    )
+
+
+_MASK_IP_SQL = """
+SELECT event_id,
+       '10.' || (user_id % 200) || '.' || (event_id % 200) || '.0' AS client_ip
+FROM events
+"""
+
+
+def q_mask_content_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # north-star content masking (emails / IPs / API keys) over documents
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string(
+            "%s contact user%d@example.com at 10.1.2.%d key sk-aaaabbbbccccdddd%d",
+            F.col("text"),
+            F.col("doc_id"),
+            (F.col("doc_id") % 250).cast("int"),
+            F.col("doc_id"),
+        ).alias("text"),
+    )
+    return mask.mask_content(docs, ["text"]).select("doc_id", "text")
+
+
+_MASK_CONTENT_SQL = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' contact user' || doc_id || '@example.com at 10.1.2.' || (doc_id % 250)
+             || ' key sk-aaaabbbbccccdddd' || doc_id,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\b(?:sk-[A-Za-z0-9]{16,}|AKIA[0-9A-Z]{16}|gh[pousr]_[A-Za-z0-9]{20,}|[0-9a-f]{32,64})\b', '<API_KEY>', 'g') AS text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# routing operators
+# ---------------------------------------------------------------------------
+
+
+def q_route_date_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # date-patterned sink names (elasticsearch.js:227-241) + drop-unrouted
+    ev = _t(spark, sf_dir, "events")
+    routed = resolve_sink(
+        ev.withColumnRenamed("event_type", "log_source"),
+        mapper=TokenMapper.from_dict({"logs-YYYY-MM-DD": ["error", "purchase"]}),
+        default_index=None,
+        drop_unrouted=True,
+        ts_col="ts",
+    )
+    return routed.groupBy("sink").agg(F.count("*").alias("events"))
+
+
+_ROUTE_DATE_SQL = """
+SELECT 'logs-' || strftime(ts, '%Y-%m-%d') AS sink, count(*) AS events
+FROM events
+WHERE regexp_matches(event_type, 'error') OR regexp_matches(event_type, 'purchase')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation operators
+# ---------------------------------------------------------------------------
+
+
+def q_agg_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # alasql interval SQL filter (sql.js): tumbling 1h window via spark.sql
+    ev = _t(spark, sf_dir, "events")
+    return interval_sql(
+        spark,
+        ev,
+        "SELECT window_start, event_type, round(sum(value), 3) AS total, count(*) AS events "
+        "FROM buffer GROUP BY window_start, event_type",
+        interval_seconds=3600,
+        source_col=None,
+    )
+
+
+_AGG_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       round(sum(value), 3) AS total, count(*) AS events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multiline blockStart sessionization shape (multiLine.js:53-71) applied
+    # to the events stream: a 'signup' starts a block per user
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    blocks = ev.withColumn(
+        "session_id", F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w)
+    )
+    return blocks.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("events"), F.round(F.sum("value"), 3).alias("total_value")
+    )
+
+
+_SESSIONIZE_SQL = """
+SELECT user_id, session_id, count(*) AS events, round(sum(value), 3) AS total_value
+FROM (
+  SELECT user_id, value,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# join / enrichment operators
+# ---------------------------------------------------------------------------
+
+
+def q_enrich_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # broadcast dimension lookup chain (SURVEY §2.5) on the TPC-H-ish star
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_ENRICH_JOIN_SQL = """
+SELECT n_name, count(*) AS orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("distinct_docs"),
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT lang, count(*) AS docs, count(DISTINCT sha256(text)) AS distinct_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard",
+    )
+
+
+_DEDUP_JACCARD_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS sh
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (LSH) — no SQL oracle; rows-only check. pytest verifies the
+    # estimator against exact jaccard on fixtures.
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=64)
+    return dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(dedup.simhash(docs), max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # random synthetic embeddings have no 0.95-dups; 0.3 keeps the check
+    # non-trivial (bucket join + exact verify still exercised)
+    return dedup.embedding_near_dups(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _queries_from_table(emb: DataFrame, n: int = 5) -> DataFrame:
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return similarity.brute_force_topk(emb, _queries_from_table(emb), k=10).select(
+        "q_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+_SIM_TOPK_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS cosine
+  FROM e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate bucketed ANN — rows-only check
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return similarity.lsh_topk(emb, _queries_from_table(emb), k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_textstats_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(textstats.lang_id(F.col("text")).alias("pred_lang")).groupBy(
+        "pred_lang"
+    ).agg(F.count("*").alias("docs"))
+
+
+_LANGID_SQL = """
+WITH w AS (SELECT list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+s AS (
+  SELECT len(list_intersect(ws, ['the','and','of','to','is','in','that','it'])) AS s_en,
+         len(list_intersect(ws, ['el','la','de','que','y','los','las','una'])) AS s_es,
+         len(list_intersect(ws, ['le','la','les','des','est','une','dans','et'])) AS s_fr,
+         len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit'])) AS s_de,
+         len(list_intersect(ws, ['的','是','了','在','我','有','和','不'])) AS s_zh
+  FROM w
+)
+SELECT CASE
+         WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         ELSE 'de'
+       END AS pred_lang,
+       count(*) AS docs
+FROM s
+GROUP BY 1
+"""
+
+
+def q_textstats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_features(docs).select(
+        "doc_id",
+        F.col("q_chars").cast("bigint").alias("q_chars"),
+        F.col("q_words").cast("bigint").alias("q_words"),
+        "q_distinct_ratio",
+        "q_punct_ratio",
+        "q_score",
+    )
+
+
+_QUALITY_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS q_chars,
+         string_split(trim(text), ' ') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, q_chars,
+         len(w) AS q_words,
+         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+         CAST(q_chars - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len
+  FROM b
+),
+p AS (
+  SELECT doc_id, len(regexp_extract_all(text, '[^\w\s]')) AS n_punct FROM documents
+)
+SELECT m.doc_id, q_chars, q_words,
+       round(distinct_ratio, 6) AS q_distinct_ratio,
+       round(CAST(n_punct AS DOUBLE) / q_chars, 6) AS q_punct_ratio,
+       round((
+         (CASE WHEN q_words >= 5 AND q_words <= 100000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_punct AS DOUBLE) / q_chars <= 0.2 THEN 1.0 ELSE 0.0 END)
+         + distinct_ratio) / 4.0, 6) AS q_score
+FROM m JOIN p ON m.doc_id = p.doc_id
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("bigint").alias("tokens_ws"),
+        textstats.bpe_ish_token_count(F.col("text")).cast("bigint").alias("tokens_bpe"),
+    )
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split(trim(text), ' ')) END AS tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]{1,6}|\d{1,3}|[^\sA-Za-z\d]')) AS tokens_bpe
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# transcripts pipeline (own deterministic generator — rows-only check; the
+# full fixture verification lives in tests/)
+# ---------------------------------------------------------------------------
+
+
+def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    tr = transcripts(spark, n, 20)
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    return per_sink_counts(pipe.routed(tr), group_cols=["sink", "role", "tool"]).orderBy(
+        "sink", "role", "tool", "hour"
+    )
+
+
+def q_transcript_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.order import reassemble_multiline
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    tr = transcripts(spark, n, 20)
+    blocks = reassemble_multiline(tr)
+    return blocks.groupBy("tool").agg(
+        F.count("*").alias("blocks"),
+        F.sum(F.when(F.col("text").contains("\n"), 1).otherwise(0)).alias("joined_blocks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_parse_route_agg": q_flagship,
+        "parse_props_json": q_parse_props_json,
+        "parse_grok_status": q_parse_grok_status,
+        "mask_hash_fields": q_mask_hash_fields,
+        "mask_ip_truncate": q_mask_ip_truncate,
+        "mask_content_redact": q_mask_content_redact,
+        "route_date_partitioned": q_route_date_partitioned,
+        "agg_interval_window": q_agg_interval_window,
+        "sessionize_blocks": q_sessionize,
+        "enrich_broadcast_join": q_enrich_broadcast_join,
+        "tpch_q1_pricing": q_tpch_q1,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_topk_cosine": q_similarity_topk,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "textstats_langid": q_textstats_langid,
+        "textstats_quality": q_textstats_quality,
+        "token_counts": q_token_counts,
+        "fingerprint_docs": q_fingerprint,
+        "transcript_pipeline": q_transcript_pipeline,
+        "transcript_multiline": q_transcript_multiline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_parse_route_agg": _FLAGSHIP_SQL,
+        "parse_props_json": _PARSE_PROPS_SQL,
+        "parse_grok_status": _PARSE_GROK_SQL,
+        "mask_hash_fields": _MASK_HASH_SQL,
+        "mask_ip_truncate": _MASK_IP_SQL,
+        "mask_content_redact": _MASK_CONTENT_SQL,
+        "route_date_partitioned": _ROUTE_DATE_SQL,
+        "agg_interval_window": _AGG_WINDOW_SQL,
+        "sessionize_blocks": _SESSIONIZE_SQL,
+        "enrich_broadcast_join": _ENRICH_JOIN_SQL,
+        "tpch_q1_pricing": _TPCH_Q1_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+        "similarity_topk_cosine": _SIM_TOPK_SQL,
+        "textstats_langid": _LANGID_SQL,
+        "textstats_quality": _QUALITY_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "fingerprint_docs": _FINGERPRINT_SQL,
+        # approximate/LSH ops + own-generator transcripts: rows-only checks
+    }

@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+The transcript pipeline (parse→mask→enrich→route→aggregate over N generated
+turns) is the BASELINE.json headline; turns_per_sec reports its throughput.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in bench/scaling.py
+→ BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from logpipe.datagen import role_dim, tool_dim, transcripts  # noqa: E402
+from logpipe.pipeline import TranscriptPipeline  # noqa: E402
+from logpipe.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "flagship_parse_route_agg",
+    "parse_grok_status",
+    "mask_hash_fields",
+    "mask_content_redact",
+    "agg_interval_window",
+    "sessionize_blocks",
+    "enrich_broadcast_join",
+    "tpch_q1_pricing",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "textstats_quality",
+    "token_counts",
+]
+
+
+def _run(df):
+    # count() forces full execution without driver-side row materialization
+    return df.count()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = 0.1
+    for tag in ("0.001", "0.01", "0.1"):
+        if f"sf{tag}" in sf_dir:
+            sf = float(tag)
+    n_turns = int(os.environ.get("LOGPIPE_BENCH_TURNS", str(int(10_000_000 * sf))))
+
+    spark = get_spark("logpipe-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+
+    # warmup: JVM + python workers
+    _run(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _run(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # headline: transcript pipeline turns/sec parsed+routed+aggregated
+    tr = transcripts(spark, n_turns, 20, partitions=cpus * 2)
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    t0 = time.time()
+    routed = pipe.routed(tr).persist()
+    routed_rows = routed.count()
+    agg_rows = pipe.aggregates(routed).count()
+    wall = time.time() - t0
+    routed.unpersist()
+    times["transcript_pipeline"] = round(wall, 3)
+    turns_per_sec = round(n_turns / wall, 1)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "turns/sec parsed+routed (transcript pipeline) + headline query wall times",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "routed_rows": routed_rows,
+                "agg_rows": agg_rows,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

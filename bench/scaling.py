@@ -1,0 +1,113 @@
+"""Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the BASELINE.md protocol we
+run the IDENTICAL transcript-pipeline job at two parallelism levels
+(local[N] and local[4N]) on the same deterministic input, in fresh JVMs
+(subprocess per level), and report turns/sec at both + efficiency
+(T_4N / T_N) / 4 into BENCH/BASELINE.md.
+
+Usage: python bench/scaling.py [n_turns] [N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from logpipe.session import get_spark
+from logpipe.datagen import role_dim, tool_dim, transcripts
+from logpipe.pipeline import TranscriptPipeline
+
+cpus = int(sys.argv[1]); n_turns = int(sys.argv[2])
+spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+tr = transcripts(spark, n_turns, 20, partitions=cpus * 2)
+pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+# warmup (JVM/codegen/python workers), then measured run
+pipe.routed(tr.limit(10000)).count()
+t0 = time.time()
+routed = pipe.routed(tr).persist()
+rows = routed.count()
+aggs = pipe.aggregates(routed).count()
+wall = time.time() - t0
+print(json.dumps({{"cpus": cpus, "wall": wall, "rows": rows, "aggs": aggs,
+                  "turns_per_sec": n_turns / wall}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_turns: int) -> dict:
+    code = _CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n_turns)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.strip().splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result from local[{cpus}]: {out.stderr[-2000:]}")
+
+
+def main():
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    r_n = run_level(n, n_turns)
+    r_4n = run_level(4 * n, n_turns)
+    eff = (r_4n["turns_per_sec"] / r_n["turns_per_sec"]) / 4
+    result = {
+        "n_turns": n_turns,
+        "N": n,
+        "4N": 4 * n,
+        "turns_per_sec_N": round(r_n["turns_per_sec"], 1),
+        "turns_per_sec_4N": round(r_4n["turns_per_sec"], 1),
+        "wall_N_sec": round(r_n["wall"], 2),
+        "wall_4N_sec": round(r_4n["wall"], 2),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open(path, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling-efficiency evidence ({stamp})
+
+North rule: throughput scaling efficiency >= 0.8 from N to 4N executors.
+Sandbox protocol (BASELINE.md): identical transcript-pipeline job
+(parse -> mask -> enrich -> route -> aggregate over {n_turns:,} deterministic
+synthetic turns, fresh JVM per level) at local[{n}] vs local[{4*n}].
+
+| parallelism | wall (s) | turns/sec |
+|---|---|---|
+| local[{n}] (N) | {result['wall_N_sec']} | {result['turns_per_sec_N']:,} |
+| local[{4*n}] (4N) | {result['wall_4N_sec']} | {result['turns_per_sec_4N']:,} |
+
+**Scaling efficiency (T_4N / T_N) / 4 = {result['scaling_efficiency']}**
+(target >= 0.8)
+
+Notes:
+- The job is shuffle-light by design: parse/mask/route are narrow (fused by
+  whole-stage codegen around one Arrow-batched pandas UDF), enrichment joins
+  are broadcast, the only exchange is the final per-sink aggregate.
+- Input generated with `logpipe.datagen.transcripts` (pure expressions over
+  `spark.range` — identical bytes at any parallelism).
+- Single machine, shared memory bandwidth: local[8]->local[32] understates
+  true multi-executor scaling (no network shuffle, but also 4x core
+  contention on one memory bus).
+"""
+        )
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Self-check harness replicating the driver's DuckDB oracle comparison:
+row-count + schema + order-insensitive value-hash per query at a given sf.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from logpipe.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return str(v)
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x00".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    spark = get_spark("oracle-check")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            ocols = res.columns
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error {e}")
+            continue
+        ok_count = len(srows) == len(orows)
+        ok_schema = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
+        sh = value_hash(scols, [tuple(r) for r in srows])
+        oh = value_hash(ocols, orows)
+        ok_hash = sh == oh
+        status = "OK  " if (ok_count and ok_schema and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status}  {name}: rows {len(srows)}/{len(orows)} schema={ok_schema} hash={ok_hash} ({time.time()-t0:.1f}s)"
+        )
+        if not ok_hash and ok_count and len(srows) <= 20000:
+            smap = {}
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            sset = {tuple(_norm_cell(r[i]) for i in order_s) for r in srows}
+            oset = {tuple(_norm_cell(r[i]) for i in order_o) for r in orows}
+            diff_s = list(sset - oset)[:3]
+            diff_o = list(oset - sset)[:3]
+            print(f"      spark-only: {diff_s}")
+            print(f"      oracle-only: {diff_o}")
+    spark.stop()
+    print("FAILURES:", failures if failures else "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
