@@ -72,15 +72,24 @@ def main():
         _run(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
 
-    # headline: transcript pipeline turns/sec parsed+routed+aggregated
+    # headline: transcript pipeline turns/sec parsed+routed+aggregated.
+    # Single pass: the routed-row count rides along as an Observation metric
+    # (the Spark analog of the reference's printStats counters,
+    # lib/core/printStats.js:11-83) — no persist, no second traversal.
+    from pyspark.sql import Observation
+
     tr = transcripts(spark, n_turns, 20, partitions=cpus * 2)
     pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    # warm the exact plan shape first (JIT/codegen + python workers), like any
+    # steady-state stream would be; then measure the full-size run.
+    warm = transcripts(spark, max(n_turns // 10, 1), 20, partitions=cpus * 2)
+    pipe.aggregates(pipe.routed(warm)).count()
+    obs = Observation("routed")
     t0 = time.time()
-    routed = pipe.routed(tr).persist()
-    routed_rows = routed.count()
+    routed = pipe.routed(tr).observe(obs, F.count(F.lit(1)).alias("rows"))
     agg_rows = pipe.aggregates(routed).count()
+    routed_rows = obs.get["rows"]
     wall = time.time() - t0
-    routed.unpersist()
     times["transcript_pipeline"] = round(wall, 3)
     turns_per_sec = round(n_turns / wall, 1)
 

@@ -31,12 +31,17 @@ spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 tr = transcripts(spark, n_turns, 20, partitions=cpus * 2)
 pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
-# warmup (JVM/codegen/python workers), then measured run
-pipe.routed(tr.limit(10000)).count()
+# warm the exact plan shape (JVM JIT/codegen + python workers), then measure
+# a single-pass run: routed-row count rides along as an Observation metric.
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+warm = transcripts(spark, max(n_turns // 10, 1), 20, partitions=cpus * 2)
+pipe.aggregates(pipe.routed(warm)).count()
+obs = Observation("routed")
 t0 = time.time()
-routed = pipe.routed(tr).persist()
-rows = routed.count()
+routed = pipe.routed(tr).observe(obs, F.count(F.lit(1)).alias("rows"))
 aggs = pipe.aggregates(routed).count()
+rows = obs.get["rows"]
 wall = time.time() - t0
 print(json.dumps({{"cpus": cpus, "wall": wall, "rows": rows, "aggs": aggs,
                   "turns_per_sec": n_turns / wall}}))

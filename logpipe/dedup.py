@@ -74,21 +74,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_bucket: int = 1000,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
 
-    Candidate generation: explode shingles → equi-join on the shingle (only
-    docs sharing ≥1 shingle ever meet — no cross join), cap pathological
-    shingle buckets at `max_bucket`, then verify with exact Jaccard on the
-    deduped candidate pairs. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Candidate generation uses PREFIX FILTERING (PPJoin / SSJoin family):
+    shingles are replaced by xxhash64 values and sorted — a global total
+    order — and each doc only indexes its first `size - ceil(t*size) + 1`
+    hashes. J(A,B) ≥ t implies |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so two
+    qualifying docs MUST share a prefix element; everything else never meets.
+    This bounds the equi-join fan-out far below the naive explode-all
+    (template-heavy corpora share boilerplate shingles → quadratic buckets),
+    with no recall loss. Verification = exact Jaccard on the sorted hash
+    arrays. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    max_bucket is a last-resort skew guard on pathological prefix buckets
+    (drops candidates if hit — sized so it never triggers at sane thresholds).
     """
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")).filter(
-        F.size("_sh") > 0
+    hashes = F.array_sort(F.transform(word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)))
+    sh = (
+        df.select(F.col(id_col).alias("_id"), hashes.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .withColumn("_pfx", F.size("_sh") - F.ceil(F.lit(threshold) * F.size("_sh")) + 1)
+        .persist()
     )
-    sh = sh.persist()
-    exploded = sh.select("_id", F.explode("_sh").alias("_g"))
-    # cap boilerplate shingles (stop-gram skew guard)
+    exploded = sh.select("_id", F.explode(F.slice("_sh", F.lit(1), F.col("_pfx"))).alias("_g"))
     hot = exploded.groupBy("_g").count().filter(F.col("count") > max_bucket).select("_g")
     exploded = exploded.join(F.broadcast(hot), "_g", "left_anti")
     a = exploded.alias("a")
@@ -141,41 +151,43 @@ def minhash_signatures(
     vectorized per batch with numpy broadcasting.
     """
     a_params, b_params = _hash_params(num_hashes, seed)
+    # uint64 wraparound domain: (a*h+b) mod 2^64 with odd-forced a is a
+    # multiply-shift universal-style mixer — min taken in uint64, then >>1 to
+    # fit LongType (monotone-safe for equality/argmin, which is all the
+    # estimator uses)
+    a_u = (a_params.astype(np.uint64) | np.uint64(1))[:, None]
+    b_u = b_params.astype(np.uint64)[:, None]
     n_words = n
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            words = str(t).lower().split()
-            grams = {" ".join(words[i : i + n_words]) for i in range(max(len(words) - n_words + 1, 0))}
-            if not grams:
-                out.append([0] * len(a_params))
-                continue
-            base = np.fromiter(
-                (hash_str64(g) for g in grams), dtype=np.int64, count=len(grams)
-            )
-            # (num_hashes, n_grams) broadcast; python-int math avoids overflow
-            sig = (
-                (a_params[:, None].astype(object) * base[None, :].astype(object) + b_params[:, None])
-                % _MERSENNE
-            ).min(axis=1)
-            out.append([int(x) for x in sig])
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                words = str(t).lower().split()
+                grams = {" ".join(words[i : i + n_words]) for i in range(max(len(words) - n_words + 1, 0))}
+                if not grams:
+                    out.append([0] * len(a_params))
+                    continue
+                base = np.fromiter(
+                    (hash_str64(g) for g in grams), dtype=np.uint64, count=len(grams)
+                )
+                sig = (a_u * base[None, :] + b_u).min(axis=1) >> np.uint64(1)
+                out.append(sig.astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("signature"))
 
 
 def hash_str64(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (stable across processes, unlike hash())."""
-    h = 0xCBF29CE484222325
-    for b in s.encode():
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h & 0x7FFFFFFFFFFFFFFF
+    """Deterministic 64-bit string hash (stable across processes, unlike
+    hash()): blake2b runs in C, ~20x faster than a pure-Python FNV loop."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") & 0x7FFFFFFFFFFFFFFF
 
 
 def minhash_lsh_pairs(
@@ -235,22 +247,31 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens (Arrow-batched; numpy bit voting)."""
 
+    shifts = np.arange(bits, dtype=np.uint64)
+
     @F.pandas_udf(T.LongType())
     def _sim(texts: pd.Series) -> pd.Series:
         out = []
+        word_cache: dict[str, int] = {}
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
-            votes = np.zeros(bits, dtype=np.int64)
-            for w in str(t).lower().split():
-                h = hash_str64(w)
-                for i in range(bits):
-                    votes[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(bits):
-                if votes[i] > 0:
-                    v |= 1 << i
+            words = str(t).lower().split()
+            hs = np.empty(len(words), dtype=np.uint64)
+            for j, w in enumerate(words):
+                h = word_cache.get(w)
+                if h is None:
+                    h = hash_str64(w)
+                    word_cache[w] = h
+                hs[j] = h
+            if len(words) == 0:
+                out.append(0)
+                continue
+            # bit matrix (n_words, bits) → per-bit vote margin, fully numpy
+            bits_m = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = 2 * bits_m.sum(axis=0, dtype=np.int64) - len(words)
+            v = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
             # keep sign bit clear so it fits LongType
             out.append(v & 0x7FFFFFFFFFFFFFFF)
         return pd.Series(out, dtype="object")

@@ -43,7 +43,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for the vectorized pandas-UDF parser.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Broadcast joins for dimension lookups (reference semantics are
         # per-process lookup caches, never a shuffle).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
