@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logpipe import dedup, mask, similarity, textstats
+from logpipe import dedup, filters, mask, similarity, textstats
 from logpipe.aggregate import interval_sql, per_sink_counts
 from logpipe.datagen import role_dim, tool_dim, transcripts
 from logpipe.parse import field, parse_text
@@ -215,6 +215,144 @@ SELECT doc_id,
       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
     '\b(?:sk-[A-Za-z0-9]{16,}|AKIA[0-9A-Z]{16}|gh[pousr]_[A-Za-z0-9]{20,}|[0-9a-f]{32,64})\b', '<API_KEY>', 'g') AS text
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter operators (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_grep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep include/exclude (grep.js) chained with drop-events
+    (dropEventsFilter.js) — both pure rlike predicates."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string("%s user=%d", F.col("event_type"), F.col("user_id")).alias("text"),
+        F.col("event_type").alias("log_source"),
+    )
+    kept = filters.grep_filter(ev, include="error|purchase", exclude=r"user=1\d$")
+    kept = filters.drop_events(kept, {"log_source": {"exclude": "^view$"}})
+    return kept.select("event_id", "text")
+
+
+_FILTER_GREP_SQL = r"""
+SELECT event_id, event_type || ' user=' || user_id AS text
+FROM events
+WHERE regexp_matches(event_type || ' user=' || user_id, 'error|purchase')
+  AND NOT regexp_matches(event_type || ' user=' || user_id, 'user=1\d$')
+  AND NOT regexp_matches(event_type, '^view$')
+"""
+
+
+def q_parse_syslog_pri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syslog PRI bit decode (facility = prio>>3, severity = prio&7 —
+    syslog.js:76-88 / patterns.yml:924-925)."""
+    ev = _t(spark, sf_dir, "events").select((F.col("event_id") % 192).cast("int").alias("prio"))
+    return filters.syslog_pri_decode(ev).groupBy("facility", "severity").agg(
+        F.count("*").alias("events")
+    )
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _pri_sql() -> str:
+    from logpipe.rules import SYSLOG_FACILITY, SYSLOG_SEVERITY
+
+    return f"""
+SELECT ({_sql_list(SYSLOG_FACILITY)})[CAST(prio // 8 AS INT) + 1] AS facility,
+       ({_sql_list(SYSLOG_SEVERITY)})[CAST(prio % 8 AS INT) + 1] AS severity,
+       count(*) AS events
+FROM (SELECT event_id % 192 AS prio FROM events)
+GROUP BY 1, 2
+"""
+
+
+def q_enrich_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one non-equi join of the reference (geoip.js → IP-range dim):
+    broadcast range join point-in-interval."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("user_id") * 99991 + F.col("event_id") * 131) % 1000000).alias("ip_int"),
+    )
+    dim = spark.range(10).select(
+        (F.col("id") * 100000).alias("lo"),
+        ((F.col("id") + 1) * 100000 - 1).alias("hi"),
+        F.format_string("region_%d", F.col("id")).alias("region"),
+    )
+    joined = ev.join(
+        F.broadcast(dim), (F.col("ip_int") >= F.col("lo")) & (F.col("ip_int") <= F.col("hi")), "left"
+    )
+    return joined.groupBy("region").agg(F.count("*").alias("events"))
+
+
+_GEO_RANGE_SQL = """
+WITH dim AS (
+  SELECT i * 100000 AS lo, (i + 1) * 100000 - 1 AS hi, 'region_' || i AS region
+  FROM range(10) t(i)
+),
+pts AS (SELECT event_id, (user_id * 99991 + event_id * 131) % 1000000 AS ip_int FROM events)
+SELECT region, count(*) AS events
+FROM pts LEFT JOIN dim ON ip_int BETWEEN lo AND hi
+GROUP BY 1
+"""
+
+
+def q_stats_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printStats counters (printStats.js:11-83) over documents."""
+    from logpipe.aggregate import throughput_stats
+
+    return throughput_stats(_t(spark, sf_dir, "documents"), text_col="text")
+
+
+_STATS_SQL = """
+SELECT count(*) AS lines,
+       sum(strlen(text)) AS bytes,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS empty_lines
+FROM documents
+"""
+
+
+def q_order_turn_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stable-ordering window (north rule: conv_id/turn_idx analog keyed
+    on user_id/ts over events): first 3 events per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", F.col("rank").cast("bigint").alias("rank"), "event_id")
+    )
+
+
+_ORDER_RANK_SQL = """
+SELECT user_id, rank, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+def q_mask_remove_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove-fields with maskValuesInFields (!REMOVED! rewrite,
+    remove-fields.js:24-35) + rename + lowercase-fields chained."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("secret"),
+        F.format_string("secret is %d ok", F.col("user_id")).alias("Note"),
+    )
+    out = mask.remove_fields(ev, ["secret"], mask_values_in_fields=["Note"])
+    out = mask.rename_fields(out, {"Note": "Message"})
+    return mask.lowercase_fields(out)
+
+
+_MASK_REMOVE_SQL = """
+SELECT event_id,
+       replace('secret is ' || user_id || ' ok', CAST(user_id AS VARCHAR), '!REMOVED!') AS message
+FROM events
 """
 
 
@@ -590,6 +728,34 @@ def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming mode (rows-only): file-source stream through the
+    same stage functions, windowed per-sink counts with watermark, drained
+    with availableNow. Equality with the batch pipeline is pytest-verified
+    (tests/test_filters_streaming.py)."""
+    import tempfile
+
+    from logpipe.streaming import read_transcript_stream, windowed_sink_counts
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    src = tempfile.mkdtemp(prefix="logpipe_stream_")
+    transcripts(spark, n, 20).write.mode("overwrite").parquet(src)
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    routed = pipe.routed(read_transcript_stream(spark, src))
+    q = (
+        windowed_sink_counts(routed, interval="1 hour")
+        .writeStream.format("memory")
+        .queryName("q_stream_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table("q_stream_counts").groupBy("sink").agg(
+        F.sum("events").alias("events")
+    )
+
+
 def q_transcript_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logpipe.order import reassemble_multiline
 
@@ -620,6 +786,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_hash_fields": q_mask_hash_fields,
         "mask_ip_truncate": q_mask_ip_truncate,
         "mask_content_redact": q_mask_content_redact,
+        "mask_remove_rename": q_mask_remove_rename,
+        "filter_grep_drop": q_filter_grep_drop,
+        "parse_syslog_pri": q_parse_syslog_pri,
+        "enrich_geo_range": q_enrich_geo_range,
+        "stats_throughput": q_stats_throughput,
+        "order_turn_rank": q_order_turn_rank,
         "route_date_partitioned": q_route_date_partitioned,
         "agg_interval_window": q_agg_interval_window,
         "sessionize_blocks": q_sessionize,
@@ -638,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint,
         "transcript_pipeline": q_transcript_pipeline,
         "transcript_multiline": q_transcript_multiline,
+        "transcript_stream": q_transcript_stream,
     }
 
 
@@ -649,6 +822,12 @@ def oracle_sql() -> dict[str, str]:
         "mask_hash_fields": _MASK_HASH_SQL,
         "mask_ip_truncate": _MASK_IP_SQL,
         "mask_content_redact": _MASK_CONTENT_SQL,
+        "mask_remove_rename": _MASK_REMOVE_SQL,
+        "filter_grep_drop": _FILTER_GREP_SQL,
+        "parse_syslog_pri": _pri_sql(),
+        "enrich_geo_range": _GEO_RANGE_SQL,
+        "stats_throughput": _STATS_SQL,
+        "order_turn_rank": _ORDER_RANK_SQL,
         "route_date_partitioned": _ROUTE_DATE_SQL,
         "agg_interval_window": _AGG_WINDOW_SQL,
         "sessionize_blocks": _SESSIONIZE_SQL,

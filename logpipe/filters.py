@@ -1,0 +1,132 @@
+"""Row filters / projections of SURVEY.md §2.2 — all pure Catalyst exprs.
+
+Fresh implementations of the reference's filter plugins:
+  * grep input-filter        (lib/plugins/input-filter/grep.js:7-27)
+  * drop-events output-filter (lib/plugins/output-filter/dropEventsFilter.js:1-77)
+  * max-log-size truncation  (bin/logagent.js:660-664, default 240 KB at
+                              lib/core/cliArgs.js:247-251)
+  * ANSI color strip         (bin/logagent.js:204,702)
+  * journald PRIORITY map    (lib/plugins/input-filter/journald-format.js:27-63)
+  * CRI/containerd line split (lib/plugins/input-filter/kubernetesContainerd.js:65-124)
+
+Being plain column expressions they stay inside whole-stage codegen and are
+pushdown-eligible (a grep include on a parquet text column reaches the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ANSI escape sequences (the reference uses the `ansi-regex`-style pattern)
+ANSI_RE = r"\x1B\[[0-9;]*[A-Za-z]"
+
+DEFAULT_MAX_LOG_SIZE = 240 * 1024  # cliArgs.js:247-251
+
+
+def grep_filter(
+    df: DataFrame,
+    include: str | None = None,
+    exclude: str | None = None,
+    match_source: str | None = None,
+    text_col: str = "text",
+    source_col: str = "log_source",
+) -> DataFrame:
+    """grep.js semantics: rows from sources NOT matching `match_source` pass
+    through unfiltered; for matching sources, keep include-hits and drop
+    exclude-hits (exclude wins over include, grep.js:16-22)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    drop = F.lit(False)
+    if include:
+        drop = drop | ~text.rlike(include)
+    if exclude:
+        drop = drop | text.rlike(exclude)
+    if match_source and source_col in df.columns:
+        gated = F.coalesce(F.col(source_col), F.lit("")).rlike(match_source) & drop
+        return df.filter(~gated)
+    return df.filter(~drop)
+
+
+def drop_events(
+    df: DataFrame,
+    filters: dict[str, dict[str, str]],
+) -> DataFrame:
+    """dropEventsFilter.js:23-77: per-field {include: regex, exclude: regex}
+    predicates ANDed into one drop decision; a field failing its include OR
+    hitting its exclude drops the row. Struct/map values are compared via
+    their JSON form (testCondition stringifies objects, :1-9)."""
+    drop = F.lit(False)
+    for field_name, cond in filters.items():
+        col = F.col(field_name)
+        dt = dict(df.dtypes).get(field_name, "string")
+        as_text = F.to_json(col) if dt.startswith(("struct", "map", "array")) else col.cast("string")
+        as_text = F.coalesce(as_text, F.lit("null"))
+        if cond.get("include"):
+            drop = drop | ~as_text.rlike(cond["include"])
+        if cond.get("exclude"):
+            drop = drop | as_text.rlike(cond["exclude"])
+    return df.filter(~drop)
+
+
+def truncate_max_size(
+    df: DataFrame, max_bytes: int = DEFAULT_MAX_LOG_SIZE, text_col: str = "text"
+) -> DataFrame:
+    """maxLogSize truncation (bin/logagent.js:660-664). The reference slices
+    the JS string by code units; we cut by characters only when over limit."""
+    col = F.col(text_col)
+    return df.withColumn(
+        text_col,
+        F.when(F.length(col) > max_bytes, F.substring(col, 1, max_bytes)).otherwise(col),
+    )
+
+
+def strip_ansi(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Remove ANSI color escapes before parsing (bin/logagent.js:204,702)."""
+    return df.withColumn(text_col, F.regexp_replace(F.col(text_col), ANSI_RE, ""))
+
+
+# journald-format.js:27-63: numeric PRIORITY → severity word
+JOURNALD_SEVERITY = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+
+
+def journald_severity(prio: Column) -> Column:
+    """element_at over the severity array; out-of-range keeps the number."""
+    idx = prio.cast("int")
+    arr = F.array(*[F.lit(s) for s in JOURNALD_SEVERITY])
+    return F.when((idx >= 0) & (idx <= 7), F.element_at(arr, idx + 1)).otherwise(
+        prio.cast("string")
+    )
+
+
+def syslog_pri_decode(df: DataFrame, prio_col: str = "prio") -> DataFrame:
+    """Syslog PRI → (facility, severity) with the same bit math as
+    lib/plugins/input/syslog.js:76-88 / patterns.yml:924-925:
+    facility = prio >> 3, severity = prio & 7."""
+    from .rules import SYSLOG_FACILITY, SYSLOG_SEVERITY
+
+    prio = F.col(prio_col).cast("int")
+    sev_arr = F.array(*[F.lit(s) for s in SYSLOG_SEVERITY])
+    fac_arr = F.array(*[F.lit(s) for s in SYSLOG_FACILITY])
+    fac_idx = F.shiftright(prio, 3)
+    return df.withColumn(
+        "severity", F.element_at(sev_arr, prio.bitwiseAND(F.lit(7)) + 1)
+    ).withColumn(
+        "facility",
+        F.when(
+            (fac_idx >= 0) & (fac_idx < len(SYSLOG_FACILITY)), F.element_at(fac_arr, fac_idx + 1)
+        ).otherwise(fac_idx.cast("string")),
+    )
+
+
+def cri_split(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """containerd/CRI log line `<time> <stream> <P|F> <msg>` split
+    (kubernetesContainerd.js:65-124) into typed columns; partial-line (P/F)
+    reassembly composes with order.reassemble_multiline on the flag."""
+    pat = r"^(\S+)\s(stdout|stderr)\s([PF])\s?(.*)$"
+    col = F.col(text_col)
+    return (
+        df.withColumn("cri_time", F.to_timestamp(F.regexp_extract(col, pat, 1)))
+        .withColumn("stream", F.regexp_extract(col, pat, 2))
+        .withColumn("cri_flag", F.regexp_extract(col, pat, 3))
+        .withColumn("cri_message", F.regexp_extract(col, pat, 4))
+    )

@@ -303,6 +303,165 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
                 date_format="dd/MMM/yyyy:HH:mm:ss X",
                 transform=access_log_transform,
             ),
+            MatchRule(
+                # patterns.yml:597-621 (access_common: no referer/UA tail)
+                log_type="access_common",
+                regex=(
+                    r"^([0-9a-f.:]+)\s+(-|.+?)\s+(-|.+?)\s+\[(.*)\]\s"
+                    r'"(\S+)\s(\S+)\s(\S+)"\s(\d+)\s(\d+|"-"|-)$'
+                ),
+                fields=(
+                    "client_ip:string",
+                    "remote_id:string",
+                    "user:string",
+                    "ts",
+                    "method:string",
+                    "path:string",
+                    "http_version:string",
+                    "status_code:number",
+                    "size:number",
+                ),
+                date_format="dd/MMM/yyyy:HH:mm:ss X",
+            ),
+            MatchRule(
+                # patterns.yml:622-625 — the reference misspells `dateformat`
+                # so its date string is never parsed (ts ⇒ now); we mirror the
+                # effective behavior: no date_format ⇒ ISO coerce fails ⇒ row ts
+                log_type="nginx_error_log",
+                regex=r"^(\d{4}/\d{2}/\d{2}\s[\d:]+)\s\[(.+?)\]\s(\d+)#(\d+):\s(.*)",
+                fields=("ts", "level", "pid", "tid", "message"),
+            ),
+            MatchRule(
+                # patterns.yml:627-630 (same dateformat-misspelling behavior)
+                log_type="apache_error_log",
+                regex=r"^\[(\w{3} \w{3} \d{2} [\d:]+\s\d+)\] \[(.+?)\] \[client ([\d.]+)\] (.+)",
+                fields=("ts", "level", "client_ip", "message"),
+            ),
+            MatchRule(
+                # patterns.yml:632-636 (Apache MPM events)
+                log_type="apache_mpm",
+                regex=r"^\[(.+?)\]\s+\[(.+?)\]\s+\[(.+?)\]\s+(.+)",
+                fields=("ts", "event_type", "process_info", "message"),
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="golang_agent",
+        # patterns.yml:84-97 (containerd/dockerd logfmt-style lines)
+        source_name=r"sematext/agent|containerd|dockerd",
+        block_start=(
+            r"^panic:|^unexpected fault address|^fatal error:"
+            r"|(^INFO|^ERRO|^WARN|^FAT|^TRAC|^DEB)|^time=|^\S{2,}"
+        ),
+        rules=(
+            MatchRule(
+                log_type="sematext_agent_golang",
+                regex=r'(?i)time=(\S+)\slevel=(\S+?)\smsg="(.+?)"\ssource="(.+?)"',
+                fields=("ts", "severity", "message", "source"),
+                date_format="iso",
+            ),
+            MatchRule(
+                log_type="sematext_agent_golang",
+                regex=r"(?i)^([A-Z]+)\[(.+?)\]\s(.*)",
+                fields=("severity", "ts", "message"),
+                date_format="iso",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="clickhouse",
+        # patterns.yml:98-105
+        source_name=r"clickhouse",
+        block_start=r"(\d{4}.\d{2}.\d{2}[\sT][\d:]+.\d+)\s\[\s(\d+)\s\]\s\{(\S*)\}",
+        rules=(
+            MatchRule(
+                log_type="clickhouse",
+                regex=(
+                    r"(?i)(\d{4}.\d{2}.\d{2}[\sT][\d:]+.\d+)\s\[\s(\d+)\s\]"
+                    r"\s\{(\S*)\}\s<(\S+)>\s((.+?):[\s\S]+)"
+                ),
+                fields=("ts", "thread_number", "query_id", "severity", "message", "module"),
+                date_format="yyyy.MM.dd HH:mm:ss.SSS",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="hadoop",
+        # patterns.yml:390-414 (HDFS data node / YARN node manager — the
+        # log4j `ts SEVERITY class: message` family)
+        source_name=r"hdfs|yarn|hadoop",
+        block_start=r"^\d{4}-\d{2}-\d{2}\s[\d:]+,\d+\s(\S+)\s",
+        rules=(
+            MatchRule(
+                log_type="apache_hadoop",
+                regex=r"^(\d{4}-\d{2}-\d{2}\s+[\d:]+,\d+)\s+(\S+)\s(\S+):\s([\s\S]+)",
+                fields=("ts", "severity", "class_name", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="cassandra",
+        # patterns.yml:453-462
+        source_name=r"cassandra",
+        block_start=r"^\S{3,5}\s+\[.+\]\s+\d{4}",
+        rules=(
+            MatchRule(
+                log_type="apache_cassandra",
+                regex=(
+                    r"^\S{0,5}(\S*)\s+\[(.+)\]\s(\d{4}-\d{2}-\d{2}\s[\d:]+,\d+)"
+                    r"\s+(.+\.java):(\d+)\s+-\s+([\s\S]+)"
+                ),
+                fields=("severity", "module", "ts", "java_file", "code_line", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="postgres",
+        # patterns.yml:799-837 (slowlog → with-user → plain, first-match order)
+        source_name=r"postgres",
+        block_start=r"^(\S+\s\S+)\s(\S+)\s\[(\d+)\]",
+        rules=(
+            MatchRule(
+                log_type="postgres_slowlog",
+                regex=(
+                    r"^(\S+\s\S+)\s(\S+)\s\[(\d+)\]\s(\S+)@(\S+)\s(\S+):"
+                    r"\s+duration:\s(\S+)\sms\s+(\S+).*:\s+([\s\S]+)"
+                ),
+                fields=(
+                    "ts",
+                    "timezone:string",
+                    "pid:number",
+                    "user:string",
+                    "database:string",
+                    "severity:string",
+                    "duration_ms:number",
+                    "operation:string",
+                    "statement:string",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="postgres_with_user",
+                regex=r"^(\S+\s\S+)\s(\S+)\s\[(\d+)\]\s(\S+)@(\S+)\s(\S+):\s+([\s\S]+)",
+                fields=(
+                    "ts",
+                    "timezone:string",
+                    "pid:number",
+                    "user:string",
+                    "database:string",
+                    "severity:string",
+                    "message",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="postgres",
+                regex=r"^(\S+\s\S+)\s(\S+)\s\[(\d+)\]\s(\S+):\s+([\s\S]+)",
+                fields=("ts", "timezone:string", "pid:number", "severity:string", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
         ),
     ),
     PatternGroup(

@@ -1,0 +1,235 @@
+"""Structured Streaming mode — the reference's streaming-only semantics
+(SURVEY.md §2.11) on the same stage functions as the batch pipeline.
+
+Mappings (reference → Spark):
+  * file tail + offset checkpoint (lib/plugins/input/files.js:148-255)
+      → `readStream` file source + streaming checkpoint dir
+  * SQL-filter interval buffer (lib/plugins/output-filter/sql.js:10-13,55-82)
+      → event-time tumbling window + watermark
+  * multiline 250 ms flush timeout (lib/parser/multiLine.js:21-24,45-51)
+      → `applyInPandasWithState` with processing-time timeout (exact
+        restatement: buffer until next blockStart, flush on timeout)
+  * per-sink buffered ship (lib/plugins/output/elasticsearch.js:243-286)
+      → `foreachBatch` fan-out append (atomic per micro-batch, idempotent by
+        checkpointed batch id)
+
+The batch pipeline remains primary (the graft's target is an Iceberg
+snapshot); every transformation here reuses the batch stage functions, so
+parse/mask/enrich/route behave identically under `readStream`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .pipeline import TranscriptPipeline
+from .route import fan_out
+from .rules import DEFAULT_RULESET, RuleSet
+from .schema import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a transcript directory (the tail+glob analog:
+    files.js re-globs every 10 s; the file source lists new files per
+    trigger, offsets live in the checkpoint instead of
+    logagentTailPointers.json)."""
+    r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.format(fmt).load(path)
+
+
+def windowed_sink_counts(
+    routed: DataFrame,
+    interval: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming analog of aggregate.per_sink_counts: tumbling event-time
+    window + watermark (the reference has NO late-data concept — absent ts
+    becomes `now`, parser.js:520; the watermark is our principled addition)."""
+    return (
+        routed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), interval).alias("win"), "sink", "role", "tool")
+        .agg(F.count("*").alias("events"))
+        .select(F.col("win.start").alias("hour"), "sink", "role", "tool", "events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful multiline (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_ML_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("flushed_by_timeout", T.BooleanType()),
+    ]
+)
+# open-block state: head turn_idx, buffered lines joined by \n, tool
+_ML_STATE = T.StructType(
+    [
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("buf", T.StringType()),
+        T.StructField("tool", T.StringType()),
+    ]
+)
+
+
+def make_multiline_state_fn(
+    ruleset: RuleSet = DEFAULT_RULESET,
+    timeout_ms: int = 250,
+) -> Callable:
+    """Per-conv_id stateful block reassembly, the exact multiLine.js contract:
+    a blockStart line emits the previous buffer and starts a new one;
+    continuations append; `timeout_ms` of silence flushes the open buffer
+    (multiLine.js:21-24,45-51 — default 250 ms via
+    LOGAGENT_MULTILINE_TIMEOUT_MS)."""
+    import re
+
+    compiled = [
+        (re.compile(g.source_name), re.compile(g.block_start))
+        for g in ruleset.groups
+        if g.block_start
+    ]
+    default_sep = re.compile(ruleset.multiline_default_separator)
+
+    def _block_start_re(tool: str):
+        for src_re, bs in compiled:
+            if src_re.search(tool or ""):
+                return bs
+        return default_sep
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                turn_idx, buf, tool = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": turn_idx,
+                            "text": buf,
+                            "tool": tool,
+                            "flushed_by_timeout": True,
+                        }
+                    ]
+                )
+            return
+        out = []
+        cur = list(state.get) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            for turn_idx, text, tool in zip(pdf["turn_idx"], pdf["text"], pdf["tool"]):
+                bs = _block_start_re(tool)
+                if text is not None and bs.search(text):
+                    if cur is not None:
+                        out.append(
+                            {
+                                "conv_id": conv_id,
+                                "turn_idx": cur[0],
+                                "text": cur[1],
+                                "tool": cur[2],
+                                "flushed_by_timeout": False,
+                            }
+                        )
+                    cur = [int(turn_idx), text, tool]
+                elif cur is not None:
+                    cur[1] = f"{cur[1]}\n{text}"
+                else:  # continuation with no head: emit as its own block
+                    out.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(turn_idx),
+                            "text": text,
+                            "tool": tool,
+                            "flushed_by_timeout": False,
+                        }
+                    )
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_multiline(
+    stream: DataFrame,
+    ruleset: RuleSet = DEFAULT_RULESET,
+    timeout_ms: int = 250,
+) -> DataFrame:
+    """Custom stateful operator: multiline reassembly over a stream, keyed by
+    conv_id with processing-time flush timeout (the batch path in
+    order.reassemble_multiline is exact and preferred on finite data)."""
+    fn = make_multiline_state_fn(ruleset, timeout_ms)
+    return (
+        stream.select("conv_id", "turn_idx", "text", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, _ML_OUT, _ML_STATE, "append", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end streaming pipeline
+# ---------------------------------------------------------------------------
+
+
+def start_stream_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    pipe: TranscriptPipeline | None = None,
+    available_now: bool = True,
+    fmt: str = "parquet",
+):
+    """readStream → parse/mask/enrich/route (batch stage functions, unchanged)
+    → foreachBatch fan-out + per-batch metrics.
+
+    foreachBatch gives per-sink multiplexed writes with exactly-once-per-batch
+    semantics (checkpointed batch id = the reference's disk-buffer/retransmit
+    loop, elasticsearch.js:156-163, minus the data loss). Returns the
+    StreamingQuery; availableNow drains existing files then stops."""
+    pipe = pipe or TranscriptPipeline()
+    stream = read_transcript_stream(spark, input_path, fmt=fmt)
+    routed = pipe.routed(stream)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int):
+        df = batch_df.withColumn("fields", F.to_json("fields"))
+        fan_out(df, f"{out_dir}/routed", partition_by_sink=True, mode="append")
+        (
+            df.groupBy("sink")
+            .agg(F.count("*").alias("rows"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{out_dir}/batch_metrics")
+        )
+
+    writer = (
+        routed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,161 @@
+"""Filter operators (SURVEY §2.2) + Structured Streaming mode (§2.11)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe import filters
+from logpipe.datagen import role_dim, tool_dim, transcripts
+from logpipe.order import reassemble_multiline
+from logpipe.pipeline import TranscriptPipeline
+
+
+@pytest.fixture(scope="module")
+def lines(spark):
+    rows = [
+        (0, "error: disk full", "app.log"),
+        (1, "info: all good", "app.log"),
+        (2, "error: from other source", "db.log"),
+        (3, "debug: noisy", "app.log"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string, log_source string")
+
+
+def test_grep_include_exclude(spark, lines):
+    # include only errors (grep.js:16-18)
+    got = {r["id"] for r in filters.grep_filter(lines, include="error").collect()}
+    assert got == {0, 2}
+    # exclude wins over include (grep.js:19-21)
+    got = {r["id"] for r in filters.grep_filter(lines, include="error", exclude="disk").collect()}
+    assert got == {2}
+    # matchSource gate: non-matching sources pass through unfiltered (grep.js:10-14)
+    got = {
+        r["id"]
+        for r in filters.grep_filter(lines, include="error", match_source=r"app\.log").collect()
+    }
+    assert got == {0, 2}  # row 2 is db.log → ungated
+
+
+def test_drop_events(spark, lines):
+    # exclude regex on a field drops the row (dropEventsFilter.js:59-66)
+    got = {r["id"] for r in filters.drop_events(lines, {"text": {"exclude": "debug"}}).collect()}
+    assert got == {0, 1, 2}
+    # include: rows NOT matching drop
+    got = {r["id"] for r in filters.drop_events(lines, {"log_source": {"include": "app"}}).collect()}
+    assert got == {0, 1, 3}
+
+
+def test_truncate_and_ansi(spark):
+    df = spark.createDataFrame([("x" * 100, "\x1b[31mred\x1b[0m plain")], "long_text string, colored string")
+    out = filters.truncate_max_size(df, max_bytes=10, text_col="long_text").collect()[0]
+    assert out["long_text"] == "x" * 10
+    out = filters.strip_ansi(df, text_col="colored").collect()[0]
+    assert out["colored"] == "red plain"
+
+
+def test_syslog_pri_decode(spark):
+    df = spark.createDataFrame([(158,), (11,)], "prio int")
+    rows = filters.syslog_pri_decode(df).collect()
+    # 158 = 19*8 + 6 → facility local3, severity info (syslog.js:76-88 math)
+    assert rows[0]["facility"] == "local3" and rows[0]["severity"] == "info"
+    # 11 = 1*8 + 3 → user / err
+    assert rows[1]["facility"] == "user" and rows[1]["severity"] == "err"
+
+
+def test_cri_split(spark):
+    df = spark.createDataFrame(
+        [("2020-01-01T00:00:00.000Z stdout F hello world",)], "text string"
+    )
+    r = filters.cri_split(df).collect()[0]
+    assert r["stream"] == "stdout" and r["cri_flag"] == "F" and r["cri_message"] == "hello world"
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def test_stream_pipeline_matches_batch(spark, tmp_path):
+    """The streaming pipeline over a file source must produce the same
+    routed-row multiset as the batch pipeline on the same input."""
+    from logpipe.streaming import start_stream_pipeline
+
+    n = 2000
+    src = str(tmp_path / "in")
+    transcripts(spark, n, 20).write.parquet(src)
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+
+    q = start_stream_pipeline(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        pipe=pipe,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "out/routed"))
+    want = pipe.routed(spark.read.parquet(src))
+    got_counts = {(r["sink"], r["events"]) for r in got.groupBy("sink").agg(F.count("*").alias("events")).collect()}
+    want_counts = {(r["sink"], r["events"]) for r in want.groupBy("sink").agg(F.count("*").alias("events")).collect()}
+    assert got_counts == want_counts
+    # per-batch metrics table written (printStats analog)
+    metrics = spark.read.parquet(str(tmp_path / "out/batch_metrics"))
+    assert metrics.agg(F.sum("rows")).collect()[0][0] == want.count()
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    from logpipe.streaming import read_transcript_stream, windowed_sink_counts
+
+    src = str(tmp_path / "in2")
+    transcripts(spark, 1000, 20).write.parquet(src)
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    routed = pipe.routed(read_transcript_stream(spark, src))
+    agg = windowed_sink_counts(routed, interval="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select sum(events) from win_counts").collect()[0][0]
+    assert got == pipe.routed(spark.read.parquet(src)).count()
+
+
+def test_streaming_multiline_matches_batch(spark, tmp_path):
+    """applyInPandasWithState multiline = batch reassemble_multiline on the
+    same finite input (timeout only matters for unbounded tails)."""
+    from logpipe.streaming import streaming_multiline
+
+    src = str(tmp_path / "in3")
+    tr = transcripts(spark, 600, 20)
+    tr.write.parquet(src)
+    stream = spark.readStream.schema(tr.schema).parquet(src)
+    out = streaming_multiline(stream, timeout_ms=60_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ml_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select conv_id, turn_idx, text from ml_stream where flushed_by_timeout = false"
+    )
+    want = reassemble_multiline(spark.read.parquet(src)).select("conv_id", "turn_idx", "text")
+    got_set = {(r["conv_id"], r["turn_idx"], r["text"]) for r in got.collect()}
+    want_set = {(r["conv_id"], r["turn_idx"], r["text"]) for r in want.collect()}
+    # streaming emits a block only when the NEXT blockStart arrives; the final
+    # open block per conv stays in state (flushed by timeout in a live stream)
+    assert got_set.issubset(want_set)
+    missing = want_set - got_set
+    per_conv = {}
+    for c, t, _ in missing:
+        per_conv.setdefault(c, []).append(t)
+    assert all(len(v) == 1 for v in per_conv.values())  # exactly the tail block
+    assert len(got_set) + len(missing) == len(want_set)

@@ -209,3 +209,87 @@ def test_autohash(spark):
     )
     r = parse_text(df, rs, source_col="tool").collect()[0]
     assert r["fields"]["client_ip"] == hashlib.sha256(b"91.67.80.14").hexdigest()
+
+
+# --- round-1 widened families (patterns.yml:84-105,390-414,453-462,569-636,799-837) ---
+
+
+def test_access_common(spark):
+    line = '10.0.0.1 - frank [03/Apr/2016:06:25:38 +0000] "POST /api HTTP/1.1" 201 512'
+    r = _parse_one(spark, line, "nginx")
+    assert r["log_type"] == "access_common"
+    assert r["fields"]["status_code"] == "201"
+    assert r["fields"]["http_version"] == "HTTP/1.1"
+    assert r["fields"]["user"] == "frank"
+
+
+def test_nginx_error(spark):
+    line = "2016/04/05 09:26:03 [error] 1137#1139: *1 upstream timed out"
+    r = _parse_one(spark, line, "nginx")
+    assert r["log_type"] == "nginx_error_log"
+    assert r["fields"]["level"] == "error"
+    assert r["fields"]["pid"] == "1137" and r["fields"]["tid"] == "1139"
+    assert r["message"] == "*1 upstream timed out"
+    # the reference misspells `dateformat` so its ts is never parsed (⇒ now);
+    # our ISO coercion handles the slashed form — strictly better, documented
+    assert r["event_ts"] == datetime.datetime(2016, 4, 5, 9, 26, 3)
+
+
+def test_apache_error(spark):
+    line = "[Mon Apr 04 09:26:03 2016] [error] [client 1.2.3.4] File does not exist"
+    r = _parse_one(spark, line, "apache2")
+    assert r["log_type"] == "apache_error_log"
+    assert r["fields"]["client_ip"] == "1.2.3.4"
+    assert r["message"] == "File does not exist"
+
+
+def test_golang_agent(spark):
+    line = 'time=2016-04-05T09:26:03Z level=info msg="started pipeline" source="main.go"'
+    r = _parse_one(spark, line, "dockerd")
+    assert r["log_type"] == "sematext_agent_golang"
+    assert r["severity"] == "info"
+    assert r["message"] == "started pipeline"
+    assert r["event_ts"].year == 2016
+
+
+def test_clickhouse(spark):
+    line = "2016.04.05 09:26:03.123 [ 42 ] {q-1} <Error> executeQuery: Code 60"
+    r = _parse_one(spark, line, "clickhouse")
+    assert r["log_type"] == "clickhouse"
+    assert r["fields"]["thread_number"] == "42"
+    assert r["fields"]["query_id"] == "q-1"
+    assert r["severity"] == "Error"
+    assert r["event_ts"].microsecond == 123000
+
+
+def test_hadoop(spark):
+    line = "2016-04-05 09:26:03,123 INFO org.apache.hadoop.hdfs.DataNode: Receiving block"
+    r = _parse_one(spark, line, "hdfs")
+    assert r["log_type"] == "apache_hadoop"
+    assert r["severity"] == "INFO"
+    assert r["fields"]["class_name"] == "org.apache.hadoop.hdfs.DataNode"
+
+
+def test_cassandra(spark):
+    line = "INFO  [main] 2016-04-05 09:26:03,123 CassandraDaemon.java:123 - JVM vendor"
+    r = _parse_one(spark, line, "cassandra")
+    assert r["log_type"] == "apache_cassandra"
+    assert r["fields"]["java_file"] == "CassandraDaemon.java"
+    assert r["fields"]["code_line"] == "123"
+    assert r["message"] == "JVM vendor"
+
+
+def test_postgres_family(spark):
+    slow = "2016-04-05 09:26:03.123 UTC [123] app@db LOG:  duration: 1001.0 ms  execute x: SELECT 1"
+    r = _parse_one(spark, slow, "postgres")
+    assert r["log_type"] == "postgres_slowlog"
+    assert r["fields"]["duration_ms"] == "1001"
+    assert r["fields"]["database"] == "db"
+    withuser = "2016-04-05 09:26:03.123 UTC [123] app@db ERROR:  relation missing"
+    r = _parse_one(spark, withuser, "postgres")
+    assert r["log_type"] == "postgres_with_user"
+    assert r["fields"]["severity"] == "ERROR"
+    plain = "2016-04-05 09:26:03.123 UTC [123] LOG:  checkpoint starting"
+    r = _parse_one(spark, plain, "postgres")
+    assert r["log_type"] == "postgres"
+    assert r["message"] == "checkpoint starting"
