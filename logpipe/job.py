@@ -1,0 +1,81 @@
+"""spark-submit entry point (north rule: `spark-submit --py-files` execution).
+
+    python tools/package.py                       # builds dist/logpipe.zip
+    spark-submit --py-files dist/logpipe.zip \
+        logpipe/job.py --input <table-or-path> --out <dir-or-catalog-prefix> \
+        [--mode batch|stream] [--checkpoint <dir>] [--generate N]
+
+Batch: read transcripts → parse → mask → enrich → route → per-sink fan-out +
+aggregates (+ per-unit lineage for idempotent resume via --resumable).
+Stream: the same stages under readStream with foreachBatch fan-out.
+`--generate N` synthesizes N deterministic turns instead of reading input
+(self-contained smoke for a fresh cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="logpipe transcript pipeline")
+    p.add_argument("--input", help="transcript table ident or parquet path")
+    p.add_argument("--out", required=True, help="output prefix (dir or catalog.db prefix)")
+    p.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir (stream mode)")
+    p.add_argument("--generate", type=int, default=0, help="synthesize N turns instead of --input")
+    p.add_argument("--resumable", action="store_true", help="per-unit lineage + idempotent resume")
+    p.add_argument("--run-id", default="job", help="lineage run id (resume key)")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from logpipe.datagen import role_dim, tool_dim, transcripts
+    from logpipe.pipeline import TranscriptPipeline
+    from logpipe.session import get_spark
+    from logpipe.tables import read_table
+
+    spark = get_spark("logpipe-job", master=args.master)
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+
+    if args.mode == "stream":
+        from logpipe.streaming import start_stream_pipeline
+
+        if not args.input or not args.checkpoint:
+            p.error("stream mode requires --input and --checkpoint")
+        q = start_stream_pipeline(
+            spark, args.input, args.out, args.checkpoint, pipe=pipe, available_now=True
+        )
+        q.awaitTermination()
+        print(f"stream drained to {args.out}")
+        return 0
+
+    if args.generate:
+        tr = transcripts(spark, args.generate, 20)
+    elif args.input:
+        tr = read_table(spark, args.input)
+    else:
+        p.error("batch mode requires --input or --generate")
+
+    if args.resumable:
+        from pyspark.sql import functions as F
+
+        from logpipe.lineage import run_resumable
+
+        stats = run_resumable(
+            spark,
+            tr,
+            lambda part: pipe.routed(part).withColumn("fields", F.to_json("fields")),
+            out_dir=f"{args.out}/routed",
+            lineage_dir=f"{args.out}/lineage",
+            run_id=args.run_id,
+        )
+        print(f"resumable run complete: {stats}")
+    else:
+        pipe.run(spark, tr, out_dir=args.out)
+        print(f"batch run complete: {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""Catalog-agnostic table IO — Iceberg when a catalog is configured, plain
+parquet paths otherwise.
+
+The north rule targets Iceberg tables (hidden partitioning `days(ts)` x
+`bucket(conv_id)`, atomic snapshot commits as the durable replacement for the
+reference's disk buffer + retransmit, elasticsearch.js:156-163). This sandbox
+ships no iceberg-spark-runtime jar and has no network, so the same call sites
+degrade to parquet directories; on a real cluster, start the session with
+
+    --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+    --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.lake.type=hadoop
+    --conf spark.sql.catalog.lake.warehouse=<warehouse-uri>
+
+and pass idents like `lake.logs.routed` — everything else is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def is_catalog_ident(ident: str) -> bool:
+    """`catalog.db.table` (no path separators) → managed-table API."""
+    return "/" not in ident and not ident.startswith("file:") and ident.count(".") >= 1
+
+
+def write_table(
+    df: DataFrame,
+    ident: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Append/overwrite to an Iceberg table (writeTo → atomic snapshot) or a
+    parquet directory. `partition_by` applies only to the path flavor —
+    Iceberg tables carry their own (hidden) partition spec."""
+    if is_catalog_ident(ident):
+        w = df.writeTo(ident)
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(ident)
+
+
+def read_table(spark: SparkSession, ident: str) -> DataFrame:
+    if is_catalog_ident(ident):
+        return spark.read.table(ident)
+    return spark.read.parquet(ident)
+
+
+def create_transcript_table_sql(ident: str) -> str:
+    """DDL for the 10^12-turn transcript table: hidden partitioning by day +
+    conv_id bucket (partition pruning on ts ranges; co-located conv_ids so
+    the ordering window shuffles within buckets)."""
+    return f"""
+CREATE TABLE IF NOT EXISTS {ident} (
+  conv_id string, turn_idx int, role string, text string, tool string,
+  ts timestamp)
+USING iceberg
+PARTITIONED BY (days(ts), bucket(64, conv_id))
+"""
+
+
+def overwrite_partitions(df: DataFrame, ident: str, predicate: str) -> None:
+    """Idempotent partial rerun (lineage resume): replace only the rows the
+    rerun recomputes — Iceberg `overwritePartitions`/filter overwrite; the
+    parquet flavor is handled by lineage.run_resumable's per-unit dirs."""
+    if is_catalog_ident(ident):
+        df.writeTo(ident).overwritePartitions()
+    else:
+        raise ValueError("path-based tables resume via lineage unit dirs")
