@@ -93,6 +93,17 @@ def main():
     times["transcript_pipeline"] = round(wall, 3)
     turns_per_sec = round(n_turns / wall, 1)
 
+    # skew mode: identical pipeline over a power-law conv-size distribution
+    # (hot conv_id regime of the north rule) — throughput should stay in the
+    # same ballpark because parse/mask/route are narrow and the aggregate
+    # relies on map-side partial aggregation + AQE
+    tr_skew = transcripts(spark, n_turns // 2, 20, skew=2.5, partitions=cpus * 2)
+    pipe.aggregates(pipe.routed(tr_skew)).count()  # warm plan
+    t0 = time.time()
+    pipe.aggregates(pipe.routed(tr_skew)).count()
+    skew_wall = time.time() - t0
+    times["transcript_pipeline_skewed"] = round(skew_wall, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -104,6 +115,7 @@ def main():
                 "sf": sf,
                 "turns": n_turns,
                 "turns_per_sec": turns_per_sec,
+                "turns_per_sec_skewed": round((n_turns // 2) / skew_wall, 1),
                 "routed_rows": routed_rows,
                 "agg_rows": agg_rows,
                 "cpus": cpus,

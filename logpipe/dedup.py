@@ -92,11 +92,16 @@ def ngram_jaccard_pairs(
     (drops candidates if hit — sized so it never triggers at sane thresholds).
     """
     hashes = F.array_sort(F.transform(word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)))
-    sh = (
-        df.select(F.col(id_col).alias("_id"), hashes.alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .withColumn("_pfx", F.size("_sh") - F.ceil(F.lit(threshold) * F.size("_sh")) + 1)
-        .persist()
+    # persist BEFORE the size filter: otherwise Catalyst infers a pushed-down
+    # copy of the (large) shingling expression into a Filter node and codegen
+    # compiles it once per downstream stage — the cache boundary keeps the
+    # expression in exactly one generated stage. Materialize immediately: the
+    # signature frame feeds 4 plan branches (hot-count, candidate explode x2,
+    # verify x2) that would otherwise race to fill the cache concurrently.
+    raw = df.select(F.col(id_col).alias("_id"), hashes.alias("_sh")).persist()
+    raw.count()
+    sh = raw.filter(F.size("_sh") > 0).withColumn(
+        "_pfx", F.size("_sh") - F.ceil(F.lit(threshold) * F.size("_sh")) + 1
     )
     exploded = sh.select("_id", F.explode(F.slice("_sh", F.lit(1), F.col("_pfx"))).alias("_g"))
     hot = exploded.groupBy("_g").count().filter(F.col("count") > max_bucket).select("_g")

@@ -1,0 +1,68 @@
+"""Hot-conv_id skew handling (north rule: skew handled explicitly).
+
+datagen skew mode gives a power-law conversation-size distribution (conv 0
+hottest). The pipeline stages are narrow (skew-immune); the two keyed ops —
+the ordering window and the per-sink aggregate — must stay correct under
+skew, and salted_repartition must spread a hot key without changing results.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe.datagen import role_dim, tool_dim, transcripts
+from logpipe.order import reassemble_multiline, salted_repartition, with_turn_rank
+from logpipe.pipeline import TranscriptPipeline
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    return transcripts(spark, 20_000, 20, skew=2.5).persist()
+
+
+def test_skew_shape(spark, skewed):
+    assert skewed.count() == 20_000
+    sizes = skewed.groupBy("conv_id").count()
+    hot = sizes.orderBy(F.desc("count")).first()["count"]
+    med = sizes.approxQuantile("count", [0.5], 0.01)[0]
+    assert hot > 10 * med  # genuinely skewed
+    # turn_idx unique within conv (the ordering-key contract)
+    dups = skewed.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+    assert dups == 0
+
+
+def test_pipeline_under_skew(spark, skewed):
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    routed = pipe.routed(skewed)
+    n_routed = routed.count()
+    assert n_routed > 0
+    # aggregate counts sum back to the routed rows (no loss under skew)
+    agg = pipe.aggregates(routed)
+    assert agg.agg(F.sum("events")).collect()[0][0] == n_routed
+
+
+def test_salted_repartition_preserves_rows(spark, skewed):
+    salted = salted_repartition(skewed, 16, salt_buckets=8)
+    assert salted.count() == skewed.count()
+    assert salted.rdd.getNumPartitions() == 16
+    # hot conv must span multiple partitions after salting
+    hot_conv = skewed.groupBy("conv_id").count().orderBy(F.desc("count")).first()["conv_id"]
+    parts = (
+        salted.filter(F.col("conv_id") == hot_conv)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1
+
+
+def test_window_and_multiline_under_skew(spark, skewed):
+    ranked = with_turn_rank(skewed)
+    # rank is dense per conv and ordered by turn_idx
+    bad = ranked.filter(F.col("turn_rank") < 1).count()
+    assert bad == 0
+    blocks = reassemble_multiline(skewed)
+    # block heads + continuations == all rows: total joined text lines match
+    line_count = blocks.select(
+        F.sum(F.size(F.split(F.col("text"), "\n", -1))).alias("n")
+    ).collect()[0]["n"]
+    assert line_count == skewed.count()
