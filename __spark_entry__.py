@@ -382,6 +382,89 @@ GROUP BY 1
 """
 
 
+def q_route_multi_receiver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logsReceivers duplication (elasticsearch.js:210-224): every routed
+    event shipped to N receivers."""
+    from logpipe.route import multi_receiver
+
+    ev = _t(spark, sf_dir, "events")
+    routed = resolve_sink(
+        ev.withColumnRenamed("event_type", "log_source"),
+        mapper=EVENT_MAPPER,
+        default_index="other",
+        ts_col="ts",
+    )
+    dup = multi_receiver(routed, ["primary", "backup"])
+    return dup.groupBy("receiver", "sink").agg(F.count("*").alias("events"))
+
+
+_MULTI_RECEIVER_SQL = """
+SELECT receiver, sink, count(*) AS events
+FROM (
+  SELECT CASE
+           WHEN regexp_matches(event_type, 'error') THEN 'errors'
+           WHEN regexp_matches(event_type, 'signup') OR regexp_matches(event_type, 'purchase') THEN 'growth'
+           WHEN regexp_matches(event_type, 'click') OR regexp_matches(event_type, 'view') THEN 'engagement'
+           ELSE 'other'
+         END AS sink,
+         unnest(['primary', 'backup']) AS receiver
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+def q_enrich_ua_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UA device detection (httpDeviceDetector.js shape) over synthesized
+    user agents."""
+    from logpipe.enrich import ua_enrich
+
+    uas = [
+        "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS) Safari/604.1",
+        "Mozilla/5.0 (iPad; CPU OS) Safari/604.1",
+        "Googlebot/2.1 (+http://www.google.com/bot.html)",
+        "Mozilla/5.0 (X11; Linux x86_64) Firefox/121.0",
+        "curl/8.0.1",
+    ]
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_agent",
+        F.element_at(F.array(*[F.lit(u) for u in uas]), (F.col("event_id") % 6 + 1).cast("int")),
+    )
+    return ua_enrich(ev).groupBy("device_type", "browser").agg(F.count("*").alias("events"))
+
+
+_UA_SQL = """
+WITH u AS (
+  SELECT (['Mozilla/5.0 (Windows NT 10.0) Chrome/120.0',
+           'Mozilla/5.0 (iPhone; CPU iPhone OS) Safari/604.1',
+           'Mozilla/5.0 (iPad; CPU OS) Safari/604.1',
+           'Googlebot/2.1 (+http://www.google.com/bot.html)',
+           'Mozilla/5.0 (X11; Linux x86_64) Firefox/121.0',
+           'curl/8.0.1'])[CAST(event_id % 6 AS INT) + 1] AS ua
+  FROM events
+)
+SELECT CASE
+         WHEN regexp_matches(lower(ua), 'bot|crawler|spider|curl|wget|httpclient|python-requests') THEN 'bot'
+         WHEN regexp_matches(lower(ua), 'ipad|tablet|kindle') THEN 'tablet'
+         WHEN regexp_matches(lower(ua), 'mobile|iphone|android') THEN 'mobile'
+         WHEN regexp_matches(lower(ua), 'windows nt|macintosh|x11|cros') THEN 'desktop'
+         ELSE 'unknown'
+       END AS device_type,
+       CASE
+         WHEN regexp_matches(lower(ua), 'edg(e|a|ios)?/') THEN 'edge'
+         WHEN regexp_matches(lower(ua), 'opr/|opera') THEN 'opera'
+         WHEN regexp_matches(lower(ua), 'firefox/') THEN 'firefox'
+         WHEN regexp_matches(lower(ua), 'chrome/|crios/') THEN 'chrome'
+         WHEN regexp_matches(lower(ua), 'safari/') THEN 'safari'
+         ELSE 'other'
+       END AS browser,
+       count(*) AS events
+FROM u
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # aggregation operators
 # ---------------------------------------------------------------------------
@@ -793,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_throughput": q_stats_throughput,
         "order_turn_rank": q_order_turn_rank,
         "route_date_partitioned": q_route_date_partitioned,
+        "route_multi_receiver": q_route_multi_receiver,
+        "enrich_ua_device": q_enrich_ua_device,
         "agg_interval_window": q_agg_interval_window,
         "sessionize_blocks": q_sessionize,
         "enrich_broadcast_join": q_enrich_broadcast_join,
@@ -829,6 +914,8 @@ def oracle_sql() -> dict[str, str]:
         "stats_throughput": _STATS_SQL,
         "order_turn_rank": _ORDER_RANK_SQL,
         "route_date_partitioned": _ROUTE_DATE_SQL,
+        "route_multi_receiver": _MULTI_RECEIVER_SQL,
+        "enrich_ua_device": _UA_SQL,
         "agg_interval_window": _AGG_WINDOW_SQL,
         "sessionize_blocks": _SESSIONIZE_SQL,
         "enrich_broadcast_join": _ENRICH_JOIN_SQL,

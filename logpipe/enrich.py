@@ -116,3 +116,39 @@ def k8s_container_name_split(col: Column) -> Column:
             F.element_at(parts, 5).alias("uid"),
         ),
     )
+
+
+# httpDeviceDetector.js:4-21 device classes, restated as ordered rlike rules
+# (device-detector-js is a regex database; these are the coarse classes).
+_UA_RULES = [
+    ("bot", r"(?i)bot|crawler|spider|curl|wget|httpclient|python-requests"),
+    ("tablet", r"(?i)ipad|tablet|kindle"),
+    ("mobile", r"(?i)mobile|iphone|android"),
+    ("desktop", r"(?i)windows nt|macintosh|x11|cros"),
+]
+_UA_BROWSERS = [
+    ("edge", r"(?i)edg(e|a|ios)?/"),
+    ("opera", r"(?i)opr/|opera"),
+    ("firefox", r"(?i)firefox/"),
+    ("chrome", r"(?i)chrome/|crios/"),
+    ("safari", r"(?i)safari/"),
+]
+
+
+def ua_enrich(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:
+    """User-agent device detection (httpDeviceDetector.js:4-21): ordered
+    first-match rlike chains -> device_type / browser columns. A full
+    device-db port would be a broadcast dim join on a UA-regex table; the
+    coarse classes cover the reference's enrichment shape."""
+    ua = F.coalesce(F.col(ua_col), F.lit(""))
+    dev = None
+    for name, pat in _UA_RULES:
+        branch = F.when(ua.rlike(pat), F.lit(name))
+        dev = branch if dev is None else dev.when(ua.rlike(pat), F.lit(name))
+    dev = dev.otherwise(F.lit("unknown"))
+    br = None
+    for name, pat in _UA_BROWSERS:
+        br = (F.when(ua.rlike(pat), F.lit(name)) if br is None
+              else br.when(ua.rlike(pat), F.lit(name)))
+    br = br.otherwise(F.lit("other"))
+    return df.withColumn("device_type", dev).withColumn("browser", br)

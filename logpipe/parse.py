@@ -339,7 +339,12 @@ def make_parse_udf(ruleset: RuleSet = DEFAULT_RULESET):
                 res["fields"][p] = {}
         return pd.DataFrame(res)
 
-    return F.pandas_udf(_parse, PARSED_STRUCT)
+    # asNondeterministic: the parser IS deterministic, but this stops Catalyst
+    # from duplicating the UDF expression when the drop-marker filter is
+    # pushed below the struct-expansion projection — without it the plan held
+    # TWO ArrowEvalPython nodes and every row was parsed twice
+    # (caught by tools/check_plans.py; 2x parse cost in the whole pipeline).
+    return F.pandas_udf(_parse, PARSED_STRUCT).asNondeterministic()
 
 
 def parse_text(

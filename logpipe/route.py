@@ -153,3 +153,11 @@ def fan_out(
 
 def s_escape(sinks: list[str]) -> list[str]:
     return [str(s) for s in sinks]
+
+
+def multi_receiver(df: DataFrame, receivers: list[str], sink_col: str = "sink") -> DataFrame:
+    """logsReceivers duplication (elasticsearch.js:210-224, list parse
+    lib/util/parser.js:8-29): ship every event to N receivers — explode a
+    constant receivers array; each copy keeps its routing sink."""
+    arr = F.array(*[F.lit(r) for r in receivers])
+    return df.withColumn("receiver", F.explode(arr))

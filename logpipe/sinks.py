@@ -1,0 +1,80 @@
+"""Sink formatting (SURVEY §2.7) — the reference's output plugins restated as
+write-shape helpers. Transports (HTTP/MQTT/GELF) are out of scope for the
+graft (a sink table stands in); what's preserved is each plugin's *data
+shape*:
+
+  * files: ldjson / per-event template filenames = dynamic partitioning
+    (lib/plugins/output/files.js:32-68, filename template :49)
+  * clickhouse: explicit ordered column mapping + epoch-ms timestamps
+    (lib/plugins/output/clickhouse.js:43-59)
+  * influxdb: nested-struct flattening before write (influxdb.js:4,20-76)
+  * output-http: buffered ldjson POST → foreachBatch hook (output-http.js:19-80)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def to_ldjson(df: DataFrame, exclude: list[str] | None = None) -> DataFrame:
+    """One JSON line per event (files.js ldjson format; `ignoreFields` of
+    output-http.js:52-58 = `exclude`)."""
+    cols = [c for c in df.columns if c not in (exclude or [])]
+    return df.select(F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"))
+
+
+def write_ldjson(df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "append") -> None:
+    """ldjson file sink; `partition_cols` = the fields a filename template
+    like `logs-{sink}-{hour}.json` would interpolate (files.js:49) — dynamic
+    partitioning is the distributed restatement of per-event filenames."""
+    keep = partition_cols or []
+    payload = [c for c in df.columns if c not in keep]
+    value = F.to_json(F.struct(*[F.col(c) for c in payload])).alias("value")
+    if keep:
+        df.select(*keep, value).write.mode(mode).partitionBy(*keep).text(path)
+    else:
+        df.select(value).write.mode(mode).text(path)
+
+
+def clickhouse_shape(df: DataFrame, field_map: dict[str, str], ts_col: str = "event_ts") -> DataFrame:
+    """Ordered positional column mapping (clickhouse.js `fields:` config,
+    :43-59) with `@timestamp` → epoch millis (:47-49)."""
+    cols = []
+    for src, dst in field_map.items():
+        c = F.unix_millis(F.col(src)) if src == ts_col else F.col(src)
+        cols.append(c.alias(dst))
+    return df.select(*cols)
+
+
+def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursive struct flattening (influxdb.js uses `flat` before building
+    line protocol)."""
+    while True:
+        struct_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
+        if not struct_cols:
+            return df
+        cols = []
+        for f in df.schema.fields:
+            if f.name in struct_cols:
+                for sub in f.dataType.fields:  # type: ignore[union-attr]
+                    cols.append(F.col(f"{f.name}.{sub.name}").alias(f"{f.name}{sep}{sub.name}"))
+            else:
+                cols.append(F.col(f.name))
+        df = df.select(*cols)
+
+
+def foreach_batch_http(url: str, max_buffer: int = 1000):
+    """output-http shape: a foreachBatch callback that would POST ldjson
+    chunks (the actual HTTP call is a deployment concern; here the callback
+    materializes the exact payloads the reference would ship)."""
+
+    def _send(batch_df: DataFrame, batch_id: int):
+        payload = to_ldjson(batch_df)
+        # transport stub: deployments replace this collect/POST with their
+        # HTTP client; limit guards the driver exactly like maxBufferSize
+        chunks = payload.limit(max_buffer).collect()
+        _ = (url, batch_id, chunks)
+
+    return _send

@@ -1,0 +1,97 @@
+"""Sink shapes (§2.7), multi-receiver fan-out (§2.6), UA enrichment (§2.5),
+and patterns.yml-compatible rule loading."""
+
+import json
+import textwrap
+
+from pyspark.sql import functions as F
+
+from logpipe import sinks
+from logpipe.enrich import ua_enrich
+from logpipe.parse import parse_text
+from logpipe.route import multi_receiver
+from logpipe.rules import load_yaml_rules
+
+
+def test_ldjson_shape(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    rows = sinks.to_ldjson(df).collect()
+    assert json.loads(rows[0]["value"]) == {"id": 1, "v": "a"}
+    sinks.write_ldjson(df, str(tmp_path / "ld"), partition_cols=["v"], mode="overwrite")
+    back = spark.read.text(str(tmp_path / "ld"))
+    assert back.count() == 2
+
+
+def test_clickhouse_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "m")], "id long, msg string"
+    ).withColumn("event_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    out = sinks.clickhouse_shape(df, {"event_ts": "ts_ms", "msg": "message"})
+    r = out.collect()[0]
+    assert r["ts_ms"] == 1704067200000 and r["message"] == "m"
+    assert out.columns == ["ts_ms", "message"]  # positional order preserved
+
+
+def test_flatten_structs(spark):
+    df = spark.createDataFrame([(1,)], "id long").withColumn(
+        "os", F.struct(F.lit("h1").alias("host"), F.struct(F.lit("x").alias("deep")).alias("inner"))
+    )
+    out = sinks.flatten_structs(df)
+    assert set(out.columns) == {"id", "os_host", "os_inner_deep"}
+
+
+def test_multi_receiver(spark):
+    df = spark.createDataFrame([(1, "errors")], "id long, sink string")
+    out = multi_receiver(df, ["primary", "backup"]).collect()
+    assert {(r["receiver"], r["sink"]) for r in out} == {("primary", "errors"), ("backup", "errors")}
+
+
+def test_ua_enrich(spark):
+    rows = [
+        ("Googlebot/2.1", "bot", "other"),
+        ("Mozilla/5.0 (iPhone) Safari/604.1", "mobile", "safari"),
+        ("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0", "desktop", "chrome"),
+        (None, "unknown", "other"),
+    ]
+    df = spark.createDataFrame([(ua,) for ua, _, _ in rows], "user_agent string")
+    got = ua_enrich(df).collect()
+    for (ua, dev, br), r in zip(rows, got):
+        assert (r["device_type"], r["browser"]) == (dev, br), ua
+
+
+def test_load_yaml_rules(spark, tmp_path):
+    """A logagent user's custom patterns file loads and parses (merge order:
+    custom patterns PREPEND to defaults — mergePatternFiles.js:48)."""
+    yml = tmp_path / "patterns.yml"
+    yml.write_text(
+        textwrap.dedent(
+            """
+            patterns:
+              - sourceName: !!js/regexp /myapp/
+                match:
+                  - type: myapp_custom
+                    regex: !!js/regexp /^APP\\s+(\\S+)\\s+req=(\\d+)\\s+(.*)/
+                    fields: [severity, req_id:number, message]
+              - sourceName: !!js/regexp /nginx/
+                match:
+                  - type: override_nginx
+                    regex: !!js/regexp /^OVERRIDE (.*)/
+                    fields: [message]
+            """
+        )
+    )
+    rs = load_yaml_rules(str(yml))
+    assert rs.groups[0].rules[0].log_type == "myapp_custom"  # prepended
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "u", "APP warn req=42 slow response", "myapp", "2024-01-01 00:00:00"),
+            ("c", 1, "u", "OVERRIDE custom wins", "nginx", "2024-01-01 00:00:01"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).selectExpr("conv_id", "turn_idx", "role", "text", "tool", "cast(ts as timestamp) ts")
+    out = {r["turn_idx"]: r for r in parse_text(df, rs, source_col="tool").collect()}
+    assert out[0]["log_type"] == "myapp_custom"
+    assert out[0]["fields"]["req_id"] == "42"
+    assert out[0]["severity"] == "warn" or out[0]["fields"].get("severity") == "warn"
+    assert out[1]["log_type"] == "override_nginx"  # custom rule beats default group
+    assert out[1]["message"] == "custom wins"
