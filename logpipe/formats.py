@@ -1,0 +1,140 @@
+"""Format mappers (SURVEY §2.2 'format-mapping filters') — the reference's
+per-source common-schema normalizers restated as DataFrame transforms over
+the parsed frame (well-known columns + open `fields` map).
+
+  * journald  → lib/plugins/output-filter/journald-format.js:25-148
+  * heroku    → lib/plugins/output-filter/heroku-format.js:20-66
+  * cloudfoundry → lib/plugins/output-filter/cloudfoundry-format.js:20-82
+
+All pure column expressions (element_at lookups, str_to_map, from_json) —
+the reference's object-reshaping loops become one select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rules import SYSLOG_FACILITY, SYSLOG_SEVERITY
+
+_JOURNALD_PROCESS_FIELDS = {  # journald-format.js processFields map
+    "_PID": "pid",
+    "_COMM": "name",
+    "_EXE": "exe",
+    "_CMDLINE": "cmdline",
+    "_UID": "uid",
+    "_GID": "gid",
+}
+
+
+def _mget(map_col: Column, key: str) -> Column:
+    return F.element_at(map_col, F.lit(key))
+
+
+def journald_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
+    """systemd-journald fields → Sematext common schema
+    (journald-format.js:75-121):
+      _HOSTNAME → os_host; __REALTIME_TIMESTAMP (µs) → event_ts;
+      PRIORITY/SYSLOG_FACILITY → severity/facility words;
+      CONTAINER_* → container struct; _PID family → process struct."""
+    m = F.col(fields_col)
+    sev_arr = F.array(*[F.lit(s) for s in SYSLOG_SEVERITY])
+    fac_arr = F.array(*[F.lit(s) for s in SYSLOG_FACILITY])
+    rt = F.coalesce(_mget(m, "__REALTIME_TIMESTAMP"), _mget(m, "__SOURCE_REALTIME_TIMESTAMP"))
+    prio = _mget(m, "PRIORITY").try_cast("int")
+    fac = _mget(m, "SYSLOG_FACILITY").try_cast("int")
+    out = (
+        df.withColumn("os_host", _mget(m, "_HOSTNAME"))
+        .withColumn(
+            "event_ts",
+            F.coalesce(
+                F.timestamp_millis((rt.try_cast("long") / 1000).cast("long")),
+                F.col("event_ts") if "event_ts" in df.columns else F.lit(None).cast("timestamp"),
+            ),
+        )
+        .withColumn(
+            "severity",
+            F.when((prio >= 0) & (prio <= 7), F.element_at(sev_arr, prio + 1)),
+        )
+        .withColumn(
+            "facility",
+            F.when(
+                (fac >= 0) & (fac < len(SYSLOG_FACILITY)), F.element_at(fac_arr, fac + 1)
+            ),
+        )
+        .withColumn(
+            "container",
+            F.when(
+                _mget(m, "CONTAINER_ID_FULL").isNotNull()
+                | _mget(m, "CONTAINER_NAME").isNotNull(),
+                F.struct(
+                    F.coalesce(_mget(m, "CONTAINER_ID_FULL"), _mget(m, "CONTAINER_ID")).alias("id"),
+                    _mget(m, "CONTAINER_NAME").alias("name"),
+                    _mget(m, "CONTAINER_TAG").alias("tag"),
+                ),
+            ),
+        )
+        .withColumn(
+            "process",
+            F.when(
+                _mget(m, "_PID").isNotNull(),
+                F.struct(
+                    *[_mget(m, src).alias(dst) for src, dst in _JOURNALD_PROCESS_FIELDS.items()]
+                ),
+            ),
+        )
+    )
+    return out
+
+
+_HEROKU_OPTIONAL = (  # heroku-format.js:35-46
+    "method", "path", "host", "request_id", "fwd", "dyno", "connect",
+    "service", "status", "bytes",
+)
+
+
+def heroku_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
+    """Common-schema projection of parsed heroku rows (heroku-format.js:20-66):
+    keep message/app/host/process_type/severity/facility + the router's
+    optional fields; a JSON message merges its keys into `fields` (and
+    replaces `message` when the JSON carries one)."""
+    m = F.col(fields_col)
+    keep = ["app", "host", "process_type", "facility"] + list(_HEROKU_OPTIONAL)
+    pruned = F.map_filter(m, lambda k, _v: k.isin(*[F.lit(x) for x in keep]))
+    is_json = F.col("message").rlike(r"^\[?\{.*\}\]?$")
+    json_map = F.when(
+        is_json, F.from_json(F.col("message"), "map<string,string>")
+    )
+    merged = F.when(
+        json_map.isNotNull(), F.map_concat(pruned, F.map_filter(json_map, lambda k, _v: ~k.isin(*[F.lit(x) for x in keep])))
+    ).otherwise(pruned)
+    new_message = F.when(
+        json_map.isNotNull() & F.element_at(json_map, F.lit("message")).isNotNull(),
+        F.element_at(json_map, F.lit("message")),
+    ).otherwise(F.col("message"))
+    return df.withColumn(fields_col, merged).withColumn("message", new_message)
+
+
+def cloudfoundry_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
+    """cloudfoundry-format.js:20-82: `tags` ('k="v" k2="v2"') explode into
+    fields via str_to_map; JSON messages merge like heroku."""
+    m = F.col(fields_col)
+    tags = _mget(m, "tags")
+    tag_map = F.when(
+        tags.isNotNull(),
+        F.expr(f"str_to_map(replace(element_at({fields_col}, 'tags'), '\"', ''), ' ', '=')"),
+    )
+    without_tags = F.map_filter(m, lambda k, _v: k != F.lit("tags"))
+    merged = F.when(tag_map.isNotNull(), F.map_concat(without_tags, tag_map)).otherwise(
+        without_tags
+    )
+    out = df.withColumn(fields_col, merged)
+    is_json = F.col("message").rlike(r"^\[?\{.*\}\]?$")
+    json_map = F.when(is_json, F.from_json(F.col("message"), "map<string,string>"))
+    out = out.withColumn(
+        fields_col,
+        F.when(json_map.isNotNull(), F.map_concat(F.col(fields_col), json_map)).otherwise(
+            F.col(fields_col)
+        ),
+    )
+    return out

@@ -1,0 +1,69 @@
+"""Format mappers (journald / heroku / cloudfoundry common-schema)."""
+
+from pyspark.sql import functions as F
+
+from logpipe.formats import cloudfoundry_format, heroku_format, journald_format
+
+
+def _fdf(spark, fields, message=None):
+    df = spark.createDataFrame([(message,)], "message string")
+    return df.withColumn(
+        "fields",
+        F.create_map(*[F.lit(x) for kv in fields.items() for x in kv]),
+    )
+
+
+def test_journald_format(spark):
+    r = journald_format(
+        _fdf(
+            spark,
+            {
+                "_HOSTNAME": "node-1",
+                "__REALTIME_TIMESTAMP": "1704067200123456",  # µs
+                "PRIORITY": "3",
+                "SYSLOG_FACILITY": "1",
+                "CONTAINER_ID_FULL": "abc123",
+                "CONTAINER_NAME": "web",
+                "_PID": "42",
+                "_COMM": "nginx",
+            },
+        )
+    ).collect()[0]
+    assert r["os_host"] == "node-1"
+    assert r["severity"] == "err" and r["facility"] == "user"
+    assert r["event_ts"].year == 2024 and r["event_ts"].microsecond == 123000
+    assert r["container"]["id"] == "abc123" and r["container"]["name"] == "web"
+    assert r["process"]["pid"] == "42" and r["process"]["name"] == "nginx"
+
+
+def test_heroku_format_json_merge(spark):
+    r = heroku_format(
+        _fdf(
+            spark,
+            {"app": "api", "dyno": "web.1", "prio": "158", "version": "1"},
+            message='{"message":"inner","level":"info"}',
+        )
+    ).collect()[0]
+    assert r["message"] == "inner"  # JSON message replaces outer
+    assert r["fields"]["level"] == "info"  # merged
+    assert r["fields"]["app"] == "api" and r["fields"]["dyno"] == "web.1"
+    assert "prio" not in r["fields"]  # not in the common-schema keep list
+
+
+def test_heroku_format_plain(spark):
+    r = heroku_format(_fdf(spark, {"app": "api"}, message="plain line")).collect()[0]
+    assert r["message"] == "plain line"
+    assert r["fields"] == {"app": "api"}
+
+
+def test_cloudfoundry_tags(spark):
+    r = cloudfoundry_format(
+        _fdf(
+            spark,
+            {"app": "cf-app", "tags": 'deployment="prod" job="router"'},
+            message='{"k":"v"}',
+        )
+    ).collect()[0]
+    assert r["fields"]["deployment"] == "prod" and r["fields"]["job"] == "router"
+    assert "tags" not in r["fields"]
+    assert r["fields"]["k"] == "v"  # JSON message merged
