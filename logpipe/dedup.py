@@ -74,7 +74,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_bucket: int = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
 
@@ -104,8 +104,12 @@ def ngram_jaccard_pairs(
         "_pfx", F.size("_sh") - F.ceil(F.lit(threshold) * F.size("_sh")) + 1
     )
     exploded = sh.select("_id", F.explode(F.slice("_sh", F.lit(1), F.col("_pfx"))).alias("_g"))
-    hot = exploded.groupBy("_g").count().filter(F.col("count") > max_bucket).select("_g")
-    exploded = exploded.join(F.broadcast(hot), "_g", "left_anti")
+    if max_bucket is not None:
+        # opt-in skew guard for pathological corpora (cap drops candidates —
+        # only set it when a prefix bucket would otherwise explode; prefix
+        # filtering already suppresses boilerplate-shingle buckets)
+        hot = exploded.groupBy("_g").count().filter(F.col("count") > max_bucket).select("_g")
+        exploded = exploded.join(F.broadcast(hot), "_g", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     cand = (
