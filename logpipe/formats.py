@@ -138,3 +138,48 @@ def cloudfoundry_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
         ),
     )
     return out
+
+
+def aws_ecs_format(df: DataFrame, fields_col: str = "fields", reparse: bool = True) -> DataFrame:
+    """aws-ecs-format.js:43-80: container stream → severity (stderr→err,
+    stdout→info); JSON messages merge into fields; non-JSON messages are
+    re-parsed with the pattern parser keyed by the original source."""
+    m = F.col(fields_col)
+    stream = _mget(m, "source")
+    out = df.withColumn(
+        "severity",
+        F.when(stream == "stderr", F.lit("err")).when(stream == "stdout", F.lit("info")),
+    )
+    is_json = F.col("message").rlike(r"^\[?\{.*\}\]?$")
+    json_map = F.when(is_json, F.from_json(F.col("message"), "map<string,string>"))
+    out = out.withColumn(
+        fields_col,
+        F.when(json_map.isNotNull(), F.map_concat(m, json_map)).otherwise(m),
+    ).withColumn(
+        "message",
+        F.when(
+            json_map.isNotNull() & F.element_at(json_map, F.lit("message")).isNotNull(),
+            F.element_at(json_map, F.lit("message")),
+        ).otherwise(F.col("message")),
+    )
+    if reparse:
+        # second parse pass over the message column (the reference calls
+        # logParser.parseLine with log.source as the pattern sourceName)
+        from .parse import make_parse_udf
+        from .rules import DEFAULT_RULESET
+
+        udf = make_parse_udf(DEFAULT_RULESET)
+        ts_col = F.col("event_ts") if "event_ts" in out.columns else F.col("ts")
+        nested = udf(F.col("message"), _mget(m, "source"), ts_col)
+        out = out.withColumn("_ecs", F.when(~is_json, nested))
+        out = out.withColumn(
+            fields_col,
+            F.when(
+                F.col("_ecs.matched") & F.col("_ecs.log_type").isNotNull(),
+                F.map_concat(F.col(fields_col), F.col("_ecs.fields")),
+            ).otherwise(F.col(fields_col)),
+        ).withColumn(
+            "ecs_type",
+            F.when(F.col("_ecs.matched"), F.col("_ecs.log_type")),
+        ).drop("_ecs")
+    return out

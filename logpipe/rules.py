@@ -177,6 +177,9 @@ def _pri_decode(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+_HEROKU_KV_RE = re.compile(r'(\w+)=("[^"]*"|\S+)')
+
+
 def heroku_transform(df: pd.DataFrame) -> pd.DataFrame:
     """patterns.yml:885-938: PRI decode + router key=value explode."""
     df = _pri_decode(df)
@@ -184,12 +187,15 @@ def heroku_transform(df: pd.DataFrame) -> pd.DataFrame:
     router = df["process_type"] == "router"
     if router.any():
         # key=value explode (patterns.yml:926-937) — the reference splits the
-        # message on spaces and '='. Vectorized extractall per key.
+        # message on spaces and '='; compiled findall into per-row dicts
+        # (str.extractall + pivot measured 3x slower on the same rows)
         msgs = df.loc[router, "message"].fillna("")
-        kv = msgs.str.extractall(r'(\w+)=("[^"]*"|\S+)')
-        if not kv.empty:
-            kv[1] = kv[1].str.strip('"')
-            wide = kv.reset_index().pivot(index="level_0", columns=0, values=1)
+        recs = [
+            {k: v[1:-1] if v.startswith('"') else v for k, v in _HEROKU_KV_RE.findall(m)}
+            for m in msgs
+        ]
+        if any(recs):
+            wide = pd.DataFrame(recs, index=msgs.index)
             for col in wide.columns:
                 df.loc[wide.index, col] = wide[col]
     return df

@@ -67,3 +67,23 @@ def test_cloudfoundry_tags(spark):
     assert r["fields"]["deployment"] == "prod" and r["fields"]["job"] == "router"
     assert "tags" not in r["fields"]
     assert r["fields"]["k"] == "v"  # JSON message merged
+
+
+def test_aws_ecs_format(spark):
+    from logpipe.formats import aws_ecs_format
+
+    df = spark.createDataFrame(
+        [
+            ('{"message":"inner","k":"v"}', "stdout"),
+            ("[2017-03-30 09:26:39,123] INFO Client session timed out", "kafka"),
+        ],
+        "message string, src string",
+    ).withColumn("fields", F.create_map(F.lit("source"), F.col("src"))).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    rows = aws_ecs_format(df).collect()
+    assert rows[0]["severity"] == "info" and rows[0]["fields"]["k"] == "v"
+    assert rows[0]["message"] == "inner"
+    # non-JSON message re-parsed with the kafka pattern
+    assert rows[1]["ecs_type"] == "apache_kafka"
+    assert rows[1]["fields"]["severity"] == "INFO"
