@@ -95,3 +95,15 @@ def test_load_yaml_rules(spark, tmp_path):
     assert out[0]["severity"] == "warn" or out[0]["fields"].get("severity") == "warn"
     assert out[1]["log_type"] == "override_nginx"  # custom rule beats default group
     assert out[1]["message"] == "custom wins"
+
+
+def test_tables_roundtrip(spark, tmp_path):
+    from logpipe.tables import is_catalog_ident, read_table, write_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    path = str(tmp_path / "tbl")
+    write_table(df, path, mode="overwrite", partition_by=["v"])
+    back = read_table(spark, path)
+    assert back.count() == 2 and set(back.columns) == {"id", "v"}
+    assert not is_catalog_ident(path)
+    assert is_catalog_ident("lake.logs.routed")
