@@ -1,0 +1,190 @@
+// Measure the REFERENCE parser's single-node throughput on the exact same
+// 12-template line mix as logpipe.datagen.transcripts.
+//
+// The reference at /root/reference is loaded READ-ONLY at runtime (its code
+// is never copied); its npm dependencies are not installable offline, so
+// ../shims provides minimal stand-ins (NODE_PATH), kept at comparable cost
+// (real regex date parsing, pass-through fs). The pattern set mirrors the
+// relevant patterns.yml rules as JS objects (the js-yaml shim returns them),
+// REDUCED to the 8 groups the line mix needs — fewer regexes than the
+// shipped 60-rule file, which favors the reference.
+//
+// Usage: NODE_PATH=bench/reference_harness/shims node bench/reference_harness/run_reference.js [n_lines]
+
+process.env.DISABLE_DEFAULT_PATTERNS = 'true'
+
+globalThis.__LOGAGENT_TEST_PATTERNS__ = {
+  json: { enabled: true },
+  multiline: { defaultSeparator: /^\S{2,}/ },
+  patterns: [
+    {
+      sourceName: /elasticsearch/,
+      blockStart: /^\[\d{4}-\d{2}-\d{2}[\sT][\d:]+,\d+\]|^log4j:\S+\s/,
+      match: [{
+        type: 'elasticsearch',
+        regex: /^\[(\d{4}-\d{2}-\d{2}[\sT][\d:]+,\d+)\]\[(.+?)\s*\]\[(\S{0,512})\s*\]\s*\[(.+?)\]\s([\s\S]+)/,
+        fields: ['ts', 'severity', 'class_name', 'node_name', 'message'],
+        dateFormat: 'yyyy-MM-dd HH:mm:ss,SS'
+      }]
+    },
+    {
+      sourceName: /kafka/,
+      match: [{
+        type: 'apache_kafka',
+        regex: /^\[(\d{4}-\d{2}-\d{2}\s[\d:]+,\d+)\]\s(\S+)\s(.+)/,
+        fields: ['ts', 'severity', 'message'],
+        dateFormat: 'yyyy-MM-dd HH:mm:ss,SSS'
+      }]
+    },
+    {
+      sourceName: /mongo/,
+      match: [{
+        type: 'mongodb',
+        regex: /^(\d{4}-\d{2}-\d{2}T[\d.:]+\+\d{4})\s(\w+)\s(\S+)\s+\[(\S+)\]\s(.+)/,
+        fields: ['ts', 'severity', 'component', 'context', 'message'],
+        dateFormat: 'iso'
+      }]
+    },
+    {
+      sourceName: /redis/i,
+      blockStart: /^\d+:.\s\d+/,
+      match: [{
+        type: 'redis',
+        regex: /^(\d+):(\w+)\s+(\d\d\s\w+.+)\s+(\S)\s+([\S\s]+)/,
+        fields: ['pid', 'role', 'ts', 'level', 'message'],
+        dateFormat: 'dd MMM HH:mm:ss.SSS',
+        transform: function (p) {
+          const roles = { X: 'sentinel', C: 'RDB/AOF writing child', S: 'slave', M: 'master' }
+          const levels = { '.': 'debug', '-': 'verbose', '*': 'notice', '#': 'warning' }
+          p.role = roles[p.role]
+          p.severity = levels[p.level] || p.level
+          delete p.level
+        }
+      }]
+    },
+    {
+      sourceName: /mysql/,
+      match: [{
+        type: 'mysql',
+        regex: /^(\d{4}-\d{2}-\d{2}\s[\d:]+)\s(\d+)\s\[(.+?)\]\s+(.*)/,
+        fields: ['ts', 'pid', 'level', 'message'],
+        dateFormat: 'yyyy-MM-dd HH:mm:ss'
+      }]
+    },
+    {
+      sourceName: /httpd|access_log|apache2|nginx/,
+      match: [{
+        type: 'access_log_combined',
+        regex: /^([0-9a-f.:]+)\s(-|\S+)\s(-|\S+)\s\[(.*)\]\s"(\w+)\s(\S+)\s?(.*)" ([0-9-]+) ([0-9-]+) "([^"]+)" "([^"]+)"/,
+        fields: ['client_ip:string', 'remote_id:string', 'user:string', 'ts', 'method:string', 'path:string', 'protocol:string', 'status_code:number', 'size:number', 'referer:string', 'user_agent:string'],
+        dateFormat: 'dd/MMM/yyyy:HH:mm:ss X',
+        transform: function (p) {
+          p.message = p.method + ' ' + p.path
+          if (p.status_code === '-') p.status_code = 0
+          if (p.size === '-') p.size = 0
+        }
+      }]
+    },
+    {
+      sourceName: /syslog_framed|heroku/,
+      match: [{
+        type: 'heroku',
+        regex: /^\d*\s?<(\d+)>(\d+)\s(\S+)\s(\S+)\s(\S+)\s(\S+)\.?(\d*)\s+-\s(.*)/,
+        fields: ['prio', 'version', 'ts', 'host', 'app', 'process_type', 'dyno', 'message'],
+        dateFormat: 'iso',
+        transform: function (p) {
+          const SEV = 'emerg alert crit err warning notice info debug'.split(' ')
+          const prio = Number(p.prio) || 0
+          p.facility = prio >> 3
+          p.severity = SEV[prio & 7]
+          if (p.process_type === 'router' && p.message) {
+            const re = /(\w+)=("[^"]*"|\S+)/g
+            let m
+            while ((m = re.exec(p.message)) !== null) {
+              p[m[1]] = m[2].replace(/"/g, '')
+            }
+          }
+        }
+      }]
+    },
+    {
+      sourceName: /\.log/,
+      match: [{
+        type: 'system_log',
+        regex: /^([\w\s]+\s+\d{1,2}\s[\d:]+)\s(\S+)\s(\S+)\[(\d+)\]:\s(.+)/,
+        fields: ['ts', 'host_syslog', 'service', 'pid', 'message'],
+        dateFormat: 'MMM dd HH:mm:ss'
+      }]
+    }
+  ]
+}
+
+const LogParser = require('/root/reference/lib/parser/parser.js')
+
+const TOOLS = ['json', 'json', 'nginx', 'nginx', 'redis', 'kafka', 'mongo', 'mysql', 'heroku', 'system.log', 'elasticsearch', 'elasticsearch']
+
+function lineFor (i) {
+  const k = (i + Math.floor(i / 20)) % 12
+  const c = i % 1000
+  const p = i % 32768
+  const ms = String(i % 1000).padStart(3, '0')
+  const o = (i % 250) + 1
+  const st = ['200', '404', '500', '301'][i % 4]
+  const sz = (i % 90000) + 100
+  switch (k) {
+    case 0: return `{"message":"hello world","counter":${c}}`
+    case 1: return `{"pid":${p},"level":30,"msg":"request done","time":"2017-02-08T21:13:49.${ms}Z","v":0,"counter":${c}}`
+    case 2: return `91.67.80.${o} - - [03/Apr/2016:06:25:38 +0000] "GET /about/${c} HTTP/1.1" ${st} ${sz} "https://sematext.com/x" "Mozilla/5.0"`
+    case 3: return `agent note: contact user${i % 500}@example.com from 10.0.0.${o} using key sk-aaaa`
+    case 4: return `${p}:M 22 Jul 21:58:28.${ms} # Server started, Redis version 3.0.${i % 10}`
+    case 5: return `[2017-03-30 09:26:39,${ms}] INFO Client session ${c} timed out`
+    case 6: return `2015-07-28T00:35:46.${ms}+0000 I JOURNAL  [initandlisten] journal dir=/data/db/journal${c}`
+    case 7: return `2015-07-25 14:11:35 ${c} [Note] mysqld starting as process ${p} ...`
+    case 8: return `285 <158>1 2016-04-05T19:36:48.459692+00:00 host heroku router - at=info method=GET path="/p/${c}" status=${st} bytes=${sz}`
+    case 9: return `Jul 25 14:11:${String(i % 60).padStart(2, '0')} myhost myservice[${p}]: something happened ${c}`
+    case 10: return `[2016-01-01 10:00:00,${ms}][ERROR][index.engine     ][node-1] merge failed ${c}`
+    default: return `\tat java.lang.Foo.bar(Foo.java:${c})`
+  }
+}
+
+const dummyPatternFile = '/root/reference/package.json' // exists; js-yaml shim ignores content
+const parser = new LogParser([dummyPatternFile], {})
+
+if (process.argv[2] === '--check') {
+  // correctness spot-check: one line per template family
+  for (let k = 0; k < 12; k++) {
+    // for i < 12, template index == i (conv offset is 0)
+    parser.parseLine(lineFor(k), TOOLS[k], function (err, d) {
+      console.log(JSON.stringify({
+        tmpl: k, type: d._type, severity: d.severity,
+        status: d.status_code, method: d.method,
+        message: String(d.message || '').slice(0, 30)
+      }))
+    })
+  }
+  process.exit(0)
+}
+
+const N = Number(process.argv[2] || 1000000)
+
+let parsedCount = 0
+const cb = function (err, data) { if (data) parsedCount++ }
+
+// warm (JIT)
+for (let i = 0; i < 50000; i++) parser.parseLine(lineFor(i), TOOLS[(i + Math.floor(i / 20)) % 12], cb)
+parsedCount = 0
+
+const t0 = process.hrtime.bigint()
+for (let i = 0; i < N; i++) {
+  parser.parseLine(lineFor(i), TOOLS[(i + Math.floor(i / 20)) % 12], cb)
+}
+const wallNs = Number(process.hrtime.bigint() - t0)
+const wall = wallNs / 1e9
+console.log(JSON.stringify({
+  engine: 'reference logagent-js parser (deps shimmed, reduced 8-group pattern set)',
+  lines: N,
+  parsed: parsedCount,
+  wall_sec: Math.round(wall * 1000) / 1000,
+  lines_per_sec: Math.round(N / wall)
+}))
+process.exit(0)

@@ -1,0 +1,2 @@
+const id = (s) => s
+module.exports = { red: id, yellow: id, blue: id, green: id, grey: id, bold: id }

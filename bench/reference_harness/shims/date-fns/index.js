@@ -1,0 +1,51 @@
+// shim: minimal date-fns (parse/parseISO/isValid) for the formats used in
+// the benchmark pattern set; real parsing work, comparable cost.
+const MONTHS = { Jan: 0, Feb: 1, Mar: 2, Apr: 3, May: 4, Jun: 5, Jul: 6, Aug: 7, Sep: 8, Oct: 9, Nov: 10, Dec: 11 }
+const TOKENS = [
+  ['yyyy', '(\\d{4})'], ['MMM', '([A-Za-z]{3})'], ['MM', '(\\d{2})'],
+  ['dd', '(\\d{1,2})'], ['HH', '(\\d{2})'], ['mm', '(\\d{2})'], ['ss', '(\\d{2})'],
+  ['SSS', '(\\d{1,3})'], ['SS', '(\\d{1,3})'], ['X', '([+-]\\d{4}|Z)'], ['ZZ', '([+-]\\d{4}|Z)'], ['Z', '([+-]\\d{4}|Z)']
+]
+const cache = {}
+function compile (fmt) {
+  if (cache[fmt]) return cache[fmt]
+  const parts = []
+  let re = ''
+  let i = 0
+  outer: while (i < fmt.length) {
+    for (const [tok, pat] of TOKENS) {
+      if (fmt.startsWith(tok, i)) { re += pat; parts.push(tok); i += tok.length; continue outer }
+    }
+    re += fmt[i].replace(/[.*+?^${}()|[\]\\]/g, '\\$&')
+    i += 1
+  }
+  cache[fmt] = { re: new RegExp('^' + re), parts }
+  return cache[fmt]
+}
+function parse (str, fmt, ref) {
+  const { re, parts } = compile(fmt)
+  const m = re.exec(String(str))
+  if (!m) return new Date(NaN)
+  const f = { y: ref.getFullYear(), mo: 0, d: 1, h: 0, mi: 0, s: 0, ms: 0, off: null }
+  parts.forEach((tok, j) => {
+    const v = m[j + 1]
+    if (tok === 'yyyy') f.y = +v
+    else if (tok === 'MMM') f.mo = MONTHS[v] ?? 0
+    else if (tok === 'MM') f.mo = +v - 1
+    else if (tok === 'dd') f.d = +v
+    else if (tok === 'HH') f.h = +v
+    else if (tok === 'mm') f.mi = +v
+    else if (tok === 'ss') f.s = +v
+    else if (tok === 'SSS' || tok === 'SS') f.ms = +v
+    else if (tok === 'X' || tok === 'ZZ' || tok === 'Z') f.off = v
+  })
+  if (f.off && f.off !== 'Z') {
+    const sign = f.off[0] === '-' ? -1 : 1
+    const offMin = sign * (60 * +f.off.slice(1, 3) + +f.off.slice(3, 5))
+    return new Date(Date.UTC(f.y, f.mo, f.d, f.h, f.mi, f.s, f.ms) - offMin * 60000)
+  }
+  return new Date(f.y, f.mo, f.d, f.h, f.mi, f.s, f.ms)
+}
+function parseISO (str) { const d = new Date(str); return d }
+function isValid (d) { return d instanceof Date && !isNaN(d) }
+module.exports = { parse, parseISO, isValid }

@@ -1,0 +1,6 @@
+// shim: returns the harness-injected pattern config regardless of content
+// (offline sandbox has no YAML parser; patterns are provided as JS objects)
+module.exports = {
+  load: function () { return globalThis.__LOGAGENT_TEST_PATTERNS__ },
+  dump: function (o) { return JSON.stringify(o) }
+}

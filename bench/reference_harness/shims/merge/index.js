@@ -1,0 +1,15 @@
+// shim of npm `merge`: merge.recursive(clone, a, b, ...)
+function isObj (v) { return v && typeof v === 'object' && !Array.isArray(v) && !(v instanceof RegExp) && !(v instanceof Date) }
+function rec (a, b) {
+  const out = Object.assign({}, a)
+  for (const k of Object.keys(b || {})) {
+    out[k] = isObj(out[k]) && isObj(b[k]) ? rec(out[k], b[k]) : b[k]
+  }
+  return out
+}
+function merge (...args) {
+  if (args[0] === true || args[0] === false) args.shift()
+  return args.reduce((acc, o) => rec(acc, o || {}), {})
+}
+merge.recursive = function (...args) { return merge(...args) }
+module.exports = merge

@@ -1,0 +1,4 @@
+// shim: call(fn, cb) -> cb(err, result)
+module.exports = function call (fn, cb) {
+  try { cb(null, fn()) } catch (e) { cb(e) }
+}
