@@ -622,6 +622,44 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components (iterative min-label
+    propagation) over the jaccard near-dup pairs; oracle = recursive CTE
+    transitive closure in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    return dedup.duplicate_clusters(pairs).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+_DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS sh
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate (LSH) — no SQL oracle; rows-only check. pytest verifies the
     # estimator against exact jaccard on fixtures.
@@ -884,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -922,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing": _TPCH_Q1_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "similarity_topk_cosine": _SIM_TOPK_SQL,
         "textstats_langid": _LANGID_SQL,
         "textstats_quality": _QUALITY_SQL,

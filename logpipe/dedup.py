@@ -331,3 +331,61 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-dup pairs into clusters: connected components by iterative
+    min-label propagation (the alternating-star family of MapReduce CC
+    algorithms, simplified: each round every node takes the min label among
+    itself and its neighbors; converges in O(component diameter) rounds —
+    near-dup components are shallow in practice).
+
+    Returns (id, cluster_id = min doc id of the component). Each round is one
+    shuffle on node id; frames are persisted per round and released after."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("cluster", F.col("id"))
+    labels = labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("cluster").alias("cluster_id"))

@@ -139,3 +139,23 @@ def ivf_topk(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train IVF cell centroids with Spark MLlib KMeans (distributed Lloyd —
+    the idiomatic-Spark counterpart of faiss's IVF training step). Returns
+    (cell int, centroid array<double>) ready for `ivf_topk`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = emb.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cell int, centroid array<double>")

@@ -136,3 +136,28 @@ def test_multimodal_plumbing(spark):
     assert all(r["sha"] is not None and r["n_bytes"] > 0 for r in rows)
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         extract_image_features(media, fake=False).collect()
+
+
+def test_duplicate_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9), (6, 7)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_train_ivf_centroids(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    c0, c1 = rng.standard_normal(16) * 0.1 + 5, rng.standard_normal(16) * 0.1 - 5
+    rows = [(i, [float(x) for x in (c0 if i % 2 == 0 else c1) + rng.standard_normal(16) * 0.01]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_ivf_centroids(emb, k=2)
+    assert cents.count() == 2
+    got = [r["centroid"][0] for r in cents.collect()]
+    assert min(got) < -4 and max(got) > 4  # recovered the two blobs
+    # trained centroids drive ivf_topk end-to-end
+    q = spark.createDataFrame([(0, rows[0][1])], "q_id long, q_vec array<double>")
+    top = similarity.ivf_topk(emb, q, cents, k=3, n_probe=1).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 0
