@@ -351,16 +351,23 @@ def duplicate_clusters(
     near-dup components are shallow in practice).
 
     Returns (id, cluster_id = min doc id of the component). Each round is one
-    shuffle on node id; frames are persisted per round and released after."""
+    shuffle on node id; per-round `localCheckpoint` TRUNCATES the logical
+    plan — without it each iteration nests the previous one and Catalyst
+    analysis grows until the driver OOMs around a dozen rounds (caught by the
+    12-node-chain probe). On a cluster with a checkpoint dir configured,
+    swap for reliable `checkpoint` to also survive executor loss."""
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("cluster", F.col("id"))
-    labels = labels.persist()
-    labels.count()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.b == labels.id)
@@ -375,7 +382,7 @@ def duplicate_clusters(
                     "cluster"
                 ),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -383,9 +390,7 @@ def duplicate_clusters(
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select("id", F.col("cluster").alias("cluster_id"))

@@ -161,3 +161,11 @@ def test_train_ivf_centroids(spark):
     q = spark.createDataFrame([(0, rows[0][1])], "q_id long, q_vec array<double>")
     top = similarity.ivf_topk(emb, q, cents, k=3, n_probe=1).orderBy("rank").collect()
     assert top[0]["vec_id"] == 0
+
+
+def test_duplicate_clusters_deep_chain(spark):
+    """Regression: a chain needing many propagation rounds must not nest the
+    logical plan (pre-localCheckpoint this OOMed the driver at ~12 rounds)."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(20)], "id_a long, id_b long")
+    out = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(chain, max_iter=40).collect()}
+    assert set(out.values()) == {0} and len(out) == 21
