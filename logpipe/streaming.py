@@ -233,3 +233,26 @@ def start_stream_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same content within
+    the watermark horizon (`dropDuplicatesWithinWatermark` keeps state
+    bounded — the streaming analog of dedup.exact_dedup; the reference has no
+    dedup, but re-delivered lines are exactly what its disk-buffer/retransmit
+    loop produces on sink failure, elasticsearch.js:156-163)."""
+    cols = cols or ["text"]
+    fp = F.sha2(
+        F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]), 256
+    )
+    return (
+        stream.withColumn("_fp", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

@@ -159,3 +159,24 @@ def test_streaming_multiline_matches_batch(spark, tmp_path):
         per_conv.setdefault(c, []).append(t)
     assert all(len(v) == 1 for v in per_conv.values())  # exactly the tail block
     assert len(got_set) + len(missing) == len(want_set)
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Re-delivered rows within the watermark are dropped exactly once."""
+    from logpipe.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "dup_in")
+    base = transcripts(spark, 500, 20)
+    base.union(base).write.parquet(src)  # every row delivered twice
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    out = stream_exact_dedup(stream, cols=["conv_id", "turn_idx", "text"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select count(*) c from dedup_stream").collect()[0]["c"]
+    assert got == 500
