@@ -78,7 +78,10 @@ def main():
     # lib/core/printStats.js:11-83) — no persist, no second traversal.
     from pyspark.sql import Observation
 
-    tr = transcripts(spark, n_turns, 20, partitions=cpus * 2)
+    # constant work per task (~32k rows) like bench/scaling.py — holds the
+    # task layout steady as n_turns scales
+    parts = max(cpus * 2, (n_turns + 32767) // 32768)
+    tr = transcripts(spark, n_turns, 20, partitions=parts)
     pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
     # warm the exact plan at full size first (JIT/codegen + python workers) —
     # steady-state throughput is the metric, as for any long-lived pipeline;
@@ -97,7 +100,7 @@ def main():
     # (hot conv_id regime of the north rule) — throughput should stay in the
     # same ballpark because parse/mask/route are narrow and the aggregate
     # relies on map-side partial aggregation + AQE
-    tr_skew = transcripts(spark, n_turns // 2, 20, skew=2.5, partitions=cpus * 2)
+    tr_skew = transcripts(spark, n_turns // 2, 20, skew=2.5, partitions=parts)
     pipe.aggregates(pipe.routed(tr_skew)).count()  # warm plan
     t0 = time.time()
     pipe.aggregates(pipe.routed(tr_skew)).count()

@@ -180,3 +180,32 @@ def test_stream_exact_dedup(spark, tmp_path):
     q.awaitTermination(300)
     got = spark.sql("select count(*) c from dedup_stream").collect()[0]["c"]
     assert got == 500
+
+
+def test_stream_checkpoint_incremental(spark, tmp_path):
+    """Kill/restart semantics: a second availableNow run with the SAME
+    checkpoint processes only files added since — no reprocessing, no
+    duplicate rows in the fan-out (the reference's tail-pointer resume,
+    files.js:210-255, minus the inode fragility)."""
+    from logpipe.streaming import start_stream_pipeline
+
+    src = str(tmp_path / "inc_in")
+    out = str(tmp_path / "inc_out")
+    ckpt = str(tmp_path / "inc_ckpt")
+    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+
+    first = transcripts(spark, 1000, 20)
+    first.write.parquet(src)
+    q = start_stream_pipeline(spark, src, out, ckpt, pipe=pipe, available_now=True)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(f"{out}/routed").count()
+
+    # new data arrives; restart from the same checkpoint
+    transcripts(spark, 500, 20, base_ts="2024-02-01 00:00:00").write.mode("append").parquet(src)
+    q = start_stream_pipeline(spark, src, out, ckpt, pipe=pipe, available_now=True)
+    q.awaitTermination(300)
+    n2 = spark.read.parquet(f"{out}/routed").count()
+
+    want_total = pipe.routed(spark.read.parquet(src)).count()
+    assert n2 == want_total  # everything exactly once
+    assert n2 > n1  # the increment actually processed
