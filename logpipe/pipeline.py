@@ -41,6 +41,7 @@ class TranscriptPipeline:
 
     ruleset: RuleSet = dc_field(default_factory=lambda: DEFAULT_RULESET)
     mapper: TokenMapper = dc_field(default_factory=lambda: DEFAULT_MAPPER)
+    multiline: bool = False  # reassemble blocks BEFORE parse (parser.js:485-489)
     mask_text: bool = True
     hash_field_names: tuple[str, ...] = ()
     default_index: str = "default"
@@ -50,6 +51,13 @@ class TranscriptPipeline:
     extra_stages: tuple[Callable[[DataFrame], DataFrame], ...] = ()
 
     def parsed(self, transcripts: DataFrame) -> DataFrame:
+        if self.multiline:
+            # the reference feeds lines through the per-source multiline
+            # reader before pattern matching (parser.js:485-489); batch
+            # restatement is the blockStart sessionization window
+            from .order import reassemble_multiline
+
+            transcripts = reassemble_multiline(transcripts, self.ruleset)
         return parse_text(transcripts, self.ruleset, source_col="tool")
 
     def routed(self, transcripts: DataFrame) -> DataFrame:

@@ -85,3 +85,28 @@ def test_rerun_unit_idempotent(spark, tmp_path):
     # force re-run of everything under a new run_id: overwrite, not append
     run_resumable(spark, tr, lambda d: d, out_dir, lin_dir, run_id="run-1", n_units=2)
     assert spark.read.parquet(out_dir).count() == 400
+
+
+def test_pipeline_multiline_mode(spark):
+    """multiline=True reassembles blocks BEFORE parse (parser.js:485-489):
+    an elasticsearch stack line attaches to its head and the joined block
+    parses as ONE elasticsearch event whose message carries the stack."""
+    from logpipe.datagen import transcripts
+
+    tr = transcripts(spark, 2400, 20)
+    pipe_ml = TranscriptPipeline(multiline=True)
+    parsed = pipe_ml.parsed(tr)
+    es = parsed.filter(F.col("log_type") == "elasticsearch")
+    # continuation templates rode along: some ES messages are multi-line
+    joined = es.filter(F.col("message").contains("\n\tat ")).count()
+    assert joined > 0
+    # and no bare continuation rows survive as fallback in ES sources
+    bare = parsed.filter(
+        (F.col("tool") == "elasticsearch") & F.col("text").startswith("\tat ")
+    ).count()
+    assert bare == 0
+    # row conservation: blocks + singletons == original lines
+    total_lines = pipe_ml.parsed(tr).select(
+        F.sum(F.size(F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1))).alias("n")
+    ).collect()[0]["n"]
+    assert total_lines == 2400
