@@ -20,7 +20,7 @@ for joins; the window itself must see a whole conv_id per partition
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .rules import DEFAULT_RULESET, RuleSet

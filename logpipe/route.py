@@ -22,7 +22,7 @@ a single dynamic-partitioned write instead (one pass, zero re-reads) — the
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

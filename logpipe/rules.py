@@ -21,7 +21,7 @@ fixture-tested against the reference's documented outputs.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import pandas as pd

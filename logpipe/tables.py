@@ -18,7 +18,6 @@ and pass idents like `lake.logs.routed` — everything else is unchanged.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def is_catalog_ident(ident: str) -> bool:
