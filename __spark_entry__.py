@@ -129,7 +129,9 @@ def q_parse_grok_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.groupBy(field("status_code", "long").alias("status_code"))
         .agg(
             F.count("*").alias("hits"),
-            F.sum(field("size", "long")).alias("bytes"),
+            # fixed-width on BOTH sides: DuckDB SUM(BIGINT) yields HUGEINT,
+            # whose driver-side rendering differs from Spark's long
+            F.sum(field("size", "long")).cast("long").alias("bytes"),
         )
     )
 
@@ -137,7 +139,7 @@ def q_parse_grok_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARSE_GROK_SQL = """
 SELECT (event_id % 4 * 100 + 200) AS status_code,
        count(*) AS hits,
-       sum(event_id % 9000 + 100) AS bytes
+       CAST(sum(event_id % 9000 + 100) AS BIGINT) AS bytes
 FROM events
 GROUP BY 1
 """
@@ -309,8 +311,8 @@ def q_stats_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STATS_SQL = """
 SELECT count(*) AS lines,
-       sum(strlen(text)) AS bytes,
-       sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS empty_lines
+       CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_lines
 FROM documents
 """
 
@@ -499,7 +501,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     blocks = ev.withColumn(
-        "session_id", F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w)
+        "session_id",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w).cast("long"),
     )
     return blocks.groupBy("user_id", "session_id").agg(
         F.count("*").alias("events"), F.round(F.sum("value"), 3).alias("total_value")
@@ -510,9 +513,9 @@ _SESSIONIZE_SQL = """
 SELECT user_id, session_id, count(*) AS events, round(sum(value), 3) AS total_value
 FROM (
   SELECT user_id, value,
-         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM events
 )
 GROUP BY 1, 2
@@ -835,14 +838,91 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# transcripts pipeline (own deterministic generator — rows-only check; the
-# full fixture verification lives in tests/)
+# transcripts pipeline over the deterministic arithmetic generator
+# (datagen.transcripts). The DuckDB oracles derive the expected outputs
+# arithmetically from range(n): template index = (i + i//20) % 12, role =
+# i % 4; the per-template (tool, sink, event-hour) constants below are the
+# deterministic parse/route outcomes of the fixed template strings (same
+# technique as _PARSE_GROK_SQL). n is pinned to the driver's correctness
+# scale (sf0.01 → 20,000 turns).
 # ---------------------------------------------------------------------------
+
+# per-template constants (templates 10/11 are elasticsearch → dropped by the
+# tool dim's logs_enabled=false flag; role 'system' carries the role dim's
+# SYSTEM-TOKEN routing override)
+_T_TOOLS = "['json','json','nginx','nginx','redis','kafka','mongo','mysql','heroku','system.log','elasticsearch','elasticsearch']"
+_T_SINKS = (
+    "['app-logs-2024-01-01','app-logs-2017-02-08','web-logs','web-logs',"
+    "'datastore-logs','queue-logs','datastore-logs','datastore-logs',"
+    "'queue-logs','app-logs-2024-07-25']"
+)
+_T_HOURS = (
+    "[TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2017-02-08 21:00:00',"
+    " TIMESTAMP '2016-04-03 06:00:00', TIMESTAMP '2024-01-01 00:00:00',"
+    " TIMESTAMP '2024-07-22 21:00:00', TIMESTAMP '2017-03-30 09:00:00',"
+    " TIMESTAMP '2015-07-28 00:00:00', TIMESTAMP '2015-07-25 14:00:00',"
+    " TIMESTAMP '2016-04-05 19:00:00', TIMESTAMP '2024-07-25 14:00:00']"
+)
+_T_ROLES = "['user','assistant','system','tool']"
+
+_TRANSCRIPT_BASE_CTE = f"""
+WITH r AS (
+  SELECT CAST((i + i // 20) % 12 AS INT) AS tmpl,
+         ({_T_ROLES})[CAST(i % 4 AS INT) + 1] AS role
+  FROM range(20000) t(i)
+  WHERE (i + i // 20) % 12 < 10
+),
+m AS (
+  SELECT ({_T_TOOLS})[tmpl + 1] AS tool,
+         ({_T_HOURS})[tmpl + 1] AS hour,
+         CASE WHEN role = 'system' THEN 'SYSTEM-TOKEN'
+              ELSE ({_T_SINKS})[tmpl + 1] END AS sink,
+         role
+  FROM r
+)
+"""
+
+_TRANSCRIPT_PIPELINE_SQL = (
+    _TRANSCRIPT_BASE_CTE
+    + "SELECT sink, role, tool, hour, count(*) AS events FROM m GROUP BY 1, 2, 3, 4"
+)
+
+_TRANSCRIPT_STREAM_SQL = (
+    _TRANSCRIPT_BASE_CTE + "SELECT sink, count(*) AS events FROM m GROUP BY 1"
+)
+
+# multiline oracle: replicate the block-reassembly cumulative sum in SQL.
+# Every template line matches its reader's blockStart except template 11
+# (the '\tat ...' stack continuation) — a derived constant of the fixed
+# template strings vs the blockStart regexes, fixture-tested in test_parser.
+_TRANSCRIPT_MULTILINE_SQL = f"""
+WITH r AS (
+  SELECT i // 20 AS conv, i % 20 AS turn,
+         CAST((i + i // 20) % 12 AS INT) AS tmpl
+  FROM range(20000) t(i)
+),
+b AS (
+  SELECT conv, turn, ({_T_TOOLS})[tmpl + 1] AS tool,
+         sum(CASE WHEN tmpl != 11 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv ORDER BY turn) AS block_id
+  FROM r
+),
+g AS (
+  SELECT conv, block_id, min_by(tool, turn) AS tool, count(*) AS n_lines
+  FROM b GROUP BY 1, 2
+)
+SELECT tool, count(*) AS blocks,
+       CAST(sum(CASE WHEN n_lines > 1 THEN 1 ELSE 0 END) AS BIGINT) AS joined_blocks
+FROM g GROUP BY 1
+"""
+
+
+def _transcript_n(sf_dir: str) -> int:
+    return 20_000 if "0.01" in sf_dir else 5_000
 
 
 def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = 20_000 if "0.01" in sf_dir else 5_000
-    tr = transcripts(spark, n, 20)
+    tr = transcripts(spark, _transcript_n(sf_dir), 20)
     pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
     return per_sink_counts(pipe.routed(tr), group_cols=["sink", "role", "tool"]).orderBy(
         "sink", "role", "tool", "hour"
@@ -850,42 +930,55 @@ def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_transcript_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming mode (rows-only): file-source stream through the
-    same stage functions, windowed per-sink counts with watermark, drained
-    with availableNow. Equality with the batch pipeline is pytest-verified
+    """Structured Streaming mode: file-source stream through the same stage
+    functions, windowed per-sink counts with watermark, drained with
+    availableNow. The windowed aggregate is written per batch via foreachBatch
+    (overwrite — idempotent, nothing accumulates on the driver; the old
+    complete-mode memory sink did) and read back as a batch frame. Stream ==
+    batch equality is additionally pytest-verified
     (tests/test_filters_streaming.py)."""
+    import atexit
+    import shutil
     import tempfile
 
     from logpipe.streaming import read_transcript_stream, windowed_sink_counts
 
-    n = 20_000 if "0.01" in sf_dir else 5_000
-    src = tempfile.mkdtemp(prefix="logpipe_stream_")
-    transcripts(spark, n, 20).write.mode("overwrite").parquet(src)
+    work = tempfile.mkdtemp(prefix="logpipe_stream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    transcripts(spark, _transcript_n(sf_dir), 20).write.mode("overwrite").parquet(src)
     pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
     routed = pipe.routed(read_transcript_stream(spark, src))
+
+    def _write(batch_df: DataFrame, _batch_id: int):
+        batch_df.write.mode("overwrite").parquet(out)
+
     q = (
         windowed_sink_counts(routed, interval="1 hour")
-        .writeStream.format("memory")
-        .queryName("q_stream_counts")
-        .outputMode("complete")
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(_write)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(600)
-    return spark.table("q_stream_counts").groupBy("sink").agg(
-        F.sum("events").alias("events")
+    return (
+        spark.read.parquet(out)
+        .groupBy("sink")
+        .agg(F.sum("events").cast("long").alias("events"))
     )
 
 
 def q_transcript_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logpipe.order import reassemble_multiline
 
-    n = 20_000 if "0.01" in sf_dir else 5_000
-    tr = transcripts(spark, n, 20)
+    tr = transcripts(spark, _transcript_n(sf_dir), 20)
     blocks = reassemble_multiline(tr)
     return blocks.groupBy("tool").agg(
         F.count("*").alias("blocks"),
-        F.sum(F.when(F.col("text").contains("\n"), 1).otherwise(0)).alias("joined_blocks"),
+        F.sum(F.when(F.col("text").contains("\n"), 1).otherwise(0))
+        .cast("long")
+        .alias("joined_blocks"),
     )
 
 
@@ -967,5 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "textstats_quality": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint_docs": _FINGERPRINT_SQL,
-        # approximate/LSH ops + own-generator transcripts: rows-only checks
+        "transcript_pipeline": _TRANSCRIPT_PIPELINE_SQL,
+        "transcript_stream": _TRANSCRIPT_STREAM_SQL,
+        "transcript_multiline": _TRANSCRIPT_MULTILINE_SQL,
     }

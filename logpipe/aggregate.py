@@ -11,6 +11,8 @@ no UDAF.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,20 +65,44 @@ def interval_sql(
     return result
 
 
+_GROUP_BY_RE = re.compile(r"\bgroup\s+by\b", re.IGNORECASE)
+_SELECT_RE = re.compile(r"\bselect\b", re.IGNORECASE)
+
+
+def _top_level(q: str, matches) -> re.Match | None:
+    """First regex match at parenthesis depth 0 (subqueries live in parens)."""
+    for m in matches:
+        if q.count("(", 0, m.start()) == q.count(")", 0, m.start()):
+            return m
+    return None
+
+
 def _inject_window_grouping(query: str, view: str, group_extra: list[str]) -> str:
-    """Per-interval semantics: add the window (and source) to SELECT and
-    GROUP BY when the query aggregates. Queries may also reference
-    window_start explicitly, in which case they are run verbatim."""
+    """Per-interval semantics: add the window (and source) to the outer
+    SELECT and GROUP BY when the query aggregates. Queries may also reference
+    window_start explicitly, in which case they are run verbatim.
+
+    Mixed-case and subquery-safe: only the top-level (depth-0) SELECT /
+    GROUP BY of a query that selects FROM the buffer view directly are
+    rewritten. A query whose outer FROM is a subquery runs verbatim (the
+    subquery occludes the window column — such queries must reference
+    `window_start` explicitly for per-interval semantics); nested GROUP BYs
+    inside parens are never touched."""
     q = query.strip().rstrip(";")
-    lowered = q.lower()
-    if "window_start" in lowered or "group by" not in lowered:
+    if re.search(r"\bwindow_start\b", q, re.IGNORECASE):
         return q
+    gb = _top_level(q, _GROUP_BY_RE.finditer(q))
+    if gb is None:
+        return q
+    from_buffer = _top_level(q, re.finditer(rf"\bfrom\s+{view}\b", q, re.IGNORECASE))
+    if from_buffer is None:
+        return q
+    head, tail = q[: gb.start()], q[gb.end():]
+    sel = _top_level(head, _SELECT_RE.finditer(head))
     extra = ", ".join(group_extra)
-    head, _, tail = q.partition("GROUP BY") if "GROUP BY" in q else q.partition("group by")
-    select_head = head.replace("SELECT", f"SELECT {extra},", 1) if "SELECT" in head else head.replace(
-        "select", f"select {extra},", 1
-    )
-    return f"{select_head} GROUP BY {extra}, {tail}"
+    if sel is not None:
+        head = head[: sel.end()] + f" {extra}," + head[sel.end():]
+    return f"{head} GROUP BY {extra}, {tail}"
 
 
 def throughput_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -29,6 +29,31 @@ def test_sql_filter_two_intervals(spark):
     assert out.count() == 2  # per-interval buffers (sql.js:55-82)
 
 
+def test_sql_filter_mixed_case_group_by(spark):
+    # mixed-case keywords must still gain the window grouping (regression:
+    # the old partition()-based rewrite produced malformed SQL for 'Group By')
+    rows = [(T0, "src", 100, "/") for _ in range(4)]
+    df = spark.createDataFrame(rows, "ts timestamp, log_source string, size int, path string")
+    out = interval_sql(
+        spark, df, "Select Sum(size) As size, path From buffer Group By path", 60
+    ).collect()
+    assert len(out) == 1 and out[0]["size"] == 400
+
+
+def test_sql_filter_subquery_group_by(spark):
+    # outer FROM is a subquery: the query must run VERBATIM (no malformed
+    # injection — regression for the partition()-splitting rewrite)
+    rows = [(T0, "s", 100, "/a"), (T0, "s", 50, "/b"), (T0, "s", 25, "/b")]
+    df = spark.createDataFrame(rows, "ts timestamp, log_source string, size int, path string")
+    q = (
+        "SELECT max(path_total) AS biggest FROM "
+        "(SELECT path, SUM(size) AS path_total FROM buffer GROUP BY path) t "
+        "GROUP BY path_total < 0"
+    )
+    out = interval_sql(spark, df, q, 60).collect()
+    assert len(out) == 1 and out[0]["biggest"] == 100
+
+
 def test_sql_filter_invalid_query_raises(spark):
     # sql-filter-test.js:42-65: error surfaced, no crash
     df = spark.createDataFrame([(T0, "s", 1, "/")], "ts timestamp, log_source string, size int, path string")
