@@ -664,23 +664,135 @@ SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate (LSH) — no SQL oracle; rows-only check. pytest verifies the
-    # estimator against exact jaccard on fixtures.
+    """MinHash + banded LSH. The algorithm is deterministic (md5-based base
+    hashes, seeded permutation params), so the DuckDB oracle REPLICATES it in
+    SQL end-to-end — signatures, banding, candidate join, estimator — and the
+    driver hash-checks the whole approximate pipeline, not just row counts."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, num_hashes=64)
-    return dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+    return dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.5, num_hashes=64)
+
+
+def _minhash_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5, seed: int = 42) -> str:
+    """SQL replica of minhash_signatures + minhash_lsh_pairs (same seeded
+    params, same md5 base hash, same uint64-wraparound permutations)."""
+    a_params, b_params = dedup._hash_params(num_hashes, seed)
+    a_u = (a_params.astype("uint64") | 1).tolist()
+    b_u = b_params.astype("uint64").tolist()
+    params = ", ".join(f"({j}, {a}::HUGEINT, {b}::HUGEINT)" for j, (a, b) in enumerate(zip(a_u, b_u)))
+    rows = num_hashes // bands
+    return rf"""
+WITH g AS (
+  SELECT doc_id, [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)] AS grams
+  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+),
+hs AS (
+  SELECT doc_id, unnest([('0x' || substr(md5(gr), 1, 16))::UBIGINT % 9223372036854775808 FOR gr IN grams]) AS h
+  FROM g
+),
+p(j, a, b) AS (VALUES {params}),
+sigv AS (
+  SELECT doc_id, j, min(((a * h + b) % 18446744073709551616) // 2) AS v
+  FROM hs, p GROUP BY doc_id, j
+),
+s AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
+bands AS (SELECT doc_id, k, sig[{rows}*k+1:{rows}*k+{rows}] AS band FROM s, range({bands}) t(k)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM (
+  SELECT id_a, id_b,
+         len([i FOR i IN range(1, {num_hashes + 1}) IF sa.sig[i] = sb.sig[i]]) / {num_hashes}.0 AS est
+  FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+) WHERE est >= {threshold}
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with 4-block Hamming LSH (pigeonhole full recall at hamming≤3);
+    deterministic md5 word hashes → the oracle replicates bit voting, blocking
+    and verification in SQL."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(dedup.simhash(docs), max_hamming=3)
+    return dedup.simhash_near_dups(dedup.simhash(docs), max_hamming=3, n_blocks=4)
+
+
+_SIMHASH_SQL = r"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+  FROM documents
+),
+wh AS (
+  SELECT doc_id, (('0x' || substr(md5(word), 1, 16))::UBIGINT % 9223372036854775808)::BIGINT AS h
+  FROM t
+),
+v AS (
+  SELECT doc_id, j,
+         CASE WHEN 2 * sum((h >> j) & 1) > count(*) THEN (1::BIGINT << j) ELSE 0 END AS bitv
+  FROM wh, range(63) r(j) GROUP BY doc_id, j
+),
+sh AS (SELECT doc_id, CAST(sum(bitv) AS BIGINT) AS simhash FROM v GROUP BY doc_id),
+blk AS (SELECT doc_id, k, (simhash >> CAST(k * 16 AS INT)) & 65535 AS bv FROM sh, range(4) r(k)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blk a JOIN blk b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
+def _plane_sql(p: int, seed: int = 42, dim: int = 64) -> str:
+    """SQL list literal for hyperplane p — the same integer-exact LCG formula
+    as similarity.lcg_plane_value, evaluated inside DuckDB."""
+    return (
+        f"[((1103515245 * ({p * dim} + i + {seed}) + 12345) % 2147483648 % 2001 - 1000) / 1000.0 "
+        f"FOR i IN range({dim})]"
+    )
+
+
+def _dot_sql(vec: str, plane: str) -> str:
+    return f"list_sum(list_transform(list_zip({vec}, {plane}), x -> x[1] * x[2]))"
+
+
+def _sig_sql(vec: str, n_planes: int, seed: int = 42, dim: int = 64) -> str:
+    bits = ", ".join(
+        f"CASE WHEN {_dot_sql(vec, _plane_sql(p, seed, dim))} >= 0 THEN '1' ELSE '0' END"
+        for p in range(n_planes)
+    )
+    return f"concat({bits})"
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
     # random synthetic embeddings have no 0.95-dups; 0.3 keeps the check
-    # non-trivial (bucket join + exact verify still exercised)
+    # non-trivial (bucket join + exact verify still exercised). The sign-LSH
+    # planes are integer-LCG-derived, so the oracle replicates the bucketing.
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     return dedup.embedding_near_dups(emb, threshold=0.3)
+
+
+def _embedding_dedup_sql(n_planes: int = 8, threshold: float = 0.3) -> str:
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_sig_sql('v', n_planes)} AS s FROM e)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+) WHERE cos >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -723,11 +835,77 @@ SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate bucketed ANN — rows-only check
+    # bucketed ANN; deterministic LCG planes → full SQL-replica oracle
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return similarity.lsh_topk(emb, _queries_from_table(emb), k=10, n_planes=6)
+    return similarity.lsh_topk(emb, _queries_from_table(emb), k=10, n_planes=6).select(
+        "q_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _lsh_topk_sql(n_planes: int = 6, k: int = 10, n_q: int = 5) -> str:
+    cos = _COS_SQL.format(a="c.v", b="c.qv")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_sig_sql('v', n_planes)} AS s FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, s AS qs FROM sig WHERE vec_id < {n_q}),
+c AS (SELECT q.q_id, sig.vec_id, sig.v, q.qv FROM sig JOIN q ON sig.s = q.qs),
+scored AS (SELECT q_id, vec_id, round({cos}, 6) AS cosine FROM c),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic fixture centroids (the first 8 corpus
+    vectors — SQL-expressible, unlike a KMeans model, which pytest covers):
+    vectorized pandas-UDF cell assignment over the broadcast centroid matrix,
+    probe 2 cells per query, exact rank within probed cells. The oracle
+    replicates assignment (round-9 cosine, lowest-cell tie-break), probing
+    and ranking."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    return similarity.ivf_topk(
+        emb, _queries_from_table(emb), cents, k=10, n_probe=2
+    ).select("q_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+
+
+def _ivf_topk_sql(n_cells: int = 8, n_probe: int = 2, k: int = 10, n_q: int = 5) -> str:
+    cos_ec = _COS_SQL.format(a="e.v", b="c.cv")
+    cos = _COS_SQL.format(a="e.v", b="q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < {n_cells}),
+allass AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos_ec}, 9) DESC, c.cell ASC) AS rn
+  FROM e CROSS JOIN c
+),
+ass AS (SELECT vec_id, cell FROM allass WHERE rn = 1),
+qp AS (SELECT vec_id AS q_id, cell FROM allass WHERE vec_id < {n_q} AND rn <= {n_probe}),
+scored AS (
+  SELECT qp.q_id, e.vec_id, round({cos}, 6) AS cosine
+  FROM qp JOIN ass ON ass.cell = qp.cell
+  JOIN e ON e.vec_id = ass.vec_id
+  JOIN (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {n_q}) q ON q.q_id = qp.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -822,6 +1000,26 @@ SELECT doc_id,
             ELSE len(string_split(trim(text), ' ')) END AS tokens_ws,
        len(regexp_extract_all(text, '[A-Za-z]{1,6}|\d{1,3}|[^\sA-Za-z\d]')) AS tokens_bpe
 FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing driver query: Arrow-batched mapInPandas feature
+    extraction over the deterministic synthetic media table (decode stubbed
+    with fake=True — the Spark-side schema/batch plumbing is what's checked).
+    payload = utf-8 bytes of sha2(id) hex, so sha/n_bytes are oracle-exact:
+    sha256(sha256(i::VARCHAR)), 64 bytes."""
+    from logpipe.multimodal import extract_image_features, synthetic_media
+
+    media = synthetic_media(spark, 500)
+    return extract_image_features(media, fake=True).select("media_id", "sha", "n_bytes")
+
+
+_MULTIMODAL_SQL = """
+SELECT i AS media_id,
+       sha256(sha256(CAST(i AS VARCHAR))) AS sha,
+       CAST(64 AS INT) AS n_bytes
+FROM range(500) t(i)
 """
 
 
@@ -1021,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk_cosine": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "multimodal_features": q_multimodal_features,
         "textstats_langid": q_textstats_langid,
         "textstats_quality": q_textstats_quality,
         "token_counts": q_token_counts,
@@ -1055,7 +1255,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _SIMHASH_SQL,
+        "dedup_embedding": _embedding_dedup_sql(),
         "similarity_topk_cosine": _SIM_TOPK_SQL,
+        "similarity_lsh_topk": _lsh_topk_sql(),
+        "similarity_ivf_topk": _ivf_topk_sql(),
+        "multimodal_features": _MULTIMODAL_SQL,
         "textstats_langid": _LANGID_SQL,
         "textstats_quality": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -192,24 +192,32 @@ def minhash_signatures(
 
 
 def hash_str64(s: str) -> int:
-    """Deterministic 64-bit string hash (stable across processes, unlike
-    hash()): blake2b runs in C, ~20x faster than a pure-Python FNV loop."""
+    """Deterministic 63-bit string hash (stable across processes, unlike
+    hash()), chosen to be replicable inside SQL oracles: first 8 bytes of
+    md5, big-endian, sign bit cleared — in DuckDB exactly
+    `('0x' || substr(md5(s), 1, 16))::UBIGINT % 2^63`. md5 runs in C; the
+    oracle replica is what lets the driver hash-check the minhash/simhash
+    pipelines end-to-end."""
     import hashlib
 
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") & 0x7FFFFFFFFFFFFFFF
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
 
 def minhash_lsh_pairs(
     sigs: DataFrame,
     bands: int = 16,
     threshold: float = 0.5,
+    num_hashes: int = 64,
 ) -> DataFrame:
     """Band signatures → bucket-join candidates → verify by signature overlap.
 
     bands×rows = len(signature); two docs collide if any band matches
     (probability curve ~ (1-(1-j^r)^b)). Returns (id_a, id_b, est_jaccard).
+    `num_hashes` must match the signature length (passed explicitly — a
+    head-probe `first()` would recompute the signature UDF and throw on an
+    empty corpus).
     """
-    sig_len = len(sigs.select("signature").first()["signature"])
+    sig_len = num_hashes
     rows_per_band = sig_len // bands
     banded = sigs.select(
         "id",
@@ -288,19 +296,52 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return df.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_dups(sims: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+def simhash_near_dups(
+    sims: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming.
 
-    Candidates share a `prefix_bits` block (block-LSH on the top bits —
-    avoids the cross join; multiple rotations would raise recall, one block
-    keeps the oracle simple). Verify with bit_count(xor)."""
-    blocked = sims.withColumn("block", F.shiftright("simhash", 64 - prefix_bits - 1))
+    Candidates share at least one of `n_blocks` disjoint bit blocks that
+    PARTITION the 64 bits (the last block absorbs remainder bits). Pigeonhole
+    guarantee: with n_blocks > max_hamming, ≤ max_hamming differing bits can
+    touch at most max_hamming blocks, so a qualifying pair ALWAYS shares an
+    untouched block — full recall, no cross join (the classic multi-block
+    Hamming LSH; the old single-prefix block was a documented recall
+    ceiling). Verify with bit_count(xor)."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming for full recall")
+    width = 64 // n_blocks
+    blocks = []
+    for k in range(n_blocks):
+        start = k * width
+        w_k = width if k < n_blocks - 1 else 64 - start
+        mask = (1 << w_k) - 1
+        blocks.append(
+            F.struct(
+                F.lit(k).alias("k"),
+                F.shiftright("simhash", start).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+        )
+    blocked = sims.select(
+        "id", "simhash", F.explode(F.array(*blocks)).alias("blk")
+    ).select("id", "simhash", F.col("blk.k").alias("k"), F.col("blk.bv").alias("bv"))
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
     )
 
 
@@ -342,7 +383,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Group near-dup pairs into clusters: connected components by iterative
     min-label propagation (the alternating-star family of MapReduce CC
@@ -355,7 +396,11 @@ def duplicate_clusters(
     plan — without it each iteration nests the previous one and Catalyst
     analysis grows until the driver OOMs around a dozen rounds (caught by the
     12-node-chain probe). On a cluster with a checkpoint dir configured,
-    swap for reliable `checkpoint` to also survive executor loss."""
+    swap for reliable `checkpoint` to also survive executor loss.
+
+    `max_iter` is a runaway-safety cap, NOT a silent truncation: if labels
+    are still changing when it is reached the function raises instead of
+    returning split components."""
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -368,6 +413,7 @@ def duplicate_clusters(
         .withColumn("cluster", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.b == labels.id)
@@ -393,4 +439,10 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — component diameter "
+            "exceeds the cap; raise max_iter"
+        )
     return labels.select("id", F.col("cluster").alias("cluster_id"))

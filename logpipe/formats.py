@@ -31,6 +31,19 @@ def _mget(map_col: Column, key: str) -> Column:
     return F.element_at(map_col, F.lit(key))
 
 
+def _merge_last_wins(left: Column, right: Column) -> Column:
+    """JS-spread merge `{...left, ...right}`: right overwrites left on key
+    collision (heroku-format.js:52, cloudfoundry-format.js JSON merge).
+    Spark's default spark.sql.mapKeyDedupPolicy=EXCEPTION makes a bare
+    map_concat THROW on duplicate keys (e.g. a JSON message carrying a key
+    that already exists in `fields`), so collide-able keys are dropped from
+    the left map first."""
+    pruned = F.map_filter(
+        left, lambda k, _v: ~F.coalesce(F.map_contains_key(right, k), F.lit(False))
+    )
+    return F.map_concat(pruned, right)
+
+
 def journald_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
     """systemd-journald fields → Sematext common schema
     (journald-format.js:75-121):
@@ -125,7 +138,7 @@ def cloudfoundry_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
         F.expr(f"str_to_map(replace(element_at({fields_col}, 'tags'), '\"', ''), ' ', '=')"),
     )
     without_tags = F.map_filter(m, lambda k, _v: k != F.lit("tags"))
-    merged = F.when(tag_map.isNotNull(), F.map_concat(without_tags, tag_map)).otherwise(
+    merged = F.when(tag_map.isNotNull(), _merge_last_wins(without_tags, tag_map)).otherwise(
         without_tags
     )
     out = df.withColumn(fields_col, merged)
@@ -133,9 +146,9 @@ def cloudfoundry_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
     json_map = F.when(is_json, F.from_json(F.col("message"), "map<string,string>"))
     out = out.withColumn(
         fields_col,
-        F.when(json_map.isNotNull(), F.map_concat(F.col(fields_col), json_map)).otherwise(
-            F.col(fields_col)
-        ),
+        F.when(
+            json_map.isNotNull(), _merge_last_wins(F.col(fields_col), json_map)
+        ).otherwise(F.col(fields_col)),
     )
     return out
 
@@ -154,7 +167,7 @@ def aws_ecs_format(df: DataFrame, fields_col: str = "fields", reparse: bool = Tr
     json_map = F.when(is_json, F.from_json(F.col("message"), "map<string,string>"))
     out = out.withColumn(
         fields_col,
-        F.when(json_map.isNotNull(), F.map_concat(m, json_map)).otherwise(m),
+        F.when(json_map.isNotNull(), _merge_last_wins(m, json_map)).otherwise(m),
     ).withColumn(
         "message",
         F.when(
@@ -176,7 +189,7 @@ def aws_ecs_format(df: DataFrame, fields_col: str = "fields", reparse: bool = Tr
             fields_col,
             F.when(
                 F.col("_ecs.matched") & F.col("_ecs.log_type").isNotNull(),
-                F.map_concat(F.col(fields_col), F.col("_ecs.fields")),
+                _merge_last_wins(F.col(fields_col), F.col("_ecs.fields")),
             ).otherwise(F.col(fields_col)),
         ).withColumn(
             "ecs_type",

@@ -2,15 +2,31 @@
 
 The reference persists tail byte-offsets + inodes on shutdown and resumes
 from them (lib/plugins/input/files.js:84-115,210-255). The Spark/table
-restatement (SURVEY.md §2.11): the input is carved into work units (buckets
-of conv_id — the same hidden-partitioning scheme the 100 TB table would use),
-each unit is processed and written with dynamic partition OVERWRITE (so a
-re-run of a unit replaces, never duplicates), and a lineage row
+restatement (SURVEY.md §2.11): the input is carved into work units, each
+unit is processed and written with OVERWRITE into its own unit directory (so
+a re-run of a unit replaces, never duplicates), and a lineage row
 (run_id, unit, status, rows_in, rows_out, wall_ms) is committed AFTER the
 unit's data commit. Resume = skip units whose lineage row says 'done'.
 
+Two unit-derivation strategies:
+
+  * `run_resumable_files` (the 100 TB path): units = groups of input FILES
+    (`DataFrame.inputFiles()` — on an Iceberg table, the bucket(conv_id)
+    data files). Each file is scanned exactly ONCE across the whole run; the
+    per-unit rows_in/rows_out ride along as `observe()` metrics on the write
+    action itself — zero extra jobs, zero re-reads. Requires the table
+    layout to be closed under the process's keys (bucket-by-conv_id files
+    hold whole conversations), which is exactly the Iceberg bucketing the
+    pipeline writes.
+
+  * `run_resumable` (fallback for unpartitioned in-memory frames): units =
+    hash buckets of the conversation key. A hash filter does NOT prune
+    parquet row groups, so a full run re-scans the input once per unit —
+    fine for small frames and tests, documented non-goal at scale. Metrics
+    still come from `observe()` (no extra count jobs).
+
 Crash windows: if the job dies after the data write but before the lineage
-append, the re-run overwrites the same unit partition — idempotent by
+append, the re-run overwrites the same unit directory — idempotent by
 construction. A killed run therefore never double-counts (north rule).
 """
 
@@ -20,7 +36,7 @@ import os
 import time
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
@@ -48,6 +64,81 @@ def completed_units(spark: SparkSession, lineage_dir: str, run_id: str) -> set[i
         return set()
 
 
+def _process_unit(
+    spark: SparkSession,
+    part: DataFrame,
+    process: Callable[[DataFrame], DataFrame],
+    out_dir: str,
+    lineage_dir: str,
+    run_id: str,
+    unit: int,
+) -> None:
+    """One unit: write with overwrite, metrics via observe() on the SAME
+    action (the reference's printStats counters ride the data path too,
+    lib/core/printStats.js:26-38) — no re-read, no extra count jobs."""
+    t0 = time.time()
+    tag = time.monotonic_ns()  # observation names must be session-unique
+    obs_in = Observation(f"in-{run_id}-{unit}-{tag}")
+    obs_out = Observation(f"out-{run_id}-{unit}-{tag}")
+    out = process(part.observe(obs_in, F.count(F.lit(1)).alias("rows"))).observe(
+        obs_out, F.count(F.lit(1)).alias("rows")
+    )
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, f"unit={unit}"))
+    _append_lineage(
+        spark,
+        lineage_dir,
+        run_id,
+        unit,
+        "done",
+        obs_in.get["rows"],
+        obs_out.get["rows"],
+        int((time.time() - t0) * 1000),
+    )
+
+
+def file_units(spark: SparkSession, input_path: str, n_units: int = 16) -> list[list[str]]:
+    """Carve the input into work units of whole FILES (no-scan metadata
+    listing). Round-robin over the sorted file list keeps units balanced;
+    on an Iceberg bucket(conv_id) table this groups bucket data files, so
+    units are closed under conv_id."""
+    files = sorted(spark.read.parquet(input_path).inputFiles())
+    n_units = min(n_units, max(len(files), 1))
+    return [files[k::n_units] for k in range(n_units)]
+
+
+def run_resumable_files(
+    spark: SparkSession,
+    input_path: str,
+    process: Callable[[DataFrame], DataFrame],
+    out_dir: str,
+    lineage_dir: str,
+    run_id: str = "run-0",
+    n_units: int = 16,
+    fail_after_unit: int | None = None,
+) -> dict:
+    """File-derived resumable run: ONE scan of each input file total.
+
+    Units are disjoint groups of input files; unit k re-reads only its own
+    files (`spark.read.parquet(*files)` — the scan is pruned by the file
+    list itself, unlike a hash filter). Returns
+    {'processed': [...], 'skipped': [...], 'units': file groups}."""
+    groups = file_units(spark, input_path, n_units)
+    done = completed_units(spark, lineage_dir, run_id)
+    processed, skipped = [], []
+    for unit, files in enumerate(groups):
+        if unit in done:
+            skipped.append(unit)
+            continue
+        if not files:
+            continue
+        part = spark.read.parquet(*files)
+        _process_unit(spark, part, process, out_dir, lineage_dir, run_id, unit)
+        processed.append(unit)
+        if fail_after_unit is not None and unit >= fail_after_unit:
+            raise RuntimeError(f"injected failure after unit {unit}")
+    return {"processed": processed, "skipped": skipped, "units": groups}
+
+
 def run_resumable(
     spark: SparkSession,
     df: DataFrame,
@@ -59,16 +150,10 @@ def run_resumable(
     key: str = "conv_id",
     fail_after_unit: int | None = None,
 ) -> dict:
-    """Process `df` unit-by-unit with lineage checkpointing.
-
-    `process` maps a unit's rows to the output frame. Output lands under
-    out_dir/unit=<k>/ via overwrite (idempotent). `fail_after_unit` injects a
-    crash for the resume test. Returns {'processed': [...], 'skipped': [...]}.
-
-    At cluster scale each unit is a partition-pruned scan (bucket pruning on
-    the Iceberg table); here we filter on the computed bucket, which Catalyst
-    pushes to the parquet scan as a deterministic expression.
-    """
+    """Hash-bucket resumable run over an in-memory frame (test/fallback
+    path; prefer `run_resumable_files` for on-table inputs — a bucket filter
+    cannot prune parquet scans, so this variant re-scans the input once per
+    unit)."""
     done = completed_units(spark, lineage_dir, run_id)
     with_unit = df.withColumn("_unit", unit_column(key, n_units))
     processed, skipped = [], []
@@ -76,22 +161,8 @@ def run_resumable(
         if unit in done:
             skipped.append(unit)
             continue
-        t0 = time.time()
         part = with_unit.filter(F.col("_unit") == unit).drop("_unit")
-        out = process(part)
-        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"unit={unit}"))
-        rows_out = spark.read.parquet(os.path.join(out_dir, f"unit={unit}")).count()
-        rows_in = part.count()
-        _append_lineage(
-            spark,
-            lineage_dir,
-            run_id,
-            unit,
-            "done",
-            rows_in,
-            rows_out,
-            int((time.time() - t0) * 1000),
-        )
+        _process_unit(spark, part, process, out_dir, lineage_dir, run_id, unit)
         processed.append(unit)
         if fail_after_unit is not None and unit >= fail_after_unit:
             raise RuntimeError(f"injected failure after unit {unit}")

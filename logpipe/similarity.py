@@ -10,8 +10,10 @@ both turn the scan into a bucket-pruned join.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -30,6 +32,33 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def topk_rank(
+    scored: DataFrame,
+    k: int,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+    buckets: int = 64,
+) -> DataFrame:
+    """Two-phase top-k over a scored (q_id, id, score) frame.
+
+    Phase 1 ranks within (q_id, hash-bucket-of-id): the shuffle spreads the
+    full scored set across |Q|×buckets partitions instead of concentrating
+    corpus×|Q| rows into |Q| partitions (the single-window scale-killer
+    flagged in round 1). Phase 2 ranks the surviving |Q|×buckets×k rows — a
+    tiny shuffle. The union of per-bucket top-k contains the global top-k, so
+    results are identical to the single-window form."""
+    bucketed = scored.withColumn("_b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)))
+    w1 = Window.partitionBy(q_id_col, "_b").orderBy(F.desc(score_col), F.asc(id_col))
+    local = (
+        bucketed.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_b")
+    )
+    w2 = Window.partitionBy(q_id_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return local.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -40,30 +69,35 @@ def brute_force_topk(
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast the query set, score every
-    (query, vector) pair with codegen'd exprs, rank with a per-query window.
-
-    One pass over the corpus; the only shuffle is the top-k window on q_id
-    (tiny: corpus×|Q| rows reduced map-side is not possible for row_number,
-    so keep |Q| modest or use the LSH path)."""
+    (query, vector) pair with codegen'd exprs, rank via two-phase top-k (no
+    |Q|-partition window concentration)."""
     joined = emb.crossJoin(F.broadcast(queries))
     scored = joined.select(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_rank(scored, k, q_id_col, id_col)
+
+
+def lcg_plane_value(idx: int, seed: int = 42) -> float:
+    """Deterministic hyperplane coefficient from integer-exact arithmetic —
+    replicable bit-for-bit in a SQL oracle:
+      x = (1103515245 * (idx + seed) + 12345) mod 2^31
+      v = ((x mod 2001) - 1000) / 1000.0
+    (glibc LCG constants; the division by 1000.0 is correctly rounded IEEE,
+    so Python, Spark literals and DuckDB agree exactly)."""
+    x = (1103515245 * (idx + seed) + 12345) % (1 << 31)
+    return ((x % 2001) - 1000) / 1000.0
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
-    """Sign signature under `n_planes` fixed random hyperplanes, as a bit
-    string — pure exprs: the planes are literal arrays (deterministic from
-    seed), sign = dot ≥ 0."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    """Sign signature under `n_planes` fixed pseudo-random hyperplanes, as a
+    bit string — pure exprs: plane p coefficient d is lcg_plane_value(p*dim+d)
+    (deterministic AND SQL-replicable, unlike an RNG), sign = dot ≥ 0."""
     bits = []
-    for p in planes:
-        plane_col = F.array(*[F.lit(float(x)) for x in p])
+    for p in range(n_planes):
+        plane_col = F.array(*[F.lit(lcg_plane_value(p * dim + d, seed)) for d in range(dim)])
         bits.append(F.when(dot_expr(vec, plane_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -91,8 +125,42 @@ def lsh_topk(
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_rank(scored, k, q_id_col, id_col)
+
+
+def _centroid_matrix(centroids: DataFrame) -> np.ndarray:
+    """Collect the (small) centroid dim into a normalized numpy matrix,
+    row index = cell id (cells must be 0..k-1)."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    if [r["cell"] for r in rows] != list(range(len(rows))):
+        raise ValueError("centroid cells must be dense 0..k-1")
+    C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def make_cell_assigner(centroids: DataFrame, n_probe: int = 1):
+    """Vectorized IVF cell assignment: one Arrow-batched pandas UDF over a
+    closure-held normalized centroid matrix (k×dim). Replaces the round-1
+    O(k)-deep when-chain, whose plan size and codegen blew up past k≈100s.
+
+    Returns array<int> of the n_probe nearest cells (cosine, rounded to 9dp
+    with lowest-cell tie-break so the assignment is reproducible in exact
+    SQL oracles regardless of float summation order)."""
+    Cn = _centroid_matrix(centroids)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        if X.ndim != 2 or len(X) == 0:
+            return pd.Series([[]] * len(vecs))
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = np.round((X / norms) @ Cn.T, 9)
+        # stable argsort on -sims: ties keep lowest cell first
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _cells
 
 
 def ivf_topk(
@@ -106,39 +174,25 @@ def ivf_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """IVF-style ANN: assign corpus vectors to their nearest centroid cell
-    (broadcast centroid dim), probe the query's n_probe nearest cells only.
+    """IVF-style ANN: assign corpus vectors to their nearest centroid cell,
+    probe each query's n_probe nearest cells only.
 
     `centroids`: (cell int, centroid array<double>) — typically k-means over
-    a sample; at 100 TB the assignment is a narrow pass and the probe join is
-    partition-pruned on `cell`."""
-    cent = centroids.collect()
-    cell_of = None
-    best = None
-    for r in cent:
-        c_col = F.array(*[F.lit(float(x)) for x in r["centroid"]])
-        d = cosine_expr(F.col(vec_col), c_col)
-        if cell_of is None:
-            cell_of, best = F.lit(r["cell"]), d
-        else:
-            cell_of = F.when(d > best, F.lit(r["cell"])).otherwise(cell_of)
-            best = F.greatest(d, best)
-    e = emb.withColumn("cell", cell_of)
-    # per-query probe cells (n_probe nearest centroids)
-    q_scored = []
-    for r in cent:
-        c_col = F.array(*[F.lit(float(x)) for x in r["centroid"]])
-        q_scored.append(F.struct(F.lit(r["cell"]).alias("cell"), cosine_expr(F.col(q_vec_col), c_col).alias("d")))
-    probes = F.slice(F.reverse(F.array_sort(F.array(*q_scored), lambda a, b: F.when(a["d"] < b["d"], -1).when(a["d"] > b["d"], 1).otherwise(0))), 1, n_probe)
-    q = queries.withColumn("cell", F.explode(F.transform(probes, lambda s: s["cell"])))
+    a sample (train_ivf_centroids). Assignment is a vectorized pandas UDF
+    over the broadcast-sized centroid matrix (narrow pass — plan size is
+    O(1) in k); the probe join is an equi-join on `cell`, partition-prunable
+    when the corpus table is written bucketed by cell at 100 TB."""
+    assign1 = make_cell_assigner(centroids, n_probe=1)
+    assignp = make_cell_assigner(centroids, n_probe=n_probe)
+    e = emb.withColumn("cell", F.element_at(assign1(F.col(vec_col)), 1))
+    q = queries.withColumn("cell", F.explode(assignp(F.col(q_vec_col))))
     joined = e.join(F.broadcast(q), "cell")
     scored = joined.select(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_rank(scored, k, q_id_col, id_col)
 
 
 def train_ivf_centroids(

@@ -29,7 +29,6 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .pipeline import TranscriptPipeline
-from .route import fan_out
 from .rules import DEFAULT_RULESET, RuleSet
 from .schema import TRANSCRIPT_SCHEMA
 
@@ -206,23 +205,31 @@ def start_stream_pipeline(
     """readStream → parse/mask/enrich/route (batch stage functions, unchanged)
     → foreachBatch fan-out + per-batch metrics.
 
-    foreachBatch gives per-sink multiplexed writes with exactly-once-per-batch
-    semantics (checkpointed batch id = the reference's disk-buffer/retransmit
-    loop, elasticsearch.js:156-163, minus the data loss). Returns the
-    StreamingQuery; availableNow drains existing files then stops."""
+    foreachBatch itself is at-least-once (a crash between the data write and
+    the checkpoint commit replays the batch), so BOTH writes are made
+    idempotent by batch id: each batch OVERWRITES its own
+    `batch_id=<id>/` directory — a replayed batch replaces its previous
+    partial output instead of appending duplicates (the Spark analog of the
+    reference's disk-buffer/retransmit loop, elasticsearch.js:156-163, minus
+    the duplication). Readers see `batch_id` and `sink` as partition columns.
+    Returns the StreamingQuery; availableNow drains existing files then
+    stops."""
     pipe = pipe or TranscriptPipeline()
     stream = read_transcript_stream(spark, input_path, fmt=fmt)
     routed = pipe.routed(stream)
 
     def _write_batch(batch_df: DataFrame, batch_id: int):
         df = batch_df.withColumn("fields", F.to_json("fields"))
-        fan_out(df, f"{out_dir}/routed", partition_by_sink=True, mode="append")
+        (
+            df.write.mode("overwrite")
+            .partitionBy("sink")
+            .parquet(f"{out_dir}/routed/batch_id={batch_id}")
+        )
         (
             df.groupBy("sink")
             .agg(F.count("*").alias("rows"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{out_dir}/batch_metrics")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_metrics/batch_id={batch_id}")
         )
 
     writer = (

@@ -69,6 +69,33 @@ def test_cloudfoundry_tags(spark):
     assert r["fields"]["k"] == "v"  # JSON message merged
 
 
+def test_cloudfoundry_key_collision_last_wins(spark):
+    # a tag AND a JSON key colliding with an existing field must OVERWRITE
+    # (JS spread semantics), not throw 'Duplicate map key' under Spark's
+    # default mapKeyDedupPolicy=EXCEPTION
+    r = cloudfoundry_format(
+        _fdf(
+            spark,
+            {"app": "cf-app", "deployment": "old", "tags": 'deployment="prod"'},
+            message='{"app":"json-app"}',
+        )
+    ).collect()[0]
+    assert r["fields"]["deployment"] == "prod"  # tag wins over field
+    assert r["fields"]["app"] == "json-app"  # json wins over field
+
+
+def test_aws_ecs_key_collision_last_wins(spark):
+    from logpipe.formats import aws_ecs_format
+
+    df = spark.createDataFrame(
+        [('{"source":"overridden","k":"v"}', "stdout")], "message string, src string"
+    ).withColumn("fields", F.create_map(F.lit("source"), F.col("src"))).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    r = aws_ecs_format(df).collect()[0]
+    assert r["fields"]["source"] == "overridden" and r["fields"]["k"] == "v"
+
+
 def test_aws_ecs_format(spark):
     from logpipe.formats import aws_ecs_format
 

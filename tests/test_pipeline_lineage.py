@@ -78,6 +78,35 @@ def test_resume_no_double_count(spark, tmp_path):
     tr.unpersist()
 
 
+def test_resume_file_units_single_pass(spark, tmp_path):
+    """File-derived units (the 100 TB path): every input file appears in
+    exactly ONE unit (structural no-read-amplification: a full run scans
+    each file once), resume skips done units, metrics come from observe()
+    on the write itself."""
+    from logpipe.lineage import file_units, run_resumable_files
+
+    src = str(tmp_path / "src")
+    transcripts(spark, 800, 10, partitions=8).write.mode("overwrite").parquet(src)
+    out_dir, lin_dir = str(tmp_path / "out"), str(tmp_path / "lineage")
+
+    groups = file_units(spark, src, n_units=4)
+    flat = [f for g in groups for f in g]
+    assert len(flat) == len(set(flat))  # disjoint units
+    assert sorted(flat) == sorted(spark.read.parquet(src).inputFiles())  # full cover
+
+    def process(df):
+        return df.withColumn("n", F.length("text"))
+
+    with pytest.raises(RuntimeError):
+        run_resumable_files(spark, src, process, out_dir, lin_dir, n_units=4, fail_after_unit=1)
+    res = run_resumable_files(spark, src, process, out_dir, lin_dir, n_units=4)
+    assert res["skipped"] == [0, 1]
+    assert res["processed"] == [2, 3]
+    assert spark.read.parquet(out_dir).count() == 800
+    m = metrics_table(spark, lin_dir).collect()[0]
+    assert m["rows_in"] == 800 and m["rows_out"] == 800
+
+
 def test_rerun_unit_idempotent(spark, tmp_path):
     tr = transcripts(spark, 400, 10)
     out_dir, lin_dir = str(tmp_path / "o"), str(tmp_path / "l")
