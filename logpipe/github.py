@@ -1,0 +1,443 @@
+"""GitHub / Vercel webhook format mappers — the reference's three largest
+format filters restated as pure-expression DataFrame transforms.
+
+  * github_events_format → lib/plugins/output-filter/github-events-format.js:1-262
+  * github_logs_format   → lib/plugins/output-filter/github-logs-format.js:1-502
+  * vercel_format        → lib/plugins/output-filter/vercel-format.js:1-159
+
+Input shape (the webhook-server plugin's per-event record,
+lib/plugins/input/github-webhook-server.js): `event` — the x-github-event
+header; `body` — the JSON payload string. Vercel rows carry `message`,
+`source` and the proxy cache id. Everything below is get_json_object /
+from_json / format_string column algebra — no UDFs; Catalyst folds the
+per-event when-chain like any router expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ISSUEISH = (
+    "issues",
+    "issue_comment",
+    "pull_request",
+    "pull_request_review",
+    "pull_request_review_comment",
+)
+_GITHUB_EVENTS = _ISSUEISH + ("commit_comment", "push", "release", "create", "delete")
+
+
+def _j(body: Column, path: str) -> Column:
+    return F.get_json_object(body, f"$.{path}")
+
+
+def _capitalize(col: Column) -> Column:
+    """JS capitalize (first char upper — github-events-format.js:29-32)."""
+    return F.concat(F.upper(F.substring(col, 1, 1)), F.substring(col, 2, 1000000))
+
+
+def _plus_to_space(col: Column) -> Column:
+    """parseTextFields (github-logs-format.js:39)."""
+    return F.replace(col, F.lit("+"), F.lit(" "))
+
+
+def _branch_name(body: Column) -> Column:
+    # ref 'refs/heads/<name>' → element 3 (buildBranchUrl counterpart :289);
+    # try_element_at: ANSI mode makes element_at throw on short arrays
+    return F.try_element_at(F.split(_j(body, "ref"), "/"), F.lit(3))
+
+
+def _ref_is_heads(body: Column) -> Column:
+    return F.try_element_at(F.split(_j(body, "ref"), "/"), F.lit(2)) == "heads"
+
+
+def _author_md(body: Column) -> Column:
+    # github-events-format.js:26-27 markdown author chip
+    return F.format_string(
+        "![](%s&s=25) [%s](%s)",
+        _j(body, "sender.avatar_url"),
+        _j(body, "sender.login"),
+        _j(body, "sender.html_url"),
+    )
+
+
+def _repo_md(body: Column) -> Column:
+    # github-events-format.js:24
+    return F.format_string(
+        "[[%s](%s)]", _j(body, "repository.full_name"), _j(body, "repository.html_url")
+    )
+
+
+def github_events_format(df: DataFrame, event_col: str = "event", body_col: str = "body") -> DataFrame:
+    """Events-app mapper (github-events-format.js): every handled webhook
+    becomes {severity:'info', type:'GitHub', title, message(markdown)};
+    unhandled events and payloads missing their subject are DROPPED (the
+    reference simply never calls back)."""
+    ev = F.col(event_col)
+    body = F.col(body_col)
+    action = _j(body, "action")
+
+    number = F.coalesce(_j(body, "pull_request.number"), _j(body, "issue.number"))
+    event_url = F.coalesce(_j(body, "pull_request.html_url"), _j(body, "issue.html_url"))
+    issueish_msg = F.format_string(
+        "#### %s\n[%s #%s](%s) %s by %s\n",
+        _repo_md(body), ev, number, event_url, action, _author_md(body),
+    )
+    commit_msg = F.format_string(
+        "#### %s\n[%s (%s)](%s) %s by %s\n",
+        _repo_md(body), ev, _j(body, "comment.commit_id"), _j(body, "comment.html_url"),
+        action, _author_md(body),
+    )
+    n_commits = F.json_array_length(_j(body, "commits"))
+    branch = _branch_name(body)
+    branch_url = F.format_string("%s/tree/%s", _j(body, "repository.html_url"), branch)
+    push_msg = F.format_string(
+        "#### %s\n[%s commit(s)](%s) pushed to branch [%s](%s) by %s\n",
+        _repo_md(body), n_commits.cast("string"),
+        F.coalesce(_j(body, "head_commit.url"), _j(body, "repository.html_url")),
+        branch, branch_url, _author_md(body),
+    )
+    release_msg = F.format_string(
+        "#### %s\n[%s (%s)](%s) %s by %s\n",
+        _repo_md(body), ev, _j(body, "release.tag_name"), _j(body, "release.html_url"),
+        action, _author_md(body),
+    )
+    create_branch = _j(body, "ref")  # create/delete carry the bare name in ref
+    create_url = F.format_string("%s/tree/%s", _j(body, "repository.html_url"), create_branch)
+    created_msg = F.format_string(
+        "#### %s\nBranch [%s](%s) created by %s\n", _repo_md(body), create_branch, create_url, _author_md(body)
+    )
+    deleted_msg = F.format_string(
+        "#### %s\nBranch [%s](%s) deleted by %s\n", _repo_md(body), create_branch, create_url, _author_md(body)
+    )
+
+    is_branch_ref = _j(body, "ref_type") == "branch"
+    message = (
+        F.when(ev.isin(*_ISSUEISH) & event_url.isNotNull(), issueish_msg)
+        .when((ev == "commit_comment") & _j(body, "comment").isNotNull(), commit_msg)
+        .when((ev == "push") & (n_commits > 0) & _ref_is_heads(body), push_msg)
+        .when((ev == "release") & _j(body, "release").isNotNull(), release_msg)
+        .when((ev == "create") & is_branch_ref, created_msg)
+        .when((ev == "delete") & is_branch_ref, deleted_msg)
+    )
+    eff_action = (
+        F.when(ev == "push", F.lit("branch"))
+        .when(ev.isin("create", "delete"), F.lit("Branch"))
+        .otherwise(action)
+    )
+    title = F.format_string(
+        "GitHub | %s %s", _capitalize(ev), _capitalize(eff_action)
+    )
+    return (
+        df.withColumn("message", message)
+        .filter(F.col("message").isNotNull())
+        .withColumn("severity", F.lit("info"))
+        .withColumn("type", F.lit("GitHub"))
+        .withColumn("title", title)
+    )
+
+
+_REPO_TS_FIELDS = {"createdAt": "created_at", "updatedAt": "updated_at", "pushedAt": "pushed_at"}
+
+
+def _repo_struct(body: Column) -> Column:
+    """parseRepo (github-logs-format.js:92-126); numeric *_at are epoch
+    seconds, strings pass through — both normalized to one string field."""
+    def ts_norm(path: str) -> Column:
+        raw = _j(body, path)
+        return F.when(
+            raw.rlike(r"^\d+$"),
+            F.date_format(F.timestamp_seconds(raw.cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        ).otherwise(raw)
+
+    return F.struct(
+        _j(body, "repository.full_name").alias("name"),
+        _j(body, "repository.html_url").alias("url"),
+        _j(body, "repository.private").cast("boolean").alias("isPrivate"),
+        _j(body, "repository.fork").cast("boolean").alias("isFork"),
+        _j(body, "repository.default_branch").alias("defaultBranch"),
+        _j(body, "repository.open_issues").cast("long").alias("openIssuesCount"),
+        _j(body, "repository.forks").cast("long").alias("forksCount"),
+        _j(body, "repository.stargazers_count").cast("long").alias("starsCount"),
+        _j(body, "repository.watchers_count").cast("long").alias("watchersCount"),
+        _j(body, "repository.language").alias("language"),
+        F.struct(
+            _j(body, "repository.owner.login").alias("username"),
+            _j(body, "repository.owner.html_url").alias("url"),
+        ).alias("owner"),
+        _j(body, "repository.homepage").alias("homepage"),
+        *[ts_norm(f"repository.{src}").alias(dst) for dst, src in _REPO_TS_FIELDS.items()],
+    )
+
+
+def _sender_struct(body: Column) -> Column:
+    return F.struct(
+        _j(body, "sender.html_url").alias("url"),
+        _j(body, "sender.login").alias("username"),
+        _j(body, "sender.avatar_url").alias("avatarUrl"),
+        _j(body, "sender.type").alias("type"),
+        _j(body, "sender.siteAdmin").cast("boolean").alias("siteAdmin"),
+    )
+
+
+def _subject_struct(body: Column, root: str) -> Column:
+    """Shared issue/pull_request payload (github-logs-format.js:151-171,
+    201-221)."""
+    return F.struct(
+        _j(body, f"{root}.html_url").alias("url"),
+        _j(body, f"{root}.number").cast("long").alias("number"),
+        _plus_to_space(_j(body, f"{root}.title")).alias("title"),
+        _plus_to_space(_j(body, f"{root}.body")).alias("body"),
+        _j(body, f"{root}.state").alias("state"),
+        _j(body, f"{root}.comments").cast("long").alias("commentCount"),
+        _j(body, f"{root}.created_at").alias("createdAt"),
+        _j(body, f"{root}.updated_at").alias("updatedAt"),
+        _j(body, f"{root}.closed_at").alias("closedAt"),
+        F.struct(
+            _j(body, f"{root}.assignee.html_url").alias("url"),
+            _j(body, f"{root}.assignee.login").alias("username"),
+            _j(body, f"{root}.assignee.avatar_url").alias("avatarUrl"),
+            _j(body, f"{root}.assignee.type").alias("type"),
+            _j(body, f"{root}.assignee.siteAdmin").cast("boolean").alias("siteAdmin"),
+        ).alias("assignee"),
+    )
+
+
+_COMMIT_SCHEMA = (
+    "array<struct<id:string, tree_id:string, distinct:boolean, message:string, "
+    "timestamp:string, url:string, author:struct<username:string>, "
+    "committer:struct<username:string>, added:array<string>, removed:array<string>, "
+    "modified:array<string>>>"
+)
+
+
+def _commit_struct(c: Column) -> Column:
+    return F.struct(
+        c["id"].alias("id"),
+        c["tree_id"].alias("treeId"),
+        c["distinct"].alias("distinct"),
+        F.replace(c["message"], F.lit("+"), F.lit(" ")).alias("body"),
+        c["timestamp"].alias("timestamp"),
+        c["url"].alias("url"),
+        F.struct(c["author"]["username"].alias("username")).alias("author"),
+        F.struct(c["committer"]["username"].alias("username")).alias("committer"),
+        c["added"].alias("added"),
+        c["removed"].alias("removed"),
+        c["modified"].alias("modified"),
+    )
+
+
+def github_logs_format(df: DataFrame, event_col: str = "event", body_col: str = "body") -> DataFrame:
+    """Logs-app mapper (github-logs-format.js): handled webhooks become
+    structured rows — severity/type/title/event/action plus repository,
+    sender and per-event payload structs (issue, pullRequest, comment,
+    branch+commits, release). Unhandled events are dropped."""
+    ev = F.col(event_col)
+    body = F.col(body_col)
+    raw_action = _j(body, "action")
+
+    is_issueish = ev.isin("issues", "issue_comment") & _j(body, "issue").isNotNull()
+    is_pr = (
+        ev.isin("pull_request", "pull_request_review", "pull_request_review_comment")
+        & _j(body, "pull_request").isNotNull()
+    )
+    is_comment = (ev == "commit_comment") & _j(body, "comment").isNotNull()
+    n_commits = F.json_array_length(_j(body, "commits"))
+    is_push = (ev == "push") & (n_commits > 0) & _ref_is_heads(body)
+    is_release = (ev == "release") & _j(body, "release").isNotNull()
+    is_branch_ev = ev.isin("create", "delete") & (_j(body, "ref_type") == "branch")
+
+    handled = is_issueish | is_pr | is_comment | is_push | is_release | is_branch_ev
+    action = F.when(is_push | is_branch_ev, F.lit("Branch")).otherwise(raw_action)
+
+    # title: Capitalize(action) + Capitalize(event with _→space); the logs
+    # mapper capitalizes EVERY word (github-logs-format.js:41-44)
+    def cap_words(col: Column) -> Column:
+        return F.initcap(col)
+
+    title = F.format_string(
+        "%s %s", cap_words(action), cap_words(F.replace(ev, F.lit("_"), F.lit(" ")))
+    )
+
+    repo = _repo_struct(body)
+    sender = _sender_struct(body)
+    author_md = F.format_string("%s - %s", sender["username"], sender["url"])
+    repo_md = F.format_string("%s - %s", repo["name"], repo["url"])
+
+    subj_root = F.when(is_pr, F.lit("pull_request")).otherwise(F.lit("issue"))
+    subject = F.when(is_pr, _subject_struct(body, "pull_request")).when(
+        is_issueish, _subject_struct(body, "issue")
+    )
+    subj_msg = F.format_string(
+        "%s | %s #%s - %s %s by %s",
+        repo_md, ev, subject["number"].cast("string"), subject["url"], raw_action, author_md,
+    )
+
+    comment = F.struct(
+        _j(body, "comment.commit_id").alias("commitId"),
+        _j(body, "comment.html_url").alias("url"),
+        _plus_to_space(_j(body, "comment.body")).alias("body"),
+        _j(body, "comment.line").cast("long").alias("line"),
+        _j(body, "comment.path").alias("path"),
+        _j(body, "comment.position").cast("long").alias("position"),
+        _j(body, "comment.created_at").alias("createdAt"),
+        _j(body, "comment.updated_at").alias("updatedAt"),
+        _j(body, "comment.author_association").alias("authorAssociation"),
+    )
+    comment_msg = F.format_string(
+        "%s - %s %s - %s %s by %s",
+        repo_md, ev, comment["commitId"], comment["url"], raw_action, author_md,
+    )
+
+    branch_name = F.when(ev == "push", _branch_name(body)).otherwise(_j(body, "ref"))
+    branch = F.struct(
+        branch_name.alias("name"),
+        F.format_string("%s/tree/%s", repo["url"], branch_name).alias("url"),
+    )
+    commits = F.transform(F.from_json(_j(body, "commits"), _COMMIT_SCHEMA), _commit_struct)
+    head_commit = _commit_struct(
+        F.from_json(_j(body, "head_commit"), _COMMIT_SCHEMA.removeprefix("array<").removesuffix(">"))
+    )
+    push_msg = F.format_string(
+        "%s %s commit(s) - %s pushed to branch: %s - %s) by %s",
+        repo_md, n_commits.cast("string"),
+        F.coalesce(_j(body, "head_commit.url"), repo["url"]),
+        branch["name"], branch["url"], author_md,
+    )
+
+    release = F.struct(
+        _j(body, "release.html_url").alias("url"),
+        _j(body, "release.tag_name").alias("tag"),
+        _plus_to_space(_j(body, "release.name")).alias("name"),
+        _plus_to_space(_j(body, "release.body")).alias("body"),
+        _j(body, "release.target_commitish").alias("branch"),
+        _j(body, "release.draft").cast("boolean").alias("draft"),
+        F.struct(_j(body, "release.author.login").alias("username")).alias("author"),
+        _j(body, "release.prerelease").cast("boolean").alias("prerelease"),
+        _j(body, "release.created_at").alias("createdAt"),
+        _j(body, "release.published_at").alias("publishedAt"),
+        _j(body, "release.assets").alias("assets"),
+        _j(body, "release.tarball_url").alias("tarballUrl"),
+        _j(body, "release.zipball_url").alias("zipballUrl"),
+    )
+    release_msg = F.format_string(
+        "%s %s %s - %s %s by %s",
+        repo_md, ev, release["tag"], release["url"], raw_action, author_md,
+    )
+    created_msg = F.format_string(
+        "%s Branch %s - %s) %s by %s",
+        repo_md, branch["name"], branch["url"],
+        F.when(ev == "create", F.lit("created")).otherwise(F.lit("deleted")),
+        author_md,
+    )
+
+    message = (
+        F.when(is_issueish | is_pr, subj_msg)
+        .when(is_comment, comment_msg)
+        .when(is_push, push_msg)
+        .when(is_release, release_msg)
+        .when(is_branch_ev, created_msg)
+    )
+    out = (
+        df.filter(handled)
+        .withColumn("severity", F.lit("info"))
+        .withColumn("type", F.lit("GitHub"))
+        .withColumn("title", title)
+        .withColumn("action", action)
+        .withColumn("repository", repo)
+        .withColumn("sender", sender)
+        .withColumn("message", message)
+        .withColumn("issue", F.when(is_issueish, _subject_struct(body, "issue")))
+        .withColumn("pullRequest", F.when(is_pr, _subject_struct(body, "pull_request")))
+        .withColumn("comment", F.when(is_comment, comment))
+        .withColumn("branch", F.when(is_push | is_branch_ev, branch))
+        .withColumn("headCommit", F.when(is_push, head_commit))
+        .withColumn("commitCount", F.when(is_push, n_commits.cast("long")))
+        .withColumn("commits", F.when(is_push, commits))
+        .withColumn("release", F.when(is_release, release))
+    )
+    _ = subj_root  # (kept for readability; both roots share _subject_struct)
+    return out
+
+
+# --- vercel ---------------------------------------------------------------
+
+_DURATION_RE = r"Duration:\s(\d+\.\d+)\sms"
+_BILLED_RE = r"Billed\sDuration:\s(\d+)\sms"
+_MEMSIZE_RE = r"Memory\sSize:\s(\d+)\sMB"
+_MAXMEM_RE = r"Max\sMemory\sUsed:\s(\d+)\sMB"
+_INIT_RE = r"Init\sDuration:\s(\d+\.\d+)\sms"
+_START_RE = r"^START RequestId: (\S+) Version: (\S+)"
+_ERROR_STRIP_TS = r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}.\d{3}Z"
+_ERROR_STRIP_UUID = r"(?i)[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+_VERCEL_ERROR_SCHEMA = "struct<errorType:string, errorMessage:string, stack:array<string>>"
+
+
+def vercel_format(
+    df: DataFrame,
+    message_col: str = "message",
+    source_col: str = "source",
+    cache_id_col: str = "proxy_cache_id",
+) -> DataFrame:
+    """vercel-format.js:29-157: lambda REPORT lines → duration/memory
+    metrics + coldStart; START header → requestId/version/logLevel; embedded
+    error JSON ({errorType, errorMessage, stack}) → error struct; cached
+    requests → synthetic cache-hit message. Non-lambda rows pass through."""
+    msg = F.col(message_col)
+    src = F.col(source_col) if source_col in df.columns else F.lit("lambda")
+    cache_id = F.col(cache_id_col) if cache_id_col in df.columns else F.lit(None).cast("string")
+    is_lambda = src.isNull() | (src == "lambda")
+    is_cache = cache_id.isNotNull()
+
+    lines = F.split(msg, "\n")
+    report = F.try_element_at(
+        F.filter(lines, lambda ln: ln.startswith("REPORT")), F.lit(-1)
+    )
+    num = lambda rx: F.regexp_extract(report, rx, 1)  # noqa: E731
+
+    init_raw = F.regexp_extract(report, _INIT_RE, 1)
+    error_line = F.try_element_at(
+        F.filter(
+            lines,
+            lambda ln: (F.length(ln) > 0)
+            & ~ln.startswith("REPORT")
+            & ~ln.startswith("END")
+            & ~ln.startswith("START"),
+        ),
+        F.lit(1),
+    )
+    error_clean = F.regexp_replace(
+        F.regexp_replace(error_line, _ERROR_STRIP_TS, ""), _ERROR_STRIP_UUID, ""
+    )
+    error_json = F.from_json(F.regexp_extract(error_clean, r"(\{[\s\S]*\})", 1), _VERCEL_ERROR_SCHEMA)
+    error_struct = F.when(
+        error_json.isNotNull() & error_json["errorType"].isNotNull(),
+        F.struct(
+            error_json["errorType"].alias("type"),
+            error_json["errorMessage"].alias("message"),
+            F.array_join(error_json["stack"], "\n").alias("stack"),
+        ),
+    )
+
+    metric = lambda rx, t: F.when(is_lambda & ~is_cache, num(rx).try_cast(t))  # noqa: E731
+    out = (
+        df.withColumn("duration", metric(_DURATION_RE, "double"))
+        .withColumn("billedDuration", metric(_BILLED_RE, "long"))
+        .withColumn("memorySize", metric(_MEMSIZE_RE, "long"))
+        .withColumn("maxMemoryUsed", metric(_MAXMEM_RE, "long"))
+        .withColumn(
+            "coldStart", F.when(is_lambda & ~is_cache & (init_raw != ""), F.lit(True))
+        )
+        .withColumn("initDuration", F.when(F.col("coldStart"), init_raw.try_cast("double")))
+        .withColumn("requestId", F.when(is_lambda & ~is_cache, F.regexp_extract(msg, _START_RE, 1)))
+        .withColumn("version", F.when(is_lambda & ~is_cache, F.regexp_extract(msg, _START_RE, 2)))
+        .withColumn("error", F.when(is_lambda & ~is_cache, error_struct))
+        .withColumn(
+            message_col,
+            F.when(is_cache, F.format_string("Cache hit for requestId: %s", cache_id)).otherwise(msg),
+        )
+    )
+    if source_col in df.columns:
+        out = out.withColumn(source_col, F.when(is_cache, F.lit("cache")).otherwise(src))
+    return out

@@ -20,6 +20,8 @@ fixture-tested against the reference's documented outputs.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -33,32 +35,33 @@ import pandas as pd
 # `now` — we inherit the year of the row's `ts` (deterministic).
 # ---------------------------------------------------------------------------
 
-_DATEFNS_TO_STRPTIME = [
-    ("yyyy", "%Y"),
-    ("yy", "%y"),
-    ("MMM", "%b"),
-    ("MM", "%m"),
-    ("dd", "%d"),
-    ("HH", "%H"),
-    ("mm", "%M"),
-    ("ss", "%S"),
-    (",SSS", ",%f"),
-    (".SSS", ".%f"),
-    (",SS", ",%f"),
-    (".SS", ".%f"),
-    (",S", ",%f"),
-    (".S", ".%f"),
-    ("X", "%z"),
-    ("ZZ", "%z"),
-    ("Z", "%z"),
-]
+# single-pass tokenizer (longest token first) — naive sequential .replace()
+# corrupts already-emitted directives (e.g. 'HH'→'%H' then 'H'→'%H' would
+# mangle the '%H' it just produced)
+_DATEFNS_TOKENS = {
+    "yyyy": "%Y",
+    "SSS": "%f",
+    "MMM": "%b",
+    "ZZ": "%z",
+    "yy": "%y",
+    "MM": "%m",
+    "dd": "%d",
+    "HH": "%H",
+    "hh": "%H",  # date-fns 'hh' is 12-hour; shipped formats use it for 24-h logs
+    "mm": "%M",
+    "ss": "%S",
+    "SS": "%f",
+    "X": "%z",
+    "Z": "%z",
+    "H": "%H",
+    "S": "%f",
+    "D": "%d",
+}
+_DATEFNS_RE = re.compile("|".join(sorted(_DATEFNS_TOKENS, key=len, reverse=True)))
 
 
 def datefns_to_strptime(fmt: str) -> str:
-    out = fmt
-    for a, b in _DATEFNS_TO_STRPTIME:
-        out = out.replace(a, b)
-    return out
+    return _DATEFNS_RE.sub(lambda m: _DATEFNS_TOKENS[m.group(0)], fmt)
 
 
 def format_has_year(fmt: str) -> bool:
@@ -201,6 +204,102 @@ def heroku_transform(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _assign_wide(df: pd.DataFrame, recs: list[dict], index) -> pd.DataFrame:
+    """Scatter per-row dicts into new string columns (heroku kv pattern)."""
+    if any(recs):
+        wide = pd.DataFrame(recs, index=index)
+        for col in wide.columns:
+            df.loc[wide.index, col] = wide[col]
+    return df
+
+
+def _solr_core_records(core: pd.Series) -> list[dict]:
+    """patterns.yml:194-206: core='c:test s:shard2 ...' → parsedCore.* keys
+    (the reference nests an object; our open map flattens to dotted keys)."""
+    recs = []
+    for c in core.fillna(""):
+        parts = str(c).split(" ")
+        d = {}
+        if len(parts) > 1:
+            for kv in parts:
+                k, sep, v = kv.partition(":")
+                if sep:
+                    d[f"parsedCore.{k}"] = v
+        recs.append(d)
+    return recs
+
+
+def _solr_param_records(params: pd.Series, field_prefix: bool) -> list[dict]:
+    """patterns.yml:160-207: '&'-split query params, non-alpha keys prefixed
+    field_, repeats become multi-valued (JSON list string in the map), NOW
+    epoch-millis becomes an ISO instant."""
+    recs = []
+    for m in params.fillna(""):
+        d: dict = {}
+        for part in str(m).split("&"):
+            k, sep, v = part.partition("=")
+            if not sep:
+                continue
+            if field_prefix and not re.search("[a-zA-Z]", k):
+                k = "field_" + k
+            key = f"parsedParams.{k}"
+            if key in d:
+                prev = d[key]
+                d[key] = prev if isinstance(prev, list) else [prev]
+                d[key].append(v)
+            else:
+                d[key] = v
+        now = d.get("parsedParams.NOW")
+        if isinstance(now, str):
+            try:
+                import datetime
+
+                d["parsedParams.NOW"] = (
+                    datetime.datetime.utcfromtimestamp(int(now) / 1000.0).isoformat(
+                        timespec="milliseconds"
+                    )
+                    + "Z"
+                )
+            except (ValueError, OverflowError):
+                pass
+        recs.append({k: (json.dumps(v) if isinstance(v, list) else v) for k, v in d.items()})
+    return recs
+
+
+def make_solr_transform(parse_params: bool, field_prefix: bool = True) -> Transform:
+    """The solr !!js/function family (patterns.yml:160-207,299-314,319-338,
+    346-364): query-param explode gated by PARSE_SOLR_QUERY_PARAMS=1, plus
+    the core descriptor split."""
+
+    def _t(df: pd.DataFrame) -> pd.DataFrame:
+        if parse_params and "params" in df.columns and os.environ.get("PARSE_SOLR_QUERY_PARAMS") == "1":
+            df = _assign_wide(df, _solr_param_records(df["params"], field_prefix), df.index)
+        if "core" in df.columns:
+            df = _assign_wide(df, _solr_core_records(df["core"]), df.index)
+        return df
+
+    return _t
+
+
+solr_transform = make_solr_transform(parse_params=True)
+solr_transform_simple = make_solr_transform(parse_params=True, field_prefix=False)
+solr_core_transform = make_solr_transform(parse_params=False)
+
+
+def couchdb_transform(df: pd.DataFrame) -> pd.DataFrame:
+    """patterns.yml:850-853,870-873: p.os = {host: node} → dotted key."""
+    df["os.host"] = df["node"]
+    return df
+
+
+def cloudfoundry_transform(df: pd.DataFrame) -> pd.DataFrame:
+    """patterns.yml:948-990: syslog PRI decode + os.host; prio consumed."""
+    df = _pri_decode(df)
+    df["os.host"] = df["host"]
+    df = df.drop(columns=["prio"])
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Default rule set: the fixture families from FIXTURES.md §2, first-match
 # order preserved from patterns.yml (more specific first).
@@ -208,11 +307,61 @@ def heroku_transform(df: pd.DataFrame) -> pd.DataFrame:
 
 DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
     PatternGroup(
+        name="hyperkube",
+        # patterns.yml:105-111 (kubernetes hyperkube API access lines)
+        source_name=r"hyperkube",
+        rules=(
+            MatchRule(
+                log_type="hyperkube",
+                regex=(
+                    r"(?i)^\S+\s(\S+)\s+\S+\s+\S+\s([GET|POST|PUT|DELETE|HEAD|OPTIONS]+)"
+                    r"\s+(/.+):\s\(([\d|.]+)(\S+)\)\s(\d+\s)(.*hyperkube.+)\s(.+):(\d+)\]"
+                ),
+                fields=(
+                    "ts",
+                    "method",
+                    "url",
+                    "duration",
+                    "duration_unit",
+                    "status_code",
+                    "info",
+                    "ip",
+                    "port",
+                ),
+                date_format="HH:mm:ss:S",
+            ),
+        ),
+    ),
+    PatternGroup(
         name="elasticsearch",
-        # patterns.yml:111-135
+        # patterns.yml:112-138 (slow log first — first-match order)
         source_name=r"elasticsearch",
         block_start=r"^\[\d{4}-\d{2}-\d{2}[\sT][\d:]+,\d+\]|^log4j:\S+\s",
         rules=(
+            MatchRule(
+                log_type="elasticsearch_slow_log",
+                # patterns.yml:116-130
+                regex=(
+                    r"(?i)^\[(\d{4}-\d{2}-\d{2}[\sT][\d:]+,\d+)\]\[(.+?)\s*\]"
+                    r"\[(\S{0,512})\s*\]\s*\[(.+?)\]\s\[(\S+?)\]\[(\d+)\]"
+                    r"\s.+took_millis\[(\d+)\].+types\[(.*?)\].+stats\[(.*?)\]"
+                    r".*search_type\[(.*?)\].+total_shards\[(.*?)\].+source\[(.*?)\],"
+                ),
+                fields=(
+                    "ts",
+                    "severity:string",
+                    "class_name:string",
+                    "node_name:string",
+                    "index_name:string",
+                    "shard_number:number",
+                    "took_millis:number",
+                    "types:string",
+                    "stats:string",
+                    "search_type:string",
+                    "total_shards:number",
+                    "source:string",
+                ),
+            ),
             MatchRule(
                 log_type="elasticsearch",
                 regex=(
@@ -221,6 +370,214 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
                 ),
                 fields=("ts", "severity", "class_name", "node_name", "message"),
                 date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+            MatchRule(
+                # patterns.yml:135-138 (no node_name variant)
+                log_type="elasticsearch",
+                regex=(
+                    r"^\[(\d{4}-\d{2}-\d{2}\s[\d:]+,\d+)\]\[(.+?)\]"
+                    r"\[(\S{0,512})\s*\]\s*\s([\s\S]+)"
+                ),
+                fields=("ts", "severity", "class_name", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="solr",
+        # patterns.yml:140-380 — the largest family in the reference
+        source_name=r"(?i)solr",
+        block_start=r"^\S*\s*\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3}|^\d+\s+\S{3,5}\s+",
+        rules=(
+            MatchRule(
+                log_type="apache_solr_7_8_hits",
+                # patterns.yml:144-207
+                regex=(
+                    r"^\S*\s*(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3})\s(.+?)\s+\((.+?)\)"
+                    r"\s\[(.+?)]\s(.+?)\s\[(.+?)\]\s+webapp=(.+?)\spath=(.+?)"
+                    r"\sparams=\{(.*)\}\shits=(\d+)\sstatus=(\d+)\sQTime=(\d+)"
+                ),
+                fields=(
+                    "ts",
+                    "severity:string",
+                    "thread:string",
+                    "core:string",
+                    "class:string",
+                    "shard:string",
+                    "webapp:string",
+                    "path:string",
+                    "params:string",
+                    "hits:number",
+                    "status:number",
+                    "qtime:number",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+                transform=solr_transform,
+            ),
+            MatchRule(
+                log_type="apache_solr_7_8",
+                # patterns.yml:208-270 (no hits capture)
+                regex=(
+                    r"^\S*\s*(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3})\s(.+?)\s+\((.+?)\)"
+                    r"\s\[(.+?)]\s(.+?)\s\[(.+?)\]\s+webapp=(.+?)\spath=(.+?)"
+                    r"\sparams=\{(.*)\}\sstatus=(\d+)\sQTime=(\d+)"
+                ),
+                fields=(
+                    "ts",
+                    "severity:string",
+                    "thread:string",
+                    "core:string",
+                    "class:string",
+                    "shard:string",
+                    "webapp:string",
+                    "path:string",
+                    "params:string",
+                    "status:number",
+                    "qtime:number",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+                transform=solr_transform,
+            ),
+            MatchRule(
+                log_type="apache_solr_audit_log",
+                # patterns.yml:271-288
+                regex=(
+                    r"^\S*\s*(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3})\s(.+?)\s*\((.+?)\)"
+                    r'\s\[(.+?)]\s(.+?)\stype="(.*?)"\smessage="(.*?)"\smethod="(.*?)"'
+                    r'\sstatus="(.*?)"\srequestType="(.*?)"\susername="(.*?)"'
+                    r'\sresource="(.*?)"\squeryString="(.*?)"\scollections=(.*)'
+                ),
+                fields=(
+                    "ts",
+                    "severity:string",
+                    "thread:string",
+                    "core:string",
+                    "class:string",
+                    "type:string",
+                    "message:string",
+                    "method:string",
+                    "status:number",
+                    "requestType:string",
+                    "username:string",
+                    "resource:string",
+                    "querystring:string",
+                    "collections:string",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="apache_solr_7_8_generic",
+                # patterns.yml:289-314
+                regex=(
+                    r"^\S*\s*(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3})\s(.+?)\s+\((.+?)\)"
+                    r"\s\[(.+?)]\s(.+?)\s(.*)"
+                ),
+                fields=("ts", "severity:string", "thread:string", "core:string", "class:string", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+                transform=solr_core_transform,
+            ),
+            MatchRule(
+                log_type="apache_solr_v4.6",
+                # patterns.yml:315-338
+                regex=(
+                    r"^(\S+)\s+-\s(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3});\s(.+?);"
+                    r"\s\[(.+?)]\swebapp=(\S+)\spath=(.+?)\sparams=\{(.*)\}"
+                    r".*hits=(\d+)\sstatus=(\d+)\sQTime=(\d+)"
+                ),
+                fields=(
+                    "severity",
+                    "ts",
+                    "class",
+                    "application",
+                    "webapp",
+                    "path",
+                    "params",
+                    "hits",
+                    "status",
+                    "qtime",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+                transform=solr_transform_simple,
+            ),
+            MatchRule(
+                log_type="apache_solr",
+                # patterns.yml:339-342
+                regex=(
+                    r"^(\S+)\s+-\s(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3});\s\[\s*(.+?)]"
+                    r"\s(\S+);\s.*.*webapp=(\S+)\spath=(.+?)\sparams=\{(.*)\}"
+                    r".*hits=(\d+)\sstatus=(\d+)\sQTime=(\d+)"
+                ),
+                fields=(
+                    "severity",
+                    "ts",
+                    "application",
+                    "class",
+                    "webapp",
+                    "path",
+                    "params",
+                    "hits",
+                    "status",
+                    "qtime",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+            MatchRule(
+                log_type="apache_solr_v5_1",
+                # patterns.yml:343-364 (relative ts — no dateFormat: row ts)
+                regex=(
+                    r"^(\d+)\s\[(\S+)]\s(\S+)\s(\S+)\s\[(\S+)\s(\S+)\s(\S+)\s(\S+)\]"
+                    r".+?\[(.+?)\]\swebapp=(.+?)\spath=(.+?)\sparams=\{(.+?)\}"
+                    r"\sstatus=(\d+)\sQTime=(\d+)"
+                ),
+                fields=(
+                    "relative_ts",
+                    "thread_id",
+                    "severity",
+                    "class",
+                    "collection",
+                    "shard",
+                    "core",
+                    "replica",
+                    "core_name",
+                    "webapp",
+                    "path",
+                    "params",
+                    "status",
+                    "qtime",
+                ),
+                transform=solr_transform_simple,
+            ),
+            MatchRule(
+                log_type="apache_solr",
+                # patterns.yml:365-368 (exception lines)
+                regex=(
+                    r"^(\S+)\s+-\s+(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3});\s+(\S+);"
+                    r"\s+(.+Exception:\s[\s\S]+)"
+                ),
+                fields=("severity", "ts", "class", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+            MatchRule(
+                log_type="apache_solr",
+                # patterns.yml:369-372
+                regex=(
+                    r"^(\S+)\s+-\s+(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3});\s+(\S+);\s([\s\S]+)"
+                ),
+                fields=("severity", "ts", "class", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+            MatchRule(
+                log_type="apache_solr_5_generic",
+                # patterns.yml:373-376
+                regex=r"^(\S+)\s+-\s+(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3});\s(.*)",
+                fields=("severity", "ts", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+            MatchRule(
+                log_type="apache_solr4",
+                # patterns.yml:377-379 (relative ts)
+                regex=r"^(\d+)\s+(\S+)\s+\((\S+)\)\s+\[(.+?)\]\s(\S+)\s(.+)",
+                fields=("relative_ts", "severity", "thread", "thread_id", "class", "message"),
             ),
         ),
     ),
@@ -269,6 +626,55 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         ),
     ),
     PatternGroup(
+        name="nexus",
+        # patterns.yml:504-512 (Sonatype Nexus)
+        source_name=r"nexus",
+        block_start=r"^\d{4}-\d{2}-\d{2}",
+        rules=(
+            MatchRule(
+                log_type="nexus",
+                regex=(
+                    r"^([\d\-\s:.,+]+)\s+([A-Z]+)\s+[^\[]*\[\s*([^\]]+)\]"
+                    r"\s(\*?\w+)\s+([\w.]+)\W+(.+)"
+                ),
+                fields=("ts", "severity", "thread", "user", "class", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SSSX",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="nodebb",
+        # patterns.yml:514-523 (NodeBB forum)
+        source_name=r"(?i)nodebb",
+        rules=(
+            MatchRule(
+                log_type="nodebb_forum",
+                regex=r"^(\d{4}-\d{2}-\d{1,2}T\d\d:\d\d:\d\d\.\d+Z)\s-\s(\w+):\s\[(\S+)]\s(.*)",
+                fields=("ts", "severity", "module", "message"),
+                date_format="iso",
+            ),
+            MatchRule(
+                log_type="nodebb_forum",
+                regex=r"^(\d{4}-\d{2}-\d{1,2}T\d\d:\d\d:\d\d\.\d+Z)\s-\s(\w+):\s(.*)",
+                fields=("ts", "severity", "message"),
+                date_format="iso",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="nsq",
+        # patterns.yml:533-539 (nsq.io)
+        source_name=r"nsqio/nsq",
+        rules=(
+            MatchRule(
+                log_type="nsq",
+                regex=r"(^\d{4}/\d{2}/\d{2}\s[\d:]+)\s(\S+)\s+(\d+)\s+\[(\S+)\]\s+(.+)",
+                fields=("ts", "level", "pid", "module", "message"),
+                date_format="yyyy/MM/dd HH:mm:ss",
+            ),
+        ),
+    ),
+    PatternGroup(
         name="mysql",
         # patterns.yml:524-531
         source_name=r"mysql",
@@ -310,11 +716,38 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
                 transform=access_log_transform,
             ),
             MatchRule(
-                # patterns.yml:597-621 (access_common: no referer/UA tail)
+                # patterns.yml:569-596 (jwilder/nginx-proxy access_common —
+                # the reference declares 13 fields for 11 captures; trailing
+                # names are unused, same zip-truncation here)
                 log_type="access_common",
                 regex=(
-                    r"^([0-9a-f.:]+)\s+(-|.+?)\s+(-|.+?)\s+\[(.*)\]\s"
-                    r'"(\S+)\s(\S+)\s(\S+)"\s(\d+)\s(\d+|"-"|-)$'
+                    r"(?i)^(\S+)\s+(-|.+?)\s+(-|.+?)\s+\[(.*)\]\s"
+                    r'"(\S+)\s(\S+)\s(\S+)"\s(\d+)\s(\d+|"-"|-)\s+'
+                    r'"{0,1}(.+?)"{0,1}\s+"{0,1}([\S\s]+)"{0,1}'
+                ),
+                fields=(
+                    "proxy_service:string",
+                    "virtual_host:string",
+                    "client_ip:string",
+                    "remote_id:string",
+                    "user:string",
+                    "ts",
+                    "method:string",
+                    "path:string",
+                    "http_version:string",
+                    "status_code:number",
+                    "size:number",
+                    "url:string",
+                    "user_agent:string",
+                ),
+                date_format="dd/MMM/yyyy:HH:mm:ss X",
+            ),
+            MatchRule(
+                # patterns.yml:597-609 (access_common: no referer/UA tail)
+                log_type="access_common",
+                regex=(
+                    r"^(\S+)\s+(-|.+?)\s+(-|.+?)\s+\[(.*)\]\s"
+                    r'"(\S+)\s(\S+)\s(\S+)"\s(\d+)\s(\d+|"-"|-)'
                 ),
                 fields=(
                     "client_ip:string",
@@ -392,15 +825,27 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         ),
     ),
     PatternGroup(
-        name="hadoop",
-        # patterns.yml:390-414 (HDFS data node / YARN node manager — the
-        # log4j `ts SEVERITY class: message` family)
-        source_name=r"hdfs|yarn|hadoop",
+        name="hdfs",
+        # patterns.yml:389-396 (HDFS data node)
+        source_name=r"hdfs|hadoop",
         block_start=r"^\d{4}-\d{2}-\d{2}\s[\d:]+,\d+\s(\S+)\s",
         rules=(
             MatchRule(
-                log_type="apache_hadoop",
+                log_type="apache_hdfs_data_node",
                 regex=r"^(\d{4}-\d{2}-\d{2}\s+[\d:]+,\d+)\s+(\S+)\s(\S+):\s([\s\S]+)",
+                fields=("ts", "severity", "class", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="yarn",
+        # patterns.yml:407-413 (YARN node manager — no blockStart)
+        source_name=r"yarn",
+        rules=(
+            MatchRule(
+                log_type="apache_hadoop_yarn_node_manager",
+                regex=r"^(\d{4}-\d{2}-\d{2}\s[\d:]+,\d+)\s(\S+)\s(\S+):\s([\S\s]+)",
                 fields=("ts", "severity", "class_name", "message"),
                 date_format="yyyy-MM-dd HH:mm:ss,SS",
             ),
@@ -442,6 +887,202 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         ),
     ),
     PatternGroup(
+        name="flink_log4j",
+        # patterns.yml:636-643 (jobmanager/taskmanager log4j form; the
+        # shipped dateFormat 'yyyy-MM-dd HH:mm:ss:l' contains the invalid
+        # token 'l', so the reference never parses it (ts ⇒ now) — we carry
+        # the format through and fail identically to row ts)
+        source_name=r"flink",
+        block_start=r"^\d{4}-\d{2}-\d{2}\s\d{2}:\d{2}:\d{2},\d{3}\s",
+        rules=(
+            MatchRule(
+                log_type="flink[job|task]manager",
+                regex=(
+                    r"^(\d{4}-\d{2}-\d{2}\s\d{2}:\d{2}:\d{2},\d{3})\s"
+                    r"(INFO|info|WARN|ERROR|FATAL)\s+(\S+)\s+-\s([\s\S\n]+)"
+                ),
+                fields=("ts", "severity", "processid", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss:l",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="flink_jul",
+        # patterns.yml:644-651 (java.util.logging form)
+        source_name=r"flink",
+        block_start=r"^\w{3}\s[\d,\s:]+",
+        rules=(
+            MatchRule(
+                log_type="flink[job|task]manager",
+                regex=(
+                    r"^(\w{3}\s[\d,\s:]+\w{3}\s[\d,\s:]+[AP]M)\s([\s\S]+)\s"
+                    r"(INFO|WARN|ERROR|SEVERE|FATAL):\s([\s\S\n]+)"
+                ),
+                fields=("ts", "processid", "severity", "message"),
+                date_format="MMM dd, yyyy H:mm:ss",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="tutum",
+        # patterns.yml:686-692
+        source_name=r"tutum/cleanup",
+        rules=(
+            MatchRule(
+                log_type="tutum_cleanup",
+                regex=r"^(\d+/\d+/\d+\s\d+:\d+:\d+)\s(.*)",
+                fields=("ts", "message"),
+                date_format="yyyy/MM/dd hh:mm:ss",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="rabbitmq",
+        # patterns.yml:694-796 — 9 rules, first-match order preserved
+        source_name=r"rabbitmq",
+        block_start=r"^\d\d\d\d-\d\d-\d\d\s\d\d:\d\d:\d\d",
+        rules=(
+            MatchRule(
+                log_type="rabbitmq_startup",
+                # patterns.yml:698-710
+                regex=(
+                    r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s*\n\s*"
+                    r"(Starting\sRabbitMQ\s(\S+)\son\sErlang\s(.+)\s*\n\s*"
+                    r"(Copyright\s\(c\)\s\d{4}-\d{4}\s[^\n]*)\s*\n\s*"
+                    r"Licensed\sunder\sthe\s(\S*\s?\d*\.?\d?)[\s\S]*)"
+                ),
+                fields=(
+                    "ts",
+                    "severity",
+                    "connection:string",
+                    "message",
+                    "rabbitmq_version",
+                    "erlang_version",
+                    "copyright",
+                    "license",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="rabbitmq_wal_recovery",
+                # patterns.yml:711-719
+                regex=r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s(WAL:\srecovering\s\[(.*)\])",
+                fields=("ts", "severity", "connection:string", "message", "wal_path:string"),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="rabbitmq_access_denied",
+                # patterns.yml:720-729
+                regex=r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s(.+access\sdenied:\suser\s'(\S+)'\s-\s(.+))",
+                fields=(
+                    "ts",
+                    "severity",
+                    "connection:string",
+                    "message",
+                    "user:string",
+                    "reason:string",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="rabbitmq_login_refused",
+                # patterns.yml:730-746
+                regex=(
+                    r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\sError\son\sAMQP\sconnection\s<(\S+)>"
+                    r"\s\((\S+):(\d+)\s->\s(\S+):(\d+),\sstate:\s(\S+)\):\n"
+                    r"((\S+)\slogin\srefused:\suser\s'(\S+)'\s-\s(.+))"
+                ),
+                fields=(
+                    "ts",
+                    "severity",
+                    "connection:string",
+                    "refused_connection:string",
+                    "source_address:string",
+                    "source_port:number",
+                    "destination_address:string",
+                    "destination_port:number",
+                    "state:string",
+                    "message",
+                    "auth_method:string",
+                    "user:string",
+                    "reason:string",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="rabbitmq_connections_authenticated",
+                # patterns.yml:747-760
+                regex=(
+                    r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\sconnection\s<\S+>"
+                    r"\s\((\S+):(\d+)\s->\s(\S+):(\d+)\):\s"
+                    r"(user\s'(\S+)'\sauthenticated\sand\sgranted\saccess\sto\svhost\s'(\S+)')"
+                ),
+                fields=(
+                    "ts",
+                    "severity",
+                    "connection:string",
+                    "source_address:string",
+                    "source_port:number",
+                    "destination_address:string",
+                    "destination_port:number",
+                    "message",
+                    "user:string",
+                    "vhost:string",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="rabbitmq_connections_vhost_user",
+                # patterns.yml:761-775
+                regex=(
+                    r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s(accepting|closing)\sAMQP\sconnection\s<\S+>"
+                    r"\s\((\S+):(\d+)\s->\s(\S+):(\d+),\svhost:\s'(.+)',\suser:\s'(.+)'\):?([\s\S]*)"
+                ),
+                fields=(
+                    "ts",
+                    "severity",
+                    "connection:string",
+                    "connection_event",
+                    "source_address:string",
+                    "source_port:number",
+                    "destination_address:string",
+                    "destination_port:number",
+                    "vhost:string",
+                    "user:string",
+                    "message",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="rabbitmq_connections",
+                # patterns.yml:776-788
+                regex=(
+                    r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s(accepting|closing)\sAMQP\sconnection\s<\S+>"
+                    r"\s\((\S+):(\d+)\s->\s(\S+):(\d+)\)([\s\S]*)"
+                ),
+                fields=(
+                    "ts",
+                    "severity",
+                    "connection:string",
+                    "connection_event",
+                    "source_address:string",
+                    "source_port:number",
+                    "destination_address:string",
+                    "destination_port:number",
+                    "message",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+            MatchRule(
+                log_type="rabbitmq",
+                # patterns.yml:789-796 (generic fallback)
+                regex=r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s([\s\S]+)",
+                fields=("ts", "severity", "connection:string", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss.SSS",
+            ),
+        ),
+    ),
+    PatternGroup(
         name="hbase",
         # patterns.yml:399-407 (log4j with [thread])
         source_name=r"hbase",
@@ -463,6 +1104,25 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         source_name=r"zookeeper|zk",
         block_start=r"^\d{4}-\d{2}-\d{2}\s[\d:]+,\d+\s+",
         rules=(
+            MatchRule(
+                # patterns.yml:419-430 (session_id variant, first-match order)
+                log_type="apache_zookeeper",
+                regex=(
+                    r"^(\d{4}-\d{2}-\d{2}\s[\d:]+,\d+)\s+\[(\S+?):?\]\s+-\s+(\S+)"
+                    r"\s+\[(.+)\]\s-\s+([\s\S]+?[client|from]\s/(.+?):(\d+).*sessionid.+(0x.+).*)"
+                ),
+                fields=(
+                    "ts",
+                    "machine_id:string",
+                    "severity:string",
+                    "thread_info:string",
+                    "message:string",
+                    "client_ip:string",
+                    "client_port:number",
+                    "session_id:string",
+                ),
+                date_format="yyyy-MM-dd HH:mm:ss,SS",
+            ),
             MatchRule(
                 log_type="apache_zookeeper",
                 regex=(
@@ -556,6 +1216,55 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         ),
     ),
     PatternGroup(
+        name="couchdb",
+        # patterns.yml:837-874
+        source_name=r"couchdb",
+        rules=(
+            MatchRule(
+                log_type="couchdb",
+                # patterns.yml:840-853 (reference order: generic first — its
+                # \S{8}\s code field rejects the http form's 10-char code, so
+                # http lines fall through)
+                regex=r"^\[(\S+)\]\s(\S+)\s(\S+)\s(\S+)\s(\S{8})\s([\s\S]+)",
+                fields=(
+                    "severity:string",
+                    "ts",
+                    "node:string",
+                    "module:string",
+                    "code:string",
+                    "message:string",
+                ),
+                date_format="iso",
+                transform=couchdb_transform,
+            ),
+            MatchRule(
+                log_type="couchdb_http",
+                # patterns.yml:854-874
+                regex=(
+                    r"^\[(\S+)\]\s(\S+)\s(\S+)\s(\S+)\s(\S{10})\s(\S+):(\d+)\s(\S+)\s(\S+)"
+                    r"\s(GET|PUT|POST|DELETE|HEAD)\s(\S+)\s(\d+)\s(\S|\s+)"
+                ),
+                fields=(
+                    "severity:string",
+                    "ts",
+                    "node:string",
+                    "module:string",
+                    "code:string",
+                    "server_ip:string",
+                    "server_port:number",
+                    "client_ip:string",
+                    "user:string",
+                    "method:string",
+                    "url:string",
+                    "status_code:number",
+                    "response:string",
+                ),
+                date_format="iso",
+                transform=couchdb_transform,
+            ),
+        ),
+    ),
+    PatternGroup(
         name="heroku",
         # patterns.yml:876-938
         source_name=r"syslog_framed|heroku",
@@ -582,13 +1291,124 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         ),
     ),
     PatternGroup(
+        name="cloudfoundry",
+        # patterns.yml:940-1086 (syslog-framed router messages; transform =
+        # PRI decode + os.host, prio consumed)
+        source_name=r"cloudfoundry.*|syslog_raw",
+        rules=(
+            MatchRule(
+                log_type="cloudfoundry",
+                # patterns.yml:943-990 (domain variant)
+                regex=(
+                    r"^\d*\s?<(\d+)>(\d+)\s([\d\-]+T[\d:.+]+)\s([a-zA-Z0-9\-._\s]+)\s(.+?)"
+                    r"\s\[(.+)\]\s-\s\[(.*)\]\s([a-zA-Z0-9._]+)\s-\s\[[\d\-]+T[\d:.]+Z\]\s(.*)"
+                ),
+                fields=(
+                    "prio",
+                    "version",
+                    "ts",
+                    "host",
+                    "processID",
+                    "applicationID",
+                    "tags",
+                    "domain",
+                    "message",
+                ),
+                date_format="iso",
+                transform=cloudfoundry_transform,
+            ),
+            MatchRule(
+                log_type="cloudfoundry",
+                # patterns.yml:991-1038 (tags variant)
+                regex=(
+                    r"^\d*\s?<(\d+)>(\d+)\s([\d\-]+T[\d:.+]+)\s([a-zA-Z0-9\-._\s]+)\s(.+?)"
+                    r"\s\[(.+)\]\s-\s\[(.*)\]\s(.*)"
+                ),
+                fields=(
+                    "prio",
+                    "version",
+                    "ts",
+                    "host",
+                    "processID",
+                    "applicationID",
+                    "tags",
+                    "message",
+                ),
+                date_format="iso",
+                transform=cloudfoundry_transform,
+            ),
+            MatchRule(
+                log_type="cloudfoundry",
+                # patterns.yml:1039-1086 (bare variant)
+                regex=(
+                    r"^\d*\s?<(\d+)>(\d+)\s([\d\-]+T[\d:.+]+)\s(\S+)\s(.+?)"
+                    r"\s\[(.+)\]\s-\s-\s(.+)"
+                ),
+                fields=(
+                    "prio",
+                    "version",
+                    "ts",
+                    "host",
+                    "applicationID",
+                    "processID",
+                    "message",
+                ),
+                date_format="iso",
+                transform=cloudfoundry_transform,
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="swarm",
+        # patterns.yml:1088-1098 (Docker Swarm logfmt lines; no dateFormat in
+        # the reference — ISO time= values coerce, anything else ⇒ row ts)
+        source_name=r"swarm",
+        rules=(
+            MatchRule(
+                log_type="docker",
+                regex=r'^time="(.*)\slevel=(\S+)\smsg="(.+?)"\saddr="(.+?)"\sdiscovery="(.+?)"',
+                fields=("ts", "severity", "message", "address", "discovery"),
+            ),
+            MatchRule(
+                log_type="docker",
+                regex=r'^time="(.*)\slevel=(\S+)\smsg="(.+?)',
+                fields=("ts", "severity", "message"),
+            ),
+        ),
+    ),
+    PatternGroup(
         name="syslog_files",
-        # patterns.yml:1100-1122 (macOS /var/log/*.log); 4th variant carries
-        # the FIXTURES.md §2 syslog_macos case.
+        # patterns.yml:1100-1142 (timestamped /var/log/*.log messages, 8
+        # variants in reference first-match order)
         source_name=r"\.log",
         rules=(
             MatchRule(
                 log_type="system_log",
+                # patterns.yml:1103-1107 (facility.severity variant)
+                regex=(
+                    r"^([\w\s]+\s+\d{1,2}\s[\d:.]+)\s+(\S+)\s+(.*)\.(.+)\s(.+?)\[(\d+)\]:\s+(.*)"
+                ),
+                fields=(
+                    "ts",
+                    "syslog_host",
+                    "syslog_facility",
+                    "severity",
+                    "syslog_service",
+                    "syslog_pid",
+                    "message",
+                ),
+                date_format="MMM dd HH:mm:ss",
+            ),
+            MatchRule(
+                log_type="system_log",
+                # patterns.yml:1108-1112 (<severity> tail variant)
+                regex=r"^([\w\s]+\s+\d{2}\s[\d:]+)\s(.+?)\s(.+?)\s<(.+)>(.*)",
+                fields=("ts", "syslog_host", "service", "severity", "message"),
+                date_format="MMM dd HH:mm:ss",
+            ),
+            MatchRule(
+                log_type="system_log",
+                # patterns.yml:1113-1117
                 regex=(
                     r"^([\w\s]+\s+\d{1,2}\s[\d:]+)\s(\S+)\s(\S+)\[(\d+)\]"
                     r"\s{0,4}<(.+)>:\s{0,2}(.+)"
@@ -598,15 +1418,53 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="system_log",
+                # patterns.yml:1118-1122
                 regex=r"^([\w\s]+\s+\d{1,2}\s[\d:]+)\s(\S+)\s(\S+)\[(\d+)\]:\s(.+)",
                 fields=("ts", "host_syslog", "service", "pid", "message"),
                 date_format="MMM dd HH:mm:ss",
             ),
             MatchRule(
                 log_type="system_log",
+                # patterns.yml:1123-1127
                 regex=r"^([\w\s]+\s+\d{1,2}\s[\d:.]+)\s+(\S+)\s+(\S+):\s(.*)",
                 fields=("ts", "host_syslog", "service", "message"),
                 date_format="MMM dd HH:mm:ss",
+            ),
+            MatchRule(
+                log_type="log",
+                # patterns.yml:1128-1132
+                regex=r"^([\w\s]+\s\d{2}\s[\d:.]+)\s+(<.+?>)\s(.*)",
+                fields=("ts", "service", "message"),
+                date_format="MMM D HH:mm:ss",
+            ),
+            MatchRule(
+                log_type="log",
+                # patterns.yml:1133-1137
+                regex=r"^(\d{4}-\d{2}-\d{2}\s\d{2}:\d{2}:\d{2},\d+)\s\[(\S+)]\s(.+)",
+                fields=("ts", "severity", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss,S",
+            ),
+            MatchRule(
+                log_type="log",
+                # patterns.yml:1138-1142
+                regex=r"^(\d{4}[\-\d{2}]+\s[\d:]+\s\+\d{4}):\s+(.+)",
+                fields=("ts", "message"),
+                date_format="yyyy-MM-dd HH:mm:ss X",
+            ),
+        ),
+    ),
+    PatternGroup(
+        name="logagent",
+        # patterns.yml:1144-1152 (logagent self-logs). The shipped regex
+        # /^(\[\d|\:|\-]+Z)\s/ is malformed JS (stray '\['); we port the
+        # evident intent: ISO-instant-prefixed lines.
+        source_name=r"logagent",
+        rules=(
+            MatchRule(
+                log_type="logagent-js",
+                regex=r"^([\d:.\-]+T[\d:.\-]+Z)\s([\s\S]+)",
+                fields=("ts", "message"),
+                date_format="iso",
             ),
         ),
     ),

@@ -114,3 +114,134 @@ def test_aws_ecs_format(spark):
     # non-JSON message re-parsed with the kafka pattern
     assert rows[1]["ecs_type"] == "apache_kafka"
     assert rows[1]["fields"]["severity"] == "INFO"
+
+
+# ---------------------------------------------------------------------------
+# github / vercel mappers (round 2)
+# ---------------------------------------------------------------------------
+
+_PR_BODY = """{
+  "action": "opened",
+  "pull_request": {"html_url": "https://github.com/o/r/pull/7", "number": 7,
+    "title": "Add+feature", "body": "does+things", "state": "open", "comments": 2,
+    "created_at": "2021-01-01T10:00:00Z", "updated_at": "2021-01-02T10:00:00Z",
+    "closed_at": null},
+  "repository": {"full_name": "o/r", "html_url": "https://github.com/o/r",
+    "private": false, "fork": false, "default_branch": "main", "open_issues": 3,
+    "forks": 1, "stargazers_count": 10, "watchers_count": 10, "language": "Python",
+    "owner": {"login": "o", "html_url": "https://github.com/o"},
+    "homepage": null, "created_at": 1609459200, "updated_at": "2021-01-02T10:00:00Z",
+    "pushed_at": "2021-01-02T10:00:00Z"},
+  "sender": {"html_url": "https://github.com/alice", "login": "alice",
+    "avatar_url": "https://avatars.github.com/alice", "type": "User"}
+}"""
+
+_PUSH_BODY = """{
+  "ref": "refs/heads/main",
+  "commits": [{"id": "abc123", "tree_id": "t1", "distinct": true,
+    "message": "fix+bug", "timestamp": "2021-01-01T10:00:00Z",
+    "url": "https://github.com/o/r/commit/abc123",
+    "author": {"username": "alice"}, "committer": {"username": "alice"},
+    "added": ["a.py"], "removed": [], "modified": ["b.py"]}],
+  "head_commit": {"id": "abc123", "tree_id": "t1", "distinct": true,
+    "message": "fix+bug", "timestamp": "2021-01-01T10:00:00Z",
+    "url": "https://github.com/o/r/commit/abc123",
+    "author": {"username": "alice"}, "committer": {"username": "alice"},
+    "added": ["a.py"], "removed": [], "modified": ["b.py"]},
+  "repository": {"full_name": "o/r", "html_url": "https://github.com/o/r",
+    "owner": {"login": "o", "html_url": "https://github.com/o"}},
+  "sender": {"html_url": "https://github.com/alice", "login": "alice",
+    "avatar_url": "https://avatars.github.com/alice", "type": "User"}
+}"""
+
+
+def _gh_df(spark, event, body):
+    return spark.createDataFrame([(event, body)], "event string, body string")
+
+
+def test_github_events_format_pr(spark):
+    from logpipe.github import github_events_format
+
+    r = github_events_format(_gh_df(spark, "pull_request", _PR_BODY)).collect()[0]
+    assert r["severity"] == "info" and r["type"] == "GitHub"
+    assert r["title"] == "GitHub | Pull_request Opened"
+    assert r["message"] == (
+        "#### [[o/r](https://github.com/o/r)]\n"
+        "[pull_request #7](https://github.com/o/r/pull/7) opened by "
+        "![](https://avatars.github.com/alice&s=25) [alice](https://github.com/alice)\n"
+    )
+
+
+def test_github_events_format_push_and_drop(spark):
+    from logpipe.github import github_events_format
+
+    rows = github_events_format(
+        _gh_df(spark, "push", _PUSH_BODY).union(_gh_df(spark, "watch", "{}"))
+    ).collect()
+    assert len(rows) == 1  # unhandled 'watch' dropped (mapper never emits)
+    assert "[1 commit(s)](https://github.com/o/r/commit/abc123)" in rows[0]["message"]
+    assert "branch [main](https://github.com/o/r/tree/main)" in rows[0]["message"]
+
+
+def test_github_logs_format_pr(spark):
+    from logpipe.github import github_logs_format
+
+    r = github_logs_format(_gh_df(spark, "pull_request", _PR_BODY)).collect()[0]
+    assert r["title"] == "Opened Pull Request"
+    assert r["repository"]["name"] == "o/r"
+    assert r["repository"]["starsCount"] == 10
+    # numeric created_at (epoch seconds) normalized (github-logs-format.js:113-116)
+    assert r["repository"]["createdAt"] == "2021-01-01T00:00:00Z"
+    assert r["pullRequest"]["title"] == "Add feature"  # '+' → ' '
+    assert r["pullRequest"]["number"] == 7
+    assert r["sender"]["username"] == "alice"
+    assert r["message"] == (
+        "o/r - https://github.com/o/r | pull_request #7 - "
+        "https://github.com/o/r/pull/7 opened by alice - https://github.com/alice"
+    )
+
+
+def test_github_logs_format_push(spark):
+    from logpipe.github import github_logs_format
+
+    r = github_logs_format(_gh_df(spark, "push", _PUSH_BODY)).collect()[0]
+    assert r["action"] == "Branch" and r["commitCount"] == 1
+    assert r["branch"]["name"] == "main"
+    assert r["headCommit"]["body"] == "fix bug"
+    assert r["commits"][0]["author"]["username"] == "alice"
+    assert r["commits"][0]["added"] == ["a.py"]
+
+
+def test_vercel_format_lambda_report(spark):
+    from logpipe.github import vercel_format
+
+    msg = (
+        "START RequestId: req-1 Version: $LATEST\n"
+        '2021-01-01T10:00:00.123Z req-1 ERROR {"errorType":"TypeError",'
+        '"errorMessage":"x is not a function","stack":["TypeError: x","  at y"]}\n'
+        "END RequestId: req-1\n"
+        "REPORT RequestId: req-1\tDuration: 123.45 ms\tBilled Duration: 124 ms\t"
+        "Memory Size: 1024 MB\tMax Memory Used: 80 MB\tInit Duration: 202.02 ms\t\n"
+    )
+    df = spark.createDataFrame([(msg, "lambda", None)], "message string, source string, proxy_cache_id string")
+    r = vercel_format(df).collect()[0]
+    assert r["duration"] == 123.45 and r["billedDuration"] == 124
+    assert r["memorySize"] == 1024 and r["maxMemoryUsed"] == 80
+    assert r["coldStart"] is True and r["initDuration"] == 202.02
+    assert r["requestId"] == "req-1" and r["version"] == "$LATEST"
+    assert r["error"]["type"] == "TypeError"
+    assert r["error"]["stack"] == "TypeError: x\n  at y"
+
+
+def test_vercel_format_cache_and_passthrough(spark):
+    from logpipe.github import vercel_format
+
+    df = spark.createDataFrame(
+        [("whatever", "lambda", "c-99"), ("static hit", "edge", None)],
+        "message string, source string, proxy_cache_id string",
+    )
+    rows = vercel_format(df).orderBy("message").collect()
+    cache = [r for r in rows if r["source"] == "cache"][0]
+    assert cache["message"] == "Cache hit for requestId: c-99"
+    edge = [r for r in rows if r["source"] == "edge"][0]
+    assert edge["message"] == "static hit" and edge["duration"] is None

@@ -265,8 +265,11 @@ def test_clickhouse(spark):
 def test_hadoop(spark):
     line = "2016-04-05 09:26:03,123 INFO org.apache.hadoop.hdfs.DataNode: Receiving block"
     r = _parse_one(spark, line, "hdfs")
-    assert r["log_type"] == "apache_hadoop"
+    assert r["log_type"] == "apache_hdfs_data_node"  # patterns.yml:393
     assert r["severity"] == "INFO"
+    assert r["fields"]["class"] == "org.apache.hadoop.hdfs.DataNode"
+    r = _parse_one(spark, line, "yarn")
+    assert r["log_type"] == "apache_hadoop_yarn_node_manager"  # patterns.yml:410
     assert r["fields"]["class_name"] == "org.apache.hadoop.hdfs.DataNode"
 
 
@@ -329,3 +332,179 @@ def test_zookeeper(spark):
     assert r["log_type"] == "apache_zookeeper"
     assert r["fields"]["severity"] == "WARN"
     assert r["message"] is None or r["fields"]["message"] == "Exiting"
+
+
+# ---------------------------------------------------------------------------
+# round-2 family ports (one fixture line per family, patterns.yml citations
+# on each rule in logpipe/rules.py)
+# ---------------------------------------------------------------------------
+
+
+def test_solr_7_8_hits(spark):
+    line = (
+        "2019-07-08 12:05:42.062 INFO  (qtp1234-19) [c:test s:shard1] "
+        "o.a.s.c.S.Request [test_shard1_replica_n1]  webapp=/solr path=/select "
+        "params={q=*:*&fq=type:doc&fq=lang:en&0=skip} hits=42 status=0 QTime=3"
+    )
+    r = _parse_one(spark, line, "solr")
+    assert r["log_type"] == "apache_solr_7_8_hits"
+    assert r["fields"]["hits"] == "42" and r["fields"]["qtime"] == "3"
+    # core descriptor split (patterns.yml:194-206)
+    assert r["fields"]["parsedCore.c"] == "test"
+    assert r["fields"]["parsedCore.s"] == "shard1"
+    assert r["event_ts"] == datetime.datetime(2019, 7, 8, 12, 5, 42, 62000)
+
+
+def test_solr_param_explode_vectorized(monkeypatch):
+    # the PARSE_SOLR_QUERY_PARAMS=1 gate runs inside the executor transform
+    # (patterns.yml:160-207); exercised here directly on the pandas frame
+    import pandas as pd
+
+    from logpipe.rules import make_solr_transform
+
+    monkeypatch.setenv("PARSE_SOLR_QUERY_PARAMS", "1")
+    df = pd.DataFrame({"params": ["q=*:*&fq=type:doc&fq=lang:en&0=skip&NOW=1483228800000"]})
+    out = make_solr_transform(parse_params=True)(df)
+    assert out.at[0, "parsedParams.q"] == "*:*"
+    # repeats become multi-valued (JSON list), non-alpha keys get field_
+    assert out.at[0, "parsedParams.fq"] == '["type:doc", "lang:en"]'
+    assert out.at[0, "parsedParams.field_0"] == "skip"
+    # NOW epoch-millis → ISO instant (patterns.yml:187-191)
+    assert out.at[0, "parsedParams.NOW"] == "2017-01-01T00:00:00.000Z"
+
+
+def test_solr_generic_and_v46(spark):
+    r = _parse_one(
+        spark,
+        "2019-07-08 12:05:42.062 ERROR (qtp1-12) [c:col s:s1] o.a.s.c.Core bad thing",
+        "solr",
+    )
+    assert r["log_type"] == "apache_solr_7_8_generic"
+    assert r["fields"]["parsedCore.c"] == "col"
+    r = _parse_one(
+        spark,
+        "INFO  - 2013-07-23 22:00:24.222; org.apache.solr.core.Core; [collection1] "
+        "webapp=/solr path=/select params={q=*:*} hits=3 status=0 QTime=1",
+        "solr",
+    )
+    assert r["log_type"] == "apache_solr_v4.6"
+    assert r["fields"]["hits"] == "3"
+
+
+def test_rabbitmq(spark):
+    r = _parse_one(
+        spark,
+        "2019-07-08 12:05:42.123 [info] <0.123.4> accepting AMQP connection "
+        "<0.622.0> (127.0.0.1:52771 -> 127.0.0.1:5672)",
+        "rabbitmq",
+    )
+    assert r["log_type"] == "rabbitmq_connections"
+    assert r["fields"]["connection_event"] == "accepting"
+    assert r["fields"]["source_port"] == "52771"
+    r = _parse_one(spark, "2019-07-08 12:05:42.123 [warning] <0.123.4> memory high", "rabbitmq")
+    assert r["log_type"] == "rabbitmq"
+    assert r["severity"] == "warning"
+
+
+def test_couchdb(spark):
+    r = _parse_one(
+        spark,
+        "[info] 2021-01-01T10:00:00.000000Z couchdb@node1 <0.9.0> b2c3d4e5 internal replication done",
+        "couchdb",
+    )
+    assert r["log_type"] == "couchdb"
+    assert r["fields"]["os.host"] == "couchdb@node1"  # patterns.yml:850-853
+    assert r["event_ts"] == datetime.datetime(2021, 1, 1, 10, 0, 0)
+
+
+def test_cloudfoundry(spark):
+    r = _parse_one(
+        spark,
+        '<14>1 2021-01-01T10:00:00.12+00:00 host.example appname [APP/PROC/WEB/0] - '
+        '[tags="x"] hello from cf',
+        "cloudfoundry_drain",
+    )
+    assert r["log_type"] == "cloudfoundry"
+    # PRI 14 → facility user, severity info (patterns.yml:986-987)
+    assert r["fields"]["facility"] == "user"
+    assert r["severity"] == "info"
+    assert "prio" not in r["fields"]
+    assert r["fields"]["os.host"] == r["fields"]["host"]
+
+
+def test_flink(spark):
+    r = _parse_one(
+        spark,
+        "2021-01-01 10:00:00,123 INFO  org.apache.flink.runtime.jobmanager.JobManager  - Starting",
+        "flink",
+    )
+    assert r["log_type"] == "flink[job|task]manager"
+    # shipped dateFormat token 'l' is invalid → reference falls back to now,
+    # we fall back to row ts (documented divergence family)
+    assert r["event_ts"] == ROW_TS
+
+
+def test_nexus_nodebb_nsq_tutum(spark):
+    r = _parse_one(
+        spark,
+        "2021-01-01 10:00:00,123+0000 INFO  [qtp1-123] *SYSTEM org.sonatype.nexus.Foo - started",
+        "nexus",
+    )
+    assert r["log_type"] == "nexus" and r["fields"]["user"] == "*SYSTEM"
+    r = _parse_one(spark, "2021-01-01T10:00:00.123Z - info: [plugins] loaded", "nodebb")
+    assert r["log_type"] == "nodebb_forum" and r["fields"]["module"] == "plugins"
+    r = _parse_one(spark, "2021/01/01 10:00:00 INF    123 [nsqd] TOPIC(x): created", "nsqio/nsq")
+    assert r["log_type"] == "nsq" and r["fields"]["module"] == "nsqd"
+    assert r["event_ts"] == datetime.datetime(2021, 1, 1, 10, 0, 0)
+    r = _parse_one(spark, "2015/07/25 14:11:35 cleanup done", "tutum/cleanup")
+    assert r["log_type"] == "tutum_cleanup"
+    assert r["event_ts"] == datetime.datetime(2015, 7, 25, 14, 11, 35)
+
+
+def test_swarm_hyperkube(spark):
+    r = _parse_one(
+        spark,
+        'time="2016-04-05T19:36:48Z" level=info msg="Registering HTTP route" '
+        'addr="1.2.3.4:2375" discovery="consul"',
+        "swarm",
+    )
+    assert r["log_type"] == "docker"
+    assert r["fields"]["discovery"] == "consul"
+    r = _parse_one(
+        spark,
+        "I0405 06:25:38.523730 30204 logs.go:41] GET /api/v1/nodes: (2.251ms) "
+        "200 [[hyperkube/v1.2.0 (linux/amd64)] 127.0.0.1:33284]",
+        "hyperkube",
+    )
+    assert r["log_type"] == "hyperkube"
+    assert r["fields"]["method"] == "GET" and r["fields"]["duration"] == "2.251"
+
+
+def test_es_slow_log(spark):
+    line = (
+        "[2021-01-01T10:00:00,123][WARN ][index.search.slowlog.query] [node1] "
+        "[idx][0] took[10ms], took_millis[10], types[doc], stats[], "
+        "search_type[QUERY_THEN_FETCH], total_shards[5], source[{\"query\":1}],"
+    )
+    r = _parse_one(spark, line, "elasticsearch")
+    assert r["log_type"] == "elasticsearch_slow_log"
+    assert r["fields"]["took_millis"] == "10"
+    assert r["fields"]["index_name"] == "idx"
+
+
+def test_zookeeper_session(spark):
+    r = _parse_one(
+        spark,
+        "2021-01-01 10:00:00,123 [myid:1] - INFO [NIOServerCxn:Factory] - "
+        "Established session from /10.0.0.1:51234 sessionid = 0x15b00a2c5f90000 for client",
+        "zookeeper",
+    )
+    assert r["log_type"] == "apache_zookeeper"
+    assert r["fields"]["client_ip"] == "10.0.0.1"
+    assert r["fields"]["session_id"].startswith("0x")
+
+
+def test_logagent_selflog(spark):
+    r = _parse_one(spark, "2021-01-01T10:00:00.123Z parsing started", "logagent")
+    assert r["log_type"] == "logagent-js"
+    assert r["event_ts"] == datetime.datetime(2021, 1, 1, 10, 0, 0, 123000)
