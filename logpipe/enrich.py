@@ -13,8 +13,10 @@ Dimension-driven behaviors ported from kubernetes-enrichment.js:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def enrich(
@@ -133,6 +135,43 @@ _UA_BROWSERS = [
     ("chrome", r"(?i)chrome/|crios/"),
     ("safari", r"(?i)safari/"),
 ]
+
+
+def ua_enrich_dim(
+    df: DataFrame,
+    ua_dim: DataFrame,
+    ua_col: str = "user_agent",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Full device-database UA enrichment: a broadcast-sized priority-ordered
+    regex dim table (the device-detector-js database shape,
+    httpDeviceDetector.js:4-21) applied first-match-wins via one
+    Arrow-batched pandas UDF over the collected+compiled dim — the regex DB
+    is a few MB, the scan is narrow, and plan size stays O(1) in the number
+    of dim rows (an rlike when-chain or literal-array would grow with it).
+    Payload columns of the dim (everything but `pattern`) land as columns."""
+    import re
+
+    rows = ua_dim.collect()
+    payload_cols = [c for c in ua_dim.columns if c != pattern_col]
+    compiled = [(re.compile(r[pattern_col]), tuple(r[c] for c in payload_cols)) for r in rows]
+    out_schema = T.StructType([T.StructField(c, T.StringType()) for c in payload_cols])
+
+    @F.pandas_udf(out_schema)
+    def _match(uas: pd.Series) -> pd.DataFrame:
+        hits = []
+        for ua in uas:
+            row = (None,) * len(payload_cols)
+            if ua:
+                for rx, payload in compiled:
+                    if rx.search(ua):
+                        row = payload
+                        break
+            hits.append(row)
+        return pd.DataFrame(hits, columns=payload_cols)
+
+    matched = df.withColumn("_ua", _match(F.coalesce(F.col(ua_col), F.lit(""))))
+    return matched.select("*", "_ua.*").drop("_ua")
 
 
 def ua_enrich(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:

@@ -60,16 +60,32 @@ def main(argv: list[str] | None = None) -> int:
     if args.resumable:
         from pyspark.sql import functions as F
 
-        from logpipe.lineage import run_resumable
+        from logpipe.lineage import run_resumable, run_resumable_files
 
-        stats = run_resumable(
-            spark,
-            tr,
-            lambda part: pipe.routed(part).withColumn("fields", F.to_json("fields")),
-            out_dir=f"{args.out}/routed",
-            lineage_dir=f"{args.out}/lineage",
-            run_id=args.run_id,
-        )
+        def process(part):
+            return pipe.routed(part).withColumn("fields", F.to_json("fields"))
+
+        if args.input and "/" in args.input:
+            # on-table input: file-derived units — each input file is
+            # scanned exactly once across the whole run
+            stats = run_resumable_files(
+                spark,
+                args.input,
+                process,
+                out_dir=f"{args.out}/routed",
+                lineage_dir=f"{args.out}/lineage",
+                run_id=args.run_id,
+            )
+            stats.pop("units", None)
+        else:
+            stats = run_resumable(
+                spark,
+                tr,
+                process,
+                out_dir=f"{args.out}/routed",
+                lineage_dir=f"{args.out}/lineage",
+                run_id=args.run_id,
+            )
         print(f"resumable run complete: {stats}")
     else:
         pipe.run(spark, tr, out_dir=args.out)

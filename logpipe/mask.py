@@ -145,12 +145,55 @@ def remove_fields(
 
 
 def rename_fields(df: DataFrame, renames: dict[str, str]) -> DataFrame:
-    """rename-fields.js:5-27 (top-level columns; dotted paths = struct fields
-    are re-expressed as withField/dropFields by callers)."""
+    """rename-fields.js:5-27 (top-level columns; dotted paths inside the
+    open fields map → rename_map_fields)."""
     for old, new in renames.items():
         if old in df.columns:
             df = df.withColumnRenamed(old, new)
     return df
+
+
+def rename_map_fields(
+    df: DataFrame, renames: dict[str, str], map_col: str = "fields"
+) -> DataFrame:
+    """Dotted-path rename inside the open fields map — the reference's
+    get/set/unset-value path semantics (rename-fields.js:5-27 with keys like
+    'os.host'): an exact key renames, and a renamed PREFIX carries its
+    children ('a.b' → 'c' also moves 'a.b.x' → 'c.x'). Pure map_entries
+    transform, no shuffle."""
+
+    def new_key(k: F.Column) -> F.Column:
+        chain = None
+        for old, new in renames.items():
+            exact = k == old
+            child = k.startswith(old + ".")
+            moved = F.concat(F.lit(new), F.substring(k, len(old) + 1, 1_000_000))
+            branch_val = F.when(exact, F.lit(new)).otherwise(moved)
+            cond = exact | child
+            chain = F.when(cond, branch_val) if chain is None else chain.when(cond, branch_val)
+        return chain.otherwise(k) if chain is not None else k
+
+    return df.withColumn(
+        map_col,
+        F.map_from_entries(
+            F.transform(
+                F.map_entries(F.col(map_col)),
+                lambda e: F.struct(new_key(e["key"]).alias("key"), e["value"].alias("value")),
+            )
+        ),
+    )
+
+
+def remove_map_fields(df: DataFrame, paths: list[str], map_col: str = "fields") -> DataFrame:
+    """Dotted-path unset inside the fields map (unset-value semantics of
+    rename-fields.js): drops the exact key and its children."""
+    def _drop(m: F.Column, p: str) -> F.Column:
+        return F.map_filter(m, lambda k, _v: ~((k == p) | k.startswith(p + ".")))
+
+    out = F.col(map_col)
+    for p in paths:
+        out = _drop(out, p)
+    return df.withColumn(map_col, out)
 
 
 def lowercase_fields(df: DataFrame, fields: list[str] | None = None) -> DataFrame:

@@ -180,7 +180,22 @@ def _parse_json_rows(text: pd.Series, ts_np: np.ndarray, ruleset: RuleSet, res: 
         vals = pd.Series(str_vals, dtype="object")
         conv = pd.to_datetime(vals, format="ISO8601", errors="coerce", utc=True)
         bad = conv.isna()
-        if bad.any():  # rare non-ISO strings: dateutil fallback, failures only
+        # non-ISO strings: the ordered dateFormats list (patterns.yml:
+        # 1154-1176) first, then dateutil guessing for the remainder
+        for fmt in ruleset.date_formats:
+            if not bad.any():
+                break
+            if fmt == "iso":
+                continue
+            py = datefns_to_strptime(fmt)
+            # utc=True throughout: naive parses localize as UTC, keeping the
+            # series tz-homogeneous with the ISO branch
+            attempt = pd.to_datetime(vals[bad], format=py, errors="coerce", utc=True)
+            got = attempt.notna()
+            if got.any():
+                conv.loc[attempt.index[got]] = attempt[got]
+                bad = conv.isna()
+        if bad.any():
             conv.loc[bad] = pd.to_datetime(vals[bad], errors="coerce", utc=True)
         out = conv.dt.tz_convert("UTC").dt.tz_localize(None).to_numpy()
         pos = np.asarray(str_pos)
@@ -200,6 +215,30 @@ def _apply_rule(
 ) -> np.ndarray:
     """Run one rule on the unmatched positions `live`; scatter into `res`;
     return positional hit mask aligned to `live`."""
+    if rule.prefilter is not None:
+        # cheap literal containment gate before the (expensive) extract —
+        # prefilter is a required substring of any match, so recall is exact
+        pre = (
+            text.iloc[live]
+            .str.contains(rule.prefilter, regex=False, na=False)
+            .to_numpy()
+        )
+        hit_full = np.zeros(live.size, dtype=bool)
+        if not pre.any():
+            return hit_full
+        hit_full[pre] = _apply_rule_extract(rule, text, ts_np, live[pre], ruleset, res)
+        return hit_full
+    return _apply_rule_extract(rule, text, ts_np, live, ruleset, res)
+
+
+def _apply_rule_extract(
+    rule: MatchRule,
+    text: pd.Series,
+    ts_np: np.ndarray,
+    live: np.ndarray,
+    ruleset: RuleSet,
+    res: dict,
+) -> np.ndarray:
     sub_text = text.iloc[live]
     # single extract pass: non-matching rows come back all-NaN (our rules all
     # have ≥1 mandatory capture group, so all-NaN ⟺ no match)

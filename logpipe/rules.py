@@ -85,6 +85,12 @@ class MatchRule:
     transform: Optional[Transform] = None
     input_filter: Optional[str] = None  # include regex (parser.js:303-316)
     input_drop: Optional[str] = None  # drop regex
+    # REQUIRED literal substring of any match (engine optimization, not part
+    # of the reference DSL): the vectorized cascade runs a cheap non-regex
+    # contains() first and attempts the full extract only on candidate rows.
+    # Must be chosen so every possible regex match contains it — semantics
+    # are unchanged, only the unmatched-row cost of expensive rules drops.
+    prefilter: Optional[str] = None
 
     def compiled(self) -> re.Pattern:
         return re.compile(self.regex)
@@ -122,6 +128,11 @@ class RuleSet:
     hash_function: str = "sha256"
     original_line: bool = False  # patterns.yml:24, parser.js:511-513
     multiline_default_separator: str = r"^\S{2,}"  # patterns.yml:30-31
+    # ordered non-ISO formats for JSON string-date inference. The reference
+    # SHIPS this list (patterns.yml:1154-1176) but never consumes it in lib/
+    # (dead config); we honor it for JSON events whose time strings are not
+    # ISO before falling back to dateutil guessing.
+    date_formats: tuple[str, ...] = ()
 
     def groups_for_source(self, source: str) -> list[PatternGroup]:
         """Pattern-subset pruning per source (parser.js:170-196)."""
@@ -313,6 +324,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         rules=(
             MatchRule(
                 log_type="hyperkube",
+                prefilter='hyperkube',
                 regex=(
                     r"(?i)^\S+\s(\S+)\s+\S+\s+\S+\s([GET|POST|PUT|DELETE|HEAD|OPTIONS]+)"
                     r"\s+(/.+):\s\(([\d|.]+)(\S+)\)\s(\d+\s)(.*hyperkube.+)\s(.+):(\d+)\]"
@@ -340,6 +352,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         rules=(
             MatchRule(
                 log_type="elasticsearch_slow_log",
+                prefilter='took_millis[',
                 # patterns.yml:116-130
                 regex=(
                     r"(?i)^\[(\d{4}-\d{2}-\d{2}[\sT][\d:]+,\d+)\]\[(.+?)\s*\]"
@@ -391,6 +404,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         rules=(
             MatchRule(
                 log_type="apache_solr_7_8_hits",
+                prefilter='hits=',
                 # patterns.yml:144-207
                 regex=(
                     r"^\S*\s*(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3})\s(.+?)\s+\((.+?)\)"
@@ -416,6 +430,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="apache_solr_7_8",
+                prefilter='params={',
                 # patterns.yml:208-270 (no hits capture)
                 regex=(
                     r"^\S*\s*(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3})\s(.+?)\s+\((.+?)\)"
@@ -440,6 +455,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="apache_solr_audit_log",
+                prefilter='queryString="',
                 # patterns.yml:271-288
                 regex=(
                     r"^\S*\s*(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3})\s(.+?)\s*\((.+?)\)"
@@ -478,6 +494,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="apache_solr_v4.6",
+                prefilter='hits=',
                 # patterns.yml:315-338
                 regex=(
                     r"^(\S+)\s+-\s(\d{4}-\d{2}-\d{2}\s[\d:+,]+\.\d{0,3});\s(.+?);"
@@ -523,6 +540,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="apache_solr_v5_1",
+                prefilter='params={',
                 # patterns.yml:343-364 (relative ts — no dateFormat: row ts)
                 regex=(
                     r"^(\d+)\s\[(\S+)]\s(\S+)\s(\S+)\s\[(\S+)\s(\S+)\s(\S+)\s(\S+)\]"
@@ -944,6 +962,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
         rules=(
             MatchRule(
                 log_type="rabbitmq_startup",
+                prefilter='Starting RabbitMQ',
                 # patterns.yml:698-710
                 regex=(
                     r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s*\n\s*"
@@ -965,6 +984,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="rabbitmq_wal_recovery",
+                prefilter='WAL: recovering',
                 # patterns.yml:711-719
                 regex=r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s(WAL:\srecovering\s\[(.*)\])",
                 fields=("ts", "severity", "connection:string", "message", "wal_path:string"),
@@ -972,6 +992,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="rabbitmq_access_denied",
+                prefilter='access denied: user',
                 # patterns.yml:720-729
                 regex=r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s(.+access\sdenied:\suser\s'(\S+)'\s-\s(.+))",
                 fields=(
@@ -986,6 +1007,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="rabbitmq_login_refused",
+                prefilter='login refused: user',
                 # patterns.yml:730-746
                 regex=(
                     r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\sError\son\sAMQP\sconnection\s<(\S+)>"
@@ -1011,6 +1033,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="rabbitmq_connections_authenticated",
+                prefilter='authenticated and granted access to vhost',
                 # patterns.yml:747-760
                 regex=(
                     r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\sconnection\s<\S+>"
@@ -1033,6 +1056,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="rabbitmq_connections_vhost_user",
+                prefilter='AMQP connection',
                 # patterns.yml:761-775
                 regex=(
                     r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s(accepting|closing)\sAMQP\sconnection\s<\S+>"
@@ -1055,6 +1079,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
             ),
             MatchRule(
                 log_type="rabbitmq_connections",
+                prefilter='AMQP connection',
                 # patterns.yml:776-788
                 regex=(
                     r"^(\S+\s\S+)\s\[(\S+)\]\s<(\S+)>\s(accepting|closing)\sAMQP\sconnection\s<\S+>"
@@ -1111,6 +1136,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
                     r"^(\d{4}-\d{2}-\d{2}\s[\d:]+,\d+)\s+\[(\S+?):?\]\s+-\s+(\S+)"
                     r"\s+\[(.+)\]\s-\s+([\s\S]+?[client|from]\s/(.+?):(\d+).*sessionid.+(0x.+).*)"
                 ),
+                prefilter="sessionid",
                 fields=(
                     "ts",
                     "machine_id:string",
@@ -1403,6 +1429,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
                 log_type="system_log",
                 # patterns.yml:1108-1112 (<severity> tail variant)
                 regex=r"^([\w\s]+\s+\d{2}\s[\d:]+)\s(.+?)\s(.+?)\s<(.+)>(.*)",
+                prefilter="<",
                 fields=("ts", "syslog_host", "service", "severity", "message"),
                 date_format="MMM dd HH:mm:ss",
             ),
@@ -1413,6 +1440,7 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
                     r"^([\w\s]+\s+\d{1,2}\s[\d:]+)\s(\S+)\s(\S+)\[(\d+)\]"
                     r"\s{0,4}<(.+)>:\s{0,2}(.+)"
                 ),
+                prefilter="<",
                 fields=("ts", "syslog_host", "service", "pid", "severity", "message"),
                 date_format="MMM dd HH:mm:ss",
             ),
@@ -1473,46 +1501,144 @@ DEFAULT_GROUPS: tuple[PatternGroup, ...] = (
 DEFAULT_RULESET = RuleSet(groups=DEFAULT_GROUPS)
 
 
-def load_yaml_rules(path: str) -> RuleSet:
-    """Load a patterns.yml-compatible file (declarative subset: no
-    !!js/function — transforms must be registered Python callables).
+# Named-transform registry: patterns files reference transforms by NAME
+# (`transform: redis`) instead of the reference's inline !!js/function —
+# register custom vectorized callables with register_transform().
+TRANSFORM_REGISTRY: dict[str, Transform] = {}
 
-    Mirrors lib/parser/mergePatternFiles.js:25-55 ordering: file patterns
-    PREPEND to the default set.
-    """
+
+def register_transform(name: str, fn: Transform) -> None:
+    TRANSFORM_REGISTRY[name] = fn
+
+
+class _JsFunction:
+    """Marker for a !!js/function node in a loaded YAML file."""
+
+    def __init__(self, src: str):
+        self.src = src
+
+
+def _register_builtin_transforms() -> None:
+    for name, fn in {
+        "access_log": access_log_transform,
+        "redis": redis_transform,
+        "heroku": heroku_transform,
+        "couchdb": couchdb_transform,
+        "cloudfoundry": cloudfoundry_transform,
+        "solr": solr_transform,
+        "solr_simple": solr_transform_simple,
+        "solr_core": solr_core_transform,
+    }.items():
+        TRANSFORM_REGISTRY.setdefault(name, fn)
+
+
+def _load_yaml_doc(path: str):
     import yaml  # lazy; optional dependency
 
     def _regexp_constructor(loader, node):
-        raw = loader.construct_scalar(node)
-        m = re.match(r"^/(.*)/([a-z]*)$", raw, re.S)
-        if m:
-            pat, flags = m.group(1), m.group(2)
-            if "i" in flags:
-                pat = "(?i)" + pat
-            return pat
-        return raw
+        return _js_regex_to_py(loader.construct_scalar(node))
+
+    def _function_constructor(loader, node):
+        return _JsFunction(loader.construct_scalar(node))
 
     loader_cls = yaml.SafeLoader
-    yaml.add_constructor(
-        "tag:yaml.org,2002:js/regexp", _regexp_constructor, Loader=loader_cls
-    )
+    yaml.add_constructor("tag:yaml.org,2002:js/regexp", _regexp_constructor, Loader=loader_cls)
+    yaml.add_constructor("tag:yaml.org,2002:js/function", _function_constructor, Loader=loader_cls)
     with open(path) as f:
-        doc = yaml.load(f, Loader=loader_cls)
+        return yaml.load(f, Loader=loader_cls) or {}
+
+
+def _resolve_transform(mr: dict, log_type: str, path: str) -> Optional[Transform]:
+    """transform: by registry name, or a loud skip for inline !!js/function
+    (the old loader dropped these SILENTLY — a real patterns.yml loaded but
+    behaved differently with no warning)."""
+    import warnings
+
+    raw = mr.get("transform")
+    if raw is None:
+        return None
+    if isinstance(raw, str):
+        fn = TRANSFORM_REGISTRY.get(raw)
+        if fn is None:
+            warnings.warn(
+                f"{path}: rule '{log_type}' references unknown transform "
+                f"'{raw}' — register it with logpipe.rules.register_transform(); "
+                "the rule will run WITHOUT its transform",
+                stacklevel=3,
+            )
+        return fn
+    if isinstance(raw, _JsFunction):
+        fn = TRANSFORM_REGISTRY.get(log_type)
+        if fn is not None:
+            return fn  # a same-named Python port exists — use it
+        warnings.warn(
+            f"{path}: rule '{log_type}' carries an inline !!js/function "
+            "transform, which cannot run here — port it to a vectorized "
+            "Python callable and register_transform() it under the rule "
+            "type name; the rule will run WITHOUT its transform",
+            stacklevel=3,
+        )
+        return None
+    warnings.warn(f"{path}: rule '{log_type}' has unsupported transform {type(raw)}", stacklevel=3)
+    return None
+
+
+def load_yaml_rules(
+    paths: str | list[str],
+    include_defaults: bool = True,
+    whitelist: str | None = None,
+    blacklist: str | None = None,
+) -> RuleSet:
+    """Load patterns.yml-compatible file(s).
+
+    Multi-file merge mirrors lib/parser/mergePatternFiles.js:39-49: LATER
+    files' patterns PREPEND to earlier ones (and everything prepends to the
+    built-in defaults when include_defaults). Scalar config (json/autohash/
+    originalLine/dateFormats) merges recursively, later files win.
+    whitelist/blacklist filter groups by sourceName (parser.js:160-168).
+    Transforms resolve by name via TRANSFORM_REGISTRY (built-in ports are
+    pre-registered under their rule-family names); inline !!js/function
+    nodes warn loudly and are skipped unless a same-named port exists.
+    """
+    import warnings
+
+    _register_builtin_transforms()
+    if isinstance(paths, str):
+        paths = [paths]
+    merged_patterns: list[tuple[dict, str]] = []
+    conf: dict = {}
+    for path in paths:
+        doc = _load_yaml_doc(path)
+        if "patterns" not in doc:
+            warnings.warn(f"missing patterns section in config {path}", stacklevel=2)
+        # later file's patterns first (mergePatternFiles.js:48)
+        merged_patterns = [(g, path) for g in (doc.get("patterns") or [])] + merged_patterns
+        for k, v in doc.items():
+            if k != "patterns":
+                conf[k] = v
 
     groups: list[PatternGroup] = []
-    for i, g in enumerate(doc.get("patterns", []) or []):
+    for i, (g, path) in enumerate(merged_patterns):
         rules = []
         for mr in g.get("match", []) or []:
             if mr.get("regex") is None:
                 continue
+            log_type = mr.get("type", "log")
+            if isinstance(mr.get("filter"), _JsFunction):
+                warnings.warn(
+                    f"{path}: rule '{log_type}' has a !!js/function `filter` — "
+                    "not executable here; use inputFilter/inputDrop regexes",
+                    stacklevel=2,
+                )
             rules.append(
                 MatchRule(
-                    log_type=mr.get("type", "log"),
+                    log_type=log_type,
                     regex=_js_regex_to_py(mr["regex"]),
-                    fields=tuple(mr.get("fields", []) or []),
+                    fields=tuple(str(f).rstrip(",") for f in (mr.get("fields") or [])),
                     date_format=mr.get("dateFormat"),
-                    input_filter=mr.get("inputFilter"),
-                    input_drop=mr.get("inputDrop"),
+                    transform=_resolve_transform(mr, log_type, path),
+                    input_filter=_js_regex_to_py(mr.get("inputFilter")),
+                    input_drop=_js_regex_to_py(mr.get("inputDrop")),
                 )
             )
         if rules:
@@ -1522,19 +1648,22 @@ def load_yaml_rules(path: str) -> RuleSet:
                     source_name=_js_regex_to_py(g.get("sourceName", ".*")),
                     rules=tuple(rules),
                     block_start=(
-                        _js_regex_to_py(g["blockStart"])
-                        if g.get("blockStart")
-                        else None
+                        _js_regex_to_py(g["blockStart"]) if g.get("blockStart") else None
                     ),
                 )
             )
-    # custom patterns prepend before defaults (mergePatternFiles.js:48)
+    all_groups = tuple(groups) + (DEFAULT_GROUPS if include_defaults else ())
+    if whitelist:
+        all_groups = tuple(g for g in all_groups if re.search(whitelist, g.source_name))
+    if blacklist:
+        all_groups = tuple(g for g in all_groups if not re.search(blacklist, g.source_name))
     return RuleSet(
-        groups=tuple(groups) + DEFAULT_GROUPS,
-        json_enabled=(doc.get("json", {}) or {}).get("enabled", True),
-        autohash=_js_regex_to_py(doc["autohash"]) if doc.get("autohash") else None,
-        hash_function=doc.get("hashFunction", "sha256"),
-        original_line=doc.get("originalLine", False),
+        groups=all_groups,
+        json_enabled=(conf.get("json", {}) or {}).get("enabled", True),
+        autohash=_js_regex_to_py(conf["autohash"]) if conf.get("autohash") else None,
+        hash_function=conf.get("hashFunction", "sha256"),
+        original_line=conf.get("originalLine", False),
+        date_formats=tuple(conf.get("dateFormats") or ()),
     )
 
 

@@ -107,3 +107,112 @@ def test_tables_roundtrip(spark, tmp_path):
     assert back.count() == 2 and set(back.columns) == {"id", "v"}
     assert not is_catalog_ident(path)
     assert is_catalog_ident("lake.logs.routed")
+
+
+def test_load_reference_patterns_yml(spark):
+    """Load the REAL /root/reference/patterns.yml (with its !!js/regexp and
+    !!js/function tags) and parse one fixture line per major family. Inline
+    JS transforms resolve to same-named Python ports where registered, else
+    warn loudly and run without."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rs = load_yaml_rules("/root/reference/patterns.yml", include_defaults=False)
+    assert len(rs.groups) >= 28
+    assert sum(len(g.rules) for g in rs.groups) >= 70
+    # transforms with a registered same-named port are wired (e.g. redis)
+    redis_rules = [r for g in rs.groups for r in g.rules if r.log_type == "redis"]
+    assert redis_rules and redis_rules[0].transform is not None
+    # unported inline js/functions warned loudly (e.g. the solr family names)
+    assert any("!!js/function" in str(x.message) for x in w)
+    # the trailing global dateFormats list is loaded (patterns.yml:1154-1176)
+    assert "dd/MMM/yyyy:HH:mm:ss X" in rs.date_formats
+
+    import re as _re
+    for g in rs.groups:  # every loaded regex compiles in Python
+        for r in g.rules:
+            _re.compile(r.regex)
+
+    from tests.test_parser import _parse_one
+
+    fixtures = [
+        ("nginx", '1.2.3.4 - - [03/Apr/2016:06:25:38 +0000] "GET /x HTTP/1.1" 200 5 "r" "ua"',
+         "access_log_combined"),
+        ("redis", "1:M 22 Jul 21:58:28.146 # Server started", "redis"),
+        ("kafka", "[2017-03-30 09:26:39,854] INFO Client session timed out", "apache_kafka"),
+        ("mysql", "2015-07-25 14:11:35 0 [Note] mysqld starting", "mysql"),
+        ("rabbitmq", "2019-07-08 12:05:42.123 [info] <0.1.0> hi", "rabbitmq"),
+        ("solr", "INFO  - 2013-07-23 22:00:24.222; org.x.Y; plain solr line", "apache_solr"),
+    ]
+    for source, line, want_type in fixtures:
+        df = spark.createDataFrame(
+            [("c1", 0, "user", line, source, __import__("datetime").datetime(2024, 1, 1))],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        from logpipe.parse import parse_text
+
+        r = parse_text(df, rs, source_col="tool").collect()[0]
+        assert r["log_type"] == want_type, (source, r["log_type"])
+
+
+def test_load_yaml_multi_file_prepend(tmp_path):
+    # mergePatternFiles.js:39-49: LATER files' patterns come FIRST
+    a = tmp_path / "a.yml"
+    a.write_text(
+        "patterns:\n - sourceName: app\n   match:\n"
+        "    - type: from_a\n      regex: ^(\\d+) (.*)\n      fields: [n, message]\n"
+    )
+    b = tmp_path / "b.yml"
+    b.write_text(
+        "patterns:\n - sourceName: app\n   match:\n"
+        "    - type: from_b\n      regex: ^(\\d+) (.*)\n      fields: [n, message]\n"
+    )
+    rs = load_yaml_rules([str(a), str(b)], include_defaults=False)
+    assert [g.rules[0].log_type for g in rs.groups] == ["from_b", "from_a"]
+
+
+def test_load_yaml_named_transform_and_filters(tmp_path):
+    import warnings
+
+    from logpipe.rules import register_transform
+
+    def my_t(df):
+        df["extra"] = "1"
+        return df
+
+    register_transform("my_t", my_t)
+    y = tmp_path / "p.yml"
+    y.write_text(
+        "patterns:\n"
+        " - sourceName: alpha\n   match:\n"
+        "    - type: t1\n      regex: ^(.*)$\n      fields: [message]\n      transform: my_t\n"
+        " - sourceName: beta\n   match:\n"
+        "    - type: t2\n      regex: ^(.*)$\n      fields: [message]\n      transform: nope\n"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rs = load_yaml_rules(str(y), include_defaults=False)
+    assert rs.groups[0].rules[0].transform is my_t
+    assert rs.groups[1].rules[0].transform is None
+    assert any("unknown transform 'nope'" in str(x.message) for x in w)
+    # whitelist/blacklist filter by sourceName (parser.js:160-168)
+    only = load_yaml_rules(str(y), include_defaults=False, whitelist="alpha")
+    assert [g.source_name for g in only.groups] == ["alpha"]
+    none_beta = load_yaml_rules(str(y), include_defaults=False, blacklist="beta")
+    assert [g.source_name for g in none_beta.groups] == ["alpha"]
+
+
+def test_json_datestring_format_list(spark):
+    # a JSON event whose time string is covered only by the dateFormats list
+    from logpipe.parse import parse_text
+    from logpipe.rules import DEFAULT_GROUPS, RuleSet
+
+    rs = RuleSet(groups=DEFAULT_GROUPS, date_formats=("iso", "yyyy-MM-dd HH:mm:ss"))
+    df = spark.createDataFrame(
+        [("c1", 0, "u", '{"message":"m","time":"2021-06-01 10:20:30"}', "json",
+          __import__("datetime").datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    r = parse_text(df, rs, source_col="tool").collect()[0]
+    assert r["event_ts"] == __import__("datetime").datetime(2021, 6, 1, 10, 20, 30)

@@ -1,0 +1,102 @@
+"""Source wiring (jdbc poller / kafka bus) + dotted-path map ops + UA dim."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe.sources import jdbc_poll_options, kafka_stream_options
+
+
+def test_jdbc_poll_options_binds_query_time():
+    opts = jdbc_poll_options(
+        "jdbc:postgresql://db:5432/app",
+        "SELECT * FROM logs WHERE ts > '$queryTime'",
+        query_time="2024-01-01T00:00:00",
+        user="u",
+        password="p",
+        partition_column="id",
+        lower_bound="0",
+        upper_bound="1000000",
+        num_partitions=16,
+    )
+    assert opts["dbtable"] == "(SELECT * FROM logs WHERE ts > '2024-01-01T00:00:00') AS poll"
+    assert opts["numPartitions"] == "16" and opts["partitionColumn"] == "id"
+    assert opts["fetchsize"] == "10000"
+
+
+def test_jdbc_poll_options_partition_requires_bounds():
+    with pytest.raises(ValueError):
+        jdbc_poll_options("jdbc:x", "SELECT 1", "t", partition_column="id")
+
+
+def test_kafka_stream_options():
+    opts = kafka_stream_options(
+        "broker:9092", ["a", "b"], starting_offsets="earliest", max_offsets_per_trigger=50000
+    )
+    assert opts["subscribe"] == "a,b"
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_rename_and_remove_map_fields(spark):
+    from logpipe.mask import remove_map_fields, rename_map_fields
+
+    df = spark.createDataFrame([(1,)], "id int").withColumn(
+        "fields",
+        F.create_map(
+            F.lit("os.host"), F.lit("h1"),
+            F.lit("os.host.fqdn"), F.lit("h1.example"),
+            F.lit("other"), F.lit("x"),
+        ),
+    )
+    r = rename_map_fields(df, {"os.host": "host.name"}).collect()[0]["fields"]
+    assert r["host.name"] == "h1"
+    assert r["host.name.fqdn"] == "h1.example"  # children move with the prefix
+    assert r["other"] == "x"
+    r2 = remove_map_fields(df, ["os.host"]).collect()[0]["fields"]
+    assert r2 == {"other": "x"}
+
+
+def test_ua_enrich_dim(spark):
+    from logpipe.enrich import ua_enrich_dim
+
+    dim = spark.createDataFrame(
+        [
+            (r"(?i)iphone os 15", "mobile", "iPhone iOS15"),
+            (r"(?i)iphone", "mobile", "iPhone"),
+            (r"(?i)windows nt", "desktop", "Windows PC"),
+        ],
+        "pattern string, device_type string, device_name string",
+    )
+    df = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 (iPhone; CPU iPhone OS 15_0)",),
+            ("Mozilla/5.0 (Windows NT 10.0)",),
+            ("weird-agent/1.0",),
+            (None,),
+        ],
+        "user_agent string",
+    )
+    rows = {r["user_agent"]: r for r in ua_enrich_dim(df, dim).collect()}
+    # priority order: the more specific iOS15 row wins (first match)
+    assert rows["Mozilla/5.0 (iPhone; CPU iPhone OS 15_0)"]["device_name"] == "iPhone iOS15"
+    assert rows["Mozilla/5.0 (Windows NT 10.0)"]["device_type"] == "desktop"
+    assert rows["weird-agent/1.0"]["device_type"] is None
+    assert rows[None]["device_type"] is None
+
+
+def test_kafka_stream_builds_unbound(spark):
+    # the reader itself is lazy — wiring constructs without a broker; load()
+    # would need the kafka package, so we only assert the projection builds
+    from logpipe.sources import kafka_stream
+
+    try:
+        df = kafka_stream(spark, "broker:9092", "topic")
+        assert set(df.columns) == {"text", "log_source", "ts", "conv_id", "turn_idx"}
+    except Exception as e:  # kafka package absent in this sandbox
+        assert "kafka" in str(e).lower() or "DATA_SOURCE_NOT_FOUND" in str(e)
+
+
+_ = datetime  # (imported for parity with sibling test modules)

@@ -92,7 +92,38 @@ def main() -> int:
                      [f"exactly one Exchange ({n_exch} found) — the per-sink groupBy",
                       "partial_count before the exchange = map-side combine"]))
 
-    # 4. whole-stage codegen present around the masking/routing exprs (AQE
+    # 4. similarity top-k is TWO-PHASE: the full corpus×|Q| scored set is
+    # first windowed by (q_id, bucket) — spread across |Q|×buckets reducers,
+    # never concentrated into |Q| partitions (round-1 scale-killer); phase 2
+    # ranks only the surviving |Q|×buckets×k rows. WindowGroupLimit = Spark's
+    # rank-limit pushdown trimming each partition to k before the sort.
+    from logpipe import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    topk = similarity.brute_force_topk(emb, qs, k=10)
+    p = plan_of(topk)
+    problems += check(
+        "topk_two_phase",
+        p,
+        want=[
+            r"hashpartitioning\(q_id#\d+L?, _b#",  # phase-1 spread exchange
+            r"WindowGroupLimit",  # rank-limit pushdown
+        ],
+        forbid=[],
+    )
+    if not re.search(r"windowspecdefinition\(q_id#\d+L?, _b#", p):
+        problems.append("topk_two_phase: phase-1 window not partitioned by (q_id, bucket)")
+    sections.append(("Two-phase similarity top-k", p,
+                     ["phase-1 window partitions by (q_id, _b): the big shuffle spreads over |Q|×buckets reducers",
+                      "phase-2 window on q_id sees only |Q|×buckets×k rows",
+                      "WindowGroupLimit prunes each partition to k pre-sort"]))
+
+    # 5. whole-stage codegen present around the masking/routing exprs (AQE
     # display defers codegen ids, so inspect the static plan with AQE off)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
