@@ -1181,6 +1181,310 @@ def q_transcript_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-2 coverage queries: filters, enrichment parsers, map ops, format
+# mappers, dedup stats — each an operator family that previously had only
+# pytest coverage, now driver-oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def q_filter_truncate_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI strip (bin/logagent.js:204,702) + maxLogSize truncate
+    (cliArgs.js:247-251) on synthesized colored lines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("\x1b[31m"),
+            F.col("event_type"),
+            F.lit("\x1b[0m tail-"),
+            F.repeat(F.lit("x"), (F.col("event_id") % 60).cast("int")),
+        ).alias("text"),
+    )
+    out = filters.truncate_max_size(filters.strip_ansi(ev), max_bytes=30)
+    return out.select("event_id", "text")
+
+
+_TRUNCATE_ANSI_SQL = r"""
+SELECT event_id,
+       CASE WHEN length(clean) > 30 THEN substring(clean, 1, 30) ELSE clean END AS text
+FROM (
+  SELECT event_id,
+         regexp_replace(
+           chr(27) || '[31m' || event_type || chr(27) || '[0m tail-'
+             || repeat('x', CAST(event_id % 60 AS INT)),
+           '\x1B\[[0-9;]*[A-Za-z]', '', 'g') AS clean
+  FROM events
+)
+"""
+
+
+def q_enrich_image_k8s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docker image-name + k8s container-name parsing (lib/util/parser.js:
+    37-54, docker-log-enrichment.js:50-120) — pure expressions."""
+    from logpipe.enrich import k8s_container_name_split, parse_image_name
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string(
+            "registry.example.com:5000/team/app-%d:v%d",
+            (F.col("event_id") % 10).cast("int"),
+            (F.col("event_id") % 5).cast("int"),
+        ).alias("image"),
+        F.format_string(
+            "k8s_c%d_pod-%d_ns-%d_uid%d",
+            (F.col("event_id") % 3).cast("int"),
+            (F.col("event_id") % 7).cast("int"),
+            (F.col("event_id") % 2).cast("int"),
+            F.col("event_id"),
+        ).alias("cname"),
+    )
+    out = ev.select(
+        "event_id",
+        parse_image_name(F.col("image")).alias("img"),
+        k8s_container_name_split(F.col("cname")).alias("k8s"),
+    )
+    return out.select(
+        "event_id",
+        F.col("img.registry").alias("registry"),
+        F.col("img.name").alias("image_name"),
+        F.col("img.tag").alias("tag"),
+        F.col("k8s.container").alias("container"),
+        F.col("k8s.pod").alias("pod"),
+        F.col("k8s.namespace").alias("namespace"),
+    )
+
+
+_IMAGE_K8S_SQL = """
+SELECT event_id,
+       'registry.example.com:5000' AS registry,
+       'team/app-' || (event_id % 10) AS image_name,
+       'v' || (event_id % 5) AS tag,
+       'c' || (event_id % 3) AS container,
+       'pod-' || (event_id % 7) AS pod,
+       'ns-' || (event_id % 2) AS namespace
+FROM events
+"""
+
+
+def q_mask_map_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted-path rename (prefix carries children) + unset on the open
+    fields map (rename-fields.js path semantics), output exploded to rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.create_map(
+            F.lit("os.host"), F.format_string("h-%d", (F.col("event_id") % 50).cast("int")),
+            F.lit("os.host.fqdn"), F.format_string("h-%d.example", (F.col("event_id") % 50).cast("int")),
+            F.lit("drop.me"), F.lit("gone"),
+            F.lit("keep"), F.col("event_type"),
+        ).alias("fields"),
+    )
+    out = mask.remove_map_fields(
+        mask.rename_map_fields(ev, {"os.host": "host.name"}), ["drop.me"]
+    )
+    return out.select("event_id", F.explode("fields").alias("key", "value"))
+
+
+_MAP_RENAME_SQL = """
+SELECT event_id, 'host.name' AS key, 'h-' || (event_id % 50) AS value FROM events
+UNION ALL
+SELECT event_id, 'host.name.fqdn', 'h-' || (event_id % 50) || '.example' FROM events
+UNION ALL
+SELECT event_id, 'keep', event_type FROM events
+"""
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_stats counters over a synthesized 500-distinct corpus."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("msg %d", (F.col("event_id") % 500).cast("int")).alias("text")
+    )
+    return dedup.duplicate_stats(ev)
+
+
+_DEDUP_STATS_SQL = """
+SELECT count(*) AS rows,
+       count(DISTINCT event_id % 500) AS distinct_rows,
+       count(*) - count(DISTINCT event_id % 500) AS duplicates
+FROM events
+"""
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup with a deterministic winner (min keep_col per content
+    hash) — the production keep-one-row shape."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string("msg %d", (F.col("event_id") % 500).cast("int")).alias("text"),
+    )
+    return dedup.exact_dedup(ev, cols=["text"], keep_col="event_id").select("event_id", "text")
+
+
+_DEDUP_KEEP_SQL = """
+SELECT CAST(min(event_id) AS BIGINT) AS event_id,
+       'msg ' || (event_id % 500) AS text
+FROM events GROUP BY 2
+"""
+
+
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprints: per-doc count + distinct count
+    of word-8-gram hashes (injective at this scale, so distinct hash count
+    == distinct gram count, which the oracle computes on the raw grams)."""
+    fp = textstats.rolling_fingerprints(F.col("text"), window=8)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(fp).cast("long").alias("n_fp"),
+        F.size(F.array_distinct(fp)).cast("long").alias("n_distinct_fp"),
+    )
+
+
+_FP_ROLLING_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_fp,
+       CAST(CASE WHEN len(ws) >= 8
+            THEN len(list_distinct([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]))
+            ELSE 0 END AS BIGINT) AS n_distinct_fp
+FROM w
+"""
+
+
+def q_format_github(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """github-events mapper over synthesized webhook payloads; 'watch'
+    events exercise the unhandled-drop path."""
+    from logpipe.github import github_events_format
+
+    i = F.col("event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(
+            F.array(F.lit("pull_request"), F.lit("issues"), F.lit("watch")),
+            (i % 3 + 1).cast("int"),
+        ).alias("event"),
+        F.format_string(
+            '{"action":"%s","pull_request":{"html_url":"https://ex.com/pr/%d","number":%d},'
+            '"issue":{"html_url":"https://ex.com/is/%d","number":%d},'
+            '"repository":{"full_name":"o/r","html_url":"https://ex.com/o/r"},'
+            '"sender":{"login":"alice","html_url":"https://ex.com/alice",'
+            '"avatar_url":"https://ex.com/a.png"}}',
+            F.element_at(F.array(F.lit("opened"), F.lit("closed")), (i % 2 + 1).cast("int")),
+            i, i, i, i,
+        ).alias("body"),
+    )
+    return github_events_format(ev).select("event_id", "title", "message")
+
+
+_FORMAT_GITHUB_SQL = r"""
+WITH b AS (
+  SELECT event_id,
+         (['pull_request', 'issues', 'watch'])[CAST(event_id % 3 AS INT) + 1] AS event,
+         (['opened', 'closed'])[CAST(event_id % 2 AS INT) + 1] AS action
+  FROM events
+)
+SELECT event_id,
+       'GitHub | ' || upper(substring(event, 1, 1)) || substring(event, 2)
+         || ' ' || upper(substring(action, 1, 1)) || substring(action, 2) AS title,
+       '#### [[o/r](https://ex.com/o/r)]' || chr(10)
+         || '[' || event || ' #' || event_id || '](https://ex.com/pr/' || event_id || ') '
+         || action
+         || ' by ![](https://ex.com/a.png&s=25) [alice](https://ex.com/alice)' || chr(10) AS message
+FROM b WHERE event != 'watch'
+"""
+
+
+def q_format_journald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """journald field-map normalization (journald-format.js:75-121):
+    µs timestamp, PRIORITY/SYSLOG_FACILITY words, hostname."""
+    from logpipe.formats import journald_format
+
+    i = F.col("event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.create_map(
+            F.lit("_HOSTNAME"), F.format_string("node-%d", (i % 5).cast("int")),
+            F.lit("__REALTIME_TIMESTAMP"), (F.lit(1704067200000000) + i * 1000).cast("string"),
+            F.lit("PRIORITY"), (i % 8).cast("string"),
+            F.lit("SYSLOG_FACILITY"), (i % 24).cast("string"),
+        ).alias("fields"),
+    )
+    return journald_format(ev).select("event_id", "os_host", "severity", "facility", "event_ts")
+
+
+def _journald_sql() -> str:
+    from logpipe.rules import SYSLOG_FACILITY, SYSLOG_SEVERITY
+
+    return f"""
+SELECT event_id,
+       'node-' || (event_id % 5) AS os_host,
+       ({_sql_list(SYSLOG_SEVERITY)})[CAST(event_id % 8 AS INT) + 1] AS severity,
+       ({_sql_list(SYSLOG_FACILITY)})[CAST(event_id % 24 AS INT) + 1] AS facility,
+       make_timestamp(1704067200000000 + event_id * 1000) AS event_ts
+FROM events
+"""
+
+
+def q_enrich_ua_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-database UA enrichment shape: priority-ordered regex dim applied
+    first-match-wins (httpDeviceDetector.js with device-detector's regex DB
+    as a broadcast dim)."""
+    from logpipe.enrich import ua_enrich_dim
+
+    dim = spark.createDataFrame(
+        [
+            (r"(?i)iphone os 15", "mobile", "iPhone iOS15"),
+            (r"(?i)iphone", "mobile", "iPhone"),
+            (r"(?i)windows nt", "desktop", "Windows PC"),
+            (r"(?i)bot|curl", "bot", "Robot"),
+        ],
+        "pattern string, device_type string, device_name string",
+    )
+    uas = [
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 15_0)",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS)",
+        "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0",
+        "Googlebot/2.1",
+        "unknown-agent/1.0",
+    ]
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_agent",
+        F.element_at(F.array(*[F.lit(u) for u in uas]), (F.col("event_id") % 5 + 1).cast("int")),
+    )
+    return (
+        ua_enrich_dim(ev, dim)
+        .groupBy("device_type", "device_name")
+        .agg(F.count("*").alias("events"))
+    )
+
+
+_UA_DIM_SQL = """
+WITH u AS (
+  SELECT (['Mozilla/5.0 (iPhone; CPU iPhone OS 15_0)',
+           'Mozilla/5.0 (iPhone; CPU iPhone OS)',
+           'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0',
+           'Googlebot/2.1',
+           'unknown-agent/1.0'])[CAST(event_id % 5 AS INT) + 1] AS ua
+  FROM events
+)
+SELECT CASE
+         WHEN regexp_matches(lower(ua), 'iphone os 15') THEN 'mobile'
+         WHEN regexp_matches(lower(ua), 'iphone') THEN 'mobile'
+         WHEN regexp_matches(lower(ua), 'windows nt') THEN 'desktop'
+         WHEN regexp_matches(lower(ua), 'bot|curl') THEN 'bot'
+       END AS device_type,
+       CASE
+         WHEN regexp_matches(lower(ua), 'iphone os 15') THEN 'iPhone iOS15'
+         WHEN regexp_matches(lower(ua), 'iphone') THEN 'iPhone'
+         WHEN regexp_matches(lower(ua), 'windows nt') THEN 'Windows PC'
+         WHEN regexp_matches(lower(ua), 'bot|curl') THEN 'Robot'
+       END AS device_name,
+       count(*) AS events
+FROM u GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1228,6 +1532,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_pipeline": q_transcript_pipeline,
         "transcript_multiline": q_transcript_multiline,
         "transcript_stream": q_transcript_stream,
+        "filter_truncate_ansi": q_filter_truncate_ansi,
+        "enrich_image_k8s": q_enrich_image_k8s,
+        "mask_map_rename": q_mask_map_rename,
+        "dedup_stats": q_dedup_stats,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "fingerprint_rolling": q_fingerprint_rolling,
+        "format_github": q_format_github,
+        "format_journald": q_format_journald,
+        "enrich_ua_dim": q_enrich_ua_dim,
     }
 
 
@@ -1269,4 +1582,13 @@ def oracle_sql() -> dict[str, str]:
         "transcript_pipeline": _TRANSCRIPT_PIPELINE_SQL,
         "transcript_stream": _TRANSCRIPT_STREAM_SQL,
         "transcript_multiline": _TRANSCRIPT_MULTILINE_SQL,
+        "filter_truncate_ansi": _TRUNCATE_ANSI_SQL,
+        "enrich_image_k8s": _IMAGE_K8S_SQL,
+        "mask_map_rename": _MAP_RENAME_SQL,
+        "dedup_stats": _DEDUP_STATS_SQL,
+        "dedup_exact_keep": _DEDUP_KEEP_SQL,
+        "fingerprint_rolling": _FP_ROLLING_SQL,
+        "format_github": _FORMAT_GITHUB_SQL,
+        "format_journald": _journald_sql(),
+        "enrich_ua_dim": _UA_DIM_SQL,
     }

@@ -273,6 +273,10 @@ def _apply_rule_extract(
         ext = ext.drop(columns=["ts"])  # consumed, parser.js:327-331
     if rule.transform is not None:
         ext = rule.transform(ext)
+    if rule.filter_fn is not None:
+        # per-pattern filter: False ⇒ drop the matched row (parser.js:303-316)
+        keep = rule.filter_fn(ext).to_numpy().astype(bool)
+        dropped[np.flatnonzero(hit_np)[~keep]] = True
     if ruleset.autohash:
         ah = re.compile(ruleset.autohash)
         algo = {"sha256": "sha256", "sha512": "sha512"}.get(ruleset.hash_function, "sha256")

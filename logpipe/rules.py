@@ -73,6 +73,11 @@ def format_has_year(fmt: str) -> bool:
 # '__message', '__severity' and any extra field columns. Vectorized only.
 Transform = Callable[[pd.DataFrame], pd.DataFrame]
 
+# A rule filter receives the extracted columns and returns a boolean keep
+# mask (vectorized) — the reference's per-pattern `filter: !!js/function`
+# (parser.js:303-316 return-falsy-to-drop semantics).
+RuleFilter = Callable[[pd.DataFrame], "pd.Series"]
+
 
 @dataclass(frozen=True)
 class MatchRule:
@@ -91,6 +96,9 @@ class MatchRule:
     # Must be chosen so every possible regex match contains it — semantics
     # are unchanged, only the unmatched-row cost of expensive rules drops.
     prefilter: Optional[str] = None
+    # vectorized keep-mask over the extracted frame — the per-pattern JS
+    # `filter` function's drop semantics (False ⇒ row dropped like inputDrop)
+    filter_fn: Optional[RuleFilter] = None
 
     def compiled(self) -> re.Pattern:
         return re.compile(self.regex)
@@ -1505,10 +1513,15 @@ DEFAULT_RULESET = RuleSet(groups=DEFAULT_GROUPS)
 # (`transform: redis`) instead of the reference's inline !!js/function —
 # register custom vectorized callables with register_transform().
 TRANSFORM_REGISTRY: dict[str, Transform] = {}
+FILTER_REGISTRY: dict[str, RuleFilter] = {}
 
 
 def register_transform(name: str, fn: Transform) -> None:
     TRANSFORM_REGISTRY[name] = fn
+
+
+def register_filter(name: str, fn: RuleFilter) -> None:
+    FILTER_REGISTRY[name] = fn
 
 
 class _JsFunction:
@@ -1624,10 +1637,23 @@ def load_yaml_rules(
             if mr.get("regex") is None:
                 continue
             log_type = mr.get("type", "log")
-            if isinstance(mr.get("filter"), _JsFunction):
+            filter_fn = None
+            raw_filter = mr.get("filter")
+            if isinstance(raw_filter, str):
+                filter_fn = FILTER_REGISTRY.get(raw_filter)
+                if filter_fn is None:
+                    warnings.warn(
+                        f"{path}: rule '{log_type}' references unknown filter "
+                        f"'{raw_filter}' — register it with register_filter(); "
+                        "the rule will match WITHOUT its filter",
+                        stacklevel=2,
+                    )
+            elif isinstance(raw_filter, _JsFunction):
                 warnings.warn(
                     f"{path}: rule '{log_type}' has a !!js/function `filter` — "
-                    "not executable here; use inputFilter/inputDrop regexes",
+                    "not executable here; register a vectorized Python "
+                    "predicate with register_filter() or use inputFilter/"
+                    "inputDrop regexes",
                     stacklevel=2,
                 )
             rules.append(
@@ -1639,6 +1665,7 @@ def load_yaml_rules(
                     transform=_resolve_transform(mr, log_type, path),
                     input_filter=_js_regex_to_py(mr.get("inputFilter")),
                     input_drop=_js_regex_to_py(mr.get("inputDrop")),
+                    filter_fn=filter_fn,
                 )
             )
         if rules:

@@ -508,3 +508,55 @@ def test_logagent_selflog(spark):
     r = _parse_one(spark, "2021-01-01T10:00:00.123Z parsing started", "logagent")
     assert r["log_type"] == "logagent-js"
     assert r["event_ts"] == datetime.datetime(2021, 1, 1, 10, 0, 0, 123000)
+
+
+def test_rule_filter_fn_drops(spark):
+    # per-pattern `filter` predicate (parser.js:303-316 falsy ⇒ drop): rows
+    # whose extracted level is DEBUG are dropped by the vectorized filter
+    from logpipe.rules import MatchRule, PatternGroup, RuleSet
+
+    rs = RuleSet(
+        groups=(
+            PatternGroup(
+                name="g",
+                source_name="app",
+                rules=(
+                    MatchRule(
+                        log_type="app",
+                        regex=r"^(\w+): (.+)",
+                        fields=("level", "message"),
+                        filter_fn=lambda df: df["level"] != "DEBUG",
+                    ),
+                ),
+            ),
+        ),
+        json_enabled=False,
+    )
+    rows = [
+        ("c1", 0, "u", "DEBUG: noisy", "app", ROW_TS),
+        ("c1", 1, "u", "INFO: keep me", "app", ROW_TS),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = parse_text(df, rs, source_col="tool").collect()
+    assert len(out) == 1 and out[0]["fields"]["level"] == "INFO"
+
+
+def test_yaml_named_filter(tmp_path, spark):
+    from logpipe.rules import load_yaml_rules, register_filter
+
+    register_filter("no_debug", lambda df: df["level"] != "DEBUG")
+    y = tmp_path / "p.yml"
+    y.write_text(
+        "patterns:\n - sourceName: app\n   match:\n"
+        "    - type: t\n      regex: ^(\\w+); (.+)\n      fields: [level, message]\n"
+        "      filter: no_debug\n"
+    )
+    rs = load_yaml_rules(str(y), include_defaults=False)
+    df = spark.createDataFrame(
+        [("c1", 0, "u", "DEBUG; drop", "app", ROW_TS), ("c1", 1, "u", "WARN; keep", "app", ROW_TS)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = parse_text(df, rs, source_col="tool").collect()
+    assert len(out) == 1 and out[0]["fields"]["level"] == "WARN"
