@@ -17,9 +17,12 @@ pandas/Arrow UDF over the `text` column:
 
 Vectorization strategy (SURVEY.md §4): rules are broadcast as plain data;
 inside each Arrow batch rows are grouped by source, each candidate rule runs
-`Series.str.contains` + `Series.str.extract` on the *not-yet-matched* subset
-only (explicit vectorized short-circuit — order is semantics, see the
-disabled bubbleUp MRU at parser.js:364-375,533).
+on the *not-yet-matched* subset only (explicit vectorized short-circuit —
+order is semantics, see the disabled bubbleUp MRU at parser.js:364-375,533).
+Extraction itself prefers pyarrow's RE2 `extract_regex` (one C++ pass per
+rule, linear-time — immune to catastrophic backtracking on adversarial
+lines, which matters at 100 TB) with a pandas/`re` fallback for patterns
+RE2 rejects; required-literal prefilters gate the expensive rules.
 
 Intentional divergences (SURVEY.md §7):
   * wall-clock `new Date()` fallbacks (parser.js:410,520,559) use the row's
@@ -43,6 +46,14 @@ from pyspark.sql import functions as F
 
 from .rules import DEFAULT_RULESET, MatchRule, RuleSet, datefns_to_strptime, format_has_year
 from .schema import PARSED_STRUCT
+
+try:  # RE2 fast path for the extract cascade (see _re2_named)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _ARROW_RE2 = True
+except ImportError:  # pragma: no cover - pyarrow is baked into this env
+    _ARROW_RE2 = False
 
 # JSON detect heuristic, parser.js:392 (`^\[{0,1}\{.*\}]{0,1}`)
 _JSON_DETECT = re.compile(r"^\s*\[?\{.*\}\]?")
@@ -205,6 +216,64 @@ def _parse_json_rows(text: pd.Series, ts_np: np.ndarray, ruleset: RuleSet, res: 
     return ok
 
 
+def _re2_named(pattern: str) -> str | None:
+    """Rewrite unnamed capturing groups to (?P<gN>...) for
+    pyarrow.compute.extract_regex (RE2 requires named groups), or None when
+    RE2 rejects the pattern (the cascade falls back to pandas/`re`).
+
+    RE2 produces the same matches as backtracking engines for the supported
+    syntax, runs vectorized in C++ (~5-10x the per-row Python re loop), and
+    its ASCII \\w/\\d semantics actually mirror the reference's JS RegExp
+    more closely than Python's unicode-aware `re`."""
+    if not _ARROW_RE2:
+        return None
+    out: list[str] = []
+    i, n, in_class = 0, 0, False
+    L = len(pattern)
+    while i < L:
+        c = pattern[i]
+        if c == "\\" and i + 1 < L:
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "(":
+            if pattern[i + 1 : i + 2] == "?":
+                out.append(c)
+            else:
+                n += 1
+                out.append(f"(?P<g{n}>")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    named = "".join(out)
+    try:
+        pc.extract_regex(pa.array([], type=pa.string()), pattern=named)
+    except Exception:
+        return None
+    return named
+
+
+_RE2_CACHE: dict[str, str | None] = {}
+
+
+def _re2_for(regex: str) -> str | None:
+    if regex not in _RE2_CACHE:
+        _RE2_CACHE[regex] = _re2_named(regex)
+    return _RE2_CACHE[regex]
+
+
 def _apply_rule(
     rule: MatchRule,
     text: pd.Series,
@@ -240,19 +309,36 @@ def _apply_rule_extract(
     res: dict,
 ) -> np.ndarray:
     sub_text = text.iloc[live]
-    # single extract pass: non-matching rows come back all-NaN (our rules all
-    # have ≥1 mandatory capture group, so all-NaN ⟺ no match)
-    ext = sub_text.str.extract(rule.regex, expand=True)
-    hit = ext.notna().any(axis=1)
-    if rule.input_filter:
-        hit &= sub_text.str.contains(rule.input_filter, na=False, regex=True)
-    hit_np = hit.to_numpy()
-    if not hit_np.any():
-        return hit_np
+    named = _re2_for(rule.regex)
+    if named is not None:
+        # RE2 fast path: one vectorized C++ pass instead of a per-row
+        # Python re.search loop (the cascade's dominant cost)
+        arr = pa.array(sub_text, from_pandas=True, type=pa.string())
+        st = pc.extract_regex(arr, pattern=named)
+        hit_np = pc.is_valid(st).to_numpy(zero_copy_only=False).copy()
+        if rule.input_filter:
+            hit_np &= sub_text.str.contains(rule.input_filter, na=False, regex=True).to_numpy()
+        if not hit_np.any():
+            return hit_np
+        taken = st.take(pa.array(np.flatnonzero(hit_np)))
+        ext = pd.DataFrame(
+            {f"_c{k}": taken.field(k).to_pandas() for k in range(st.type.num_fields)}
+        )
+    else:
+        # pandas/`re` fallback (RE2-unsupported pattern): non-matching rows
+        # come back all-NaN (our rules all have ≥1 mandatory capture group,
+        # so all-NaN ⟺ no match)
+        ext_all = sub_text.str.extract(rule.regex, expand=True)
+        hit = ext_all.notna().any(axis=1)
+        if rule.input_filter:
+            hit &= sub_text.str.contains(rule.input_filter, na=False, regex=True)
+        hit_np = hit.to_numpy()
+        if not hit_np.any():
+            return hit_np
+        ext = ext_all[hit].reset_index(drop=True)
     dropped = np.zeros(len(live), dtype=bool)
     if rule.input_drop:
         dropped = hit_np & sub_text.str.contains(rule.input_drop, na=False, regex=True).to_numpy()
-    ext = ext[hit]
     mpos = live[hit_np]  # matched positional indices into the batch
     names = list(rule.field_names())
     if len(ext.columns) > len(names):
