@@ -1484,6 +1484,58 @@ FROM u GROUP BY 1, 2
 """
 
 
+def q_sink_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clickhouse sink shape (clickhouse.js:43-59): ordered positional column
+    map + @timestamp → epoch millis."""
+    from logpipe.sinks import clickhouse_shape
+
+    ev = _t(spark, sf_dir, "events")
+    return clickhouse_shape(
+        ev, {"ts": "at_ms", "event_type": "etype", "event_id": "eid"}, ts_col="ts"
+    )
+
+
+_SINK_CLICKHOUSE_SQL = """
+SELECT epoch_ms(ts) AS at_ms, event_type AS etype, event_id AS eid
+FROM events
+"""
+
+
+def q_sink_ldjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """files/output-http ldjson sink shape (files.js:32-68): one JSON line
+    per event, excluded fields dropped (ignoreFields)."""
+    from logpipe.sinks import to_ldjson
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    return to_ldjson(ev, exclude=["user_id"])
+
+
+_SINK_LDJSON_SQL = """
+SELECT '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS value
+FROM events
+"""
+
+
+def q_sink_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """influx sink flattening (influxdb.js:4,20-76): nested structs →
+    underscore-joined columns before line-protocol build."""
+    from logpipe.sinks import flatten_structs
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(F.col("user_id").alias("id")).alias("user"),
+        ).alias("meta"),
+    )
+    return flatten_structs(ev)
+
+
+_SINK_FLATTEN_SQL = """
+SELECT event_id, event_type AS meta_type, user_id AS meta_user_id FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1541,6 +1593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_github": q_format_github,
         "format_journald": q_format_journald,
         "enrich_ua_dim": q_enrich_ua_dim,
+        "sink_clickhouse": q_sink_clickhouse,
+        "sink_ldjson": q_sink_ldjson,
+        "sink_flatten": q_sink_flatten,
     }
 
 
@@ -1591,4 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "format_github": _FORMAT_GITHUB_SQL,
         "format_journald": _journald_sql(),
         "enrich_ua_dim": _UA_DIM_SQL,
+        "sink_clickhouse": _SINK_CLICKHOUSE_SQL,
+        "sink_ldjson": _SINK_LDJSON_SQL,
+        "sink_flatten": _SINK_FLATTEN_SQL,
     }

@@ -40,10 +40,19 @@ def write_ldjson(df: DataFrame, path: str, partition_cols: list[str] | None = No
 
 def clickhouse_shape(df: DataFrame, field_map: dict[str, str], ts_col: str = "event_ts") -> DataFrame:
     """Ordered positional column mapping (clickhouse.js `fields:` config,
-    :43-59) with `@timestamp` → epoch millis (:47-49)."""
+    :43-59) with `@timestamp` → epoch millis (:47-49). The epoch arithmetic
+    runs on TIMESTAMP_NTZ (timestampdiff against the epoch instant), so it is
+    independent of the session timezone and accepts both timestamp flavors
+    (unix_millis rejects NTZ)."""
     cols = []
     for src, dst in field_map.items():
-        c = F.unix_millis(F.col(src)) if src == ts_col else F.col(src)
+        if src == ts_col:
+            c = F.expr(
+                "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', "
+                f"cast({src} as timestamp_ntz))"
+            )
+        else:
+            c = F.col(src)
         cols.append(c.alias(dst))
     return df.select(*cols)
 

@@ -560,3 +560,58 @@ def test_yaml_named_filter(tmp_path, spark):
     )
     out = parse_text(df, rs, source_col="tool").collect()
     assert len(out) == 1 and out[0]["fields"]["level"] == "WARN"
+
+
+def test_re2_path_equals_re_fallback():
+    """Differential guard for the RE2 fast path: the full UDF output (fields
+    maps, timestamps, types, drop decisions) must be identical with RE2
+    enabled and with the pandas/`re` fallback forced, over every family's
+    fixture line plus edge cases. ASCII-only corpus: RE2's \\w/\\d are ASCII
+    (like the reference's JS RegExp) while Python re is unicode — a
+    documented, intentional divergence of the fallback."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe import parse as P
+    from logpipe.rules import DEFAULT_RULESET
+
+    corpus = [
+        ("nginx", '1.2.3.4 - - [03/Apr/2016:06:25:38 +0000] "GET /x HTTP/1.1" 200 5 "r" "ua"'),
+        ("nginx", "no match at all"),
+        ("redis", "1:M 22 Jul 21:58:28.146 # Server started"),
+        ("kafka", "[2017-03-30 09:26:39,854] INFO Client session timed out"),
+        ("mysql", "2015-07-25 14:11:35 0 [Note] mysqld starting"),
+        ("heroku", '285 <158>1 2016-04-05T19:36:48.459692+00:00 h heroku router - at=info method=GET path="/" status=200 bytes=1'),
+        ("system.log", "Jul 25 14:11:35 myhost myservice[123]: something happened"),
+        ("elasticsearch", "[2016-01-01 10:00:00,000][ERROR][index.engine][node-1] merge failed"),
+        ("solr", "2019-07-08 12:05:42.062 INFO  (q-1) [c:a s:b] o.a.s.c.S.Request [x]  webapp=/solr path=/sel params={q=*:*} hits=1 status=0 QTime=2"),
+        ("rabbitmq", "2019-07-08 12:05:42.123 [info] <0.1.0> closing AMQP connection <0.2.0> (1.2.3.4:1 -> 5.6.7.8:2)"),
+        ("couchdb", "[info] 2021-01-01T10:00:00.000000Z couchdb@n <0.9.0> b2c3d4e5 replication done"),
+        ("zookeeper", "2021-01-01 10:00:00,123 [myid:1] - INFO [T:F] - session from /10.0.0.1:51234 sessionid = 0x15b for client"),
+        ("postgres", "2021-01-01 10:00:00.123 UTC [42] LOG:  checkpoint complete"),
+        ("nginx", ""),
+        ("nginx", None),
+        ("hyperkube", "I0405 06:25:38.5 30204 l.go:41] GET /api/v1/nodes: (2.2ms) 200 [[hyperkube/v1.2] 127.0.0.1:33284]"),
+        ("swarm", 'time="2016-04-05T19:36:48Z" level=info msg="route"'),
+        ("tutum/cleanup", "2015/07/25 14:11:35 cleanup done"),
+        ("json", '{"message":"hi","counter":3}'),
+        ("json", "{broken json"),
+    ] * 5
+    text = pd.Series([t for _, t in corpus], dtype="object")
+    src = pd.Series([s for s, _ in corpus])
+    ts = pd.Series(pd.to_datetime(np.full(len(corpus), "2024-01-01")))
+
+    P._RE2_CACHE.clear()
+    fast = P.make_parse_udf(DEFAULT_RULESET).func(text, src, ts)
+    orig = P._ARROW_RE2
+    P._ARROW_RE2 = False
+    P._RE2_CACHE.clear()
+    try:
+        slow = P.make_parse_udf(DEFAULT_RULESET).func(text, src, ts)
+    finally:
+        P._ARROW_RE2 = orig
+        P._RE2_CACHE.clear()
+    for col in ("message", "log_type", "severity", "matched", "fields"):
+        a, b = fast[col].tolist(), slow[col].tolist()
+        assert a == b, f"{col} diverges: {[(x, y) for x, y in zip(a, b) if x != y][:3]}"
+    assert fast["event_ts"].tolist() == slow["event_ts"].tolist()
