@@ -1,0 +1,90 @@
+"""Property-based invariants (hypothesis) — batch-level guarantees that
+fixture tests cannot pin: masking completeness, router determinism, parser
+crash-freedom over adversarial text.
+
+Spark round-trips are expensive per example, so each property generates ONE
+batch of many hypothesis-drawn rows and asserts over the whole frame
+(max_examples kept small; the row count does the exploring)."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from logpipe import mask
+from logpipe.mask import API_KEY_RE, EMAIL_RE, IPV4_RE
+from logpipe.route import TokenMapper
+
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=80
+)
+_EMAIL_LOCAL = st.from_regex(r"[A-Za-z0-9._%+-]{1,12}", fullmatch=True)
+_DOMAIN = st.from_regex(r"[A-Za-z0-9]{1,8}\.[A-Za-z]{2,5}", fullmatch=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_TEXT, _EMAIL_LOCAL, _DOMAIN, _TEXT), min_size=1, max_size=40))
+def test_mask_content_removes_every_email(spark, rows):
+    # completeness: no string that still matches the email regex survives,
+    # no matter what surrounds the planted address
+    data = [(f"{a} {local}@{dom} {b}",) for a, local, dom, b in rows]
+    df = spark.createDataFrame(data, "text string")
+    out = mask.mask_content(df, ["text"]).collect()
+    for r in out:
+        assert not re.search(EMAIL_RE, r["text"]), r["text"]
+        assert not re.search(IPV4_RE, r["text"])
+        assert not re.search(API_KEY_RE, r["text"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.from_regex(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", fullmatch=True),
+                min_size=1, max_size=40))
+def test_ip_truncate_always_zeroes_last_octet(spark, ips):
+    df = spark.createDataFrame([(ip,) for ip in ips], "client_ip string")
+    out = mask.ip_truncate_fields(df, ["client_ip"], message_col="_none_").collect()
+    for r in out:
+        assert r["client_ip"].endswith(".0")
+        assert r["client_ip"].count(".") == 3
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.from_regex(r"[a-z]{1,12}", fullmatch=True), min_size=1, max_size=60))
+def test_token_mapper_matches_python_reference(spark, sources):
+    # the ordered when-chain must agree with a plain-Python first-match-wins
+    # re-implementation of logSourceToIndexMapper.js for ANY source string
+    mapper = TokenMapper.from_dict(
+        {"web": [r"ngin", r"httpd"], "db": [r"sql", r"redis"], "all-a": [r"a"]}
+    )
+    df = spark.createDataFrame([(s,) for s in sources], "log_source string")
+    got = {
+        r["log_source"]: r["sink"]
+        for r in df.withColumn("sink", mapper.expr(F.col("log_source"))).collect()
+    }
+
+    def ref(src):
+        for token, regexes in mapper.indices:
+            if any(re.search(rx, src) for rx in regexes):
+                return token
+        return None
+
+    for s in set(sources):
+        assert got[s] == ref(s), (s, got[s], ref(s))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=40))
+def test_parser_never_crashes_on_garbage(spark, lines):
+    # adversarial text through the full UDF: every row comes back (fallback
+    # at worst), event_ts never null for non-dropped rows
+    from logpipe.parse import parse_text
+
+    rows = [("c", i, "u", ln, "nginx", __import__("datetime").datetime(2024, 1, 1))
+            for i, ln in enumerate(lines)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = parse_text(df, source_col="tool").collect()
+    assert len(out) == len(lines)
+    for r in out:
+        assert r["event_ts"] is not None
