@@ -39,9 +39,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk_cosine",
+    "similarity_ivf_topk",
     "textstats_quality",
     "token_counts",
+    "multimodal_features",
 ]
 
 
@@ -57,7 +60,10 @@ def main():
     for tag in ("0.001", "0.01", "0.1"):
         if f"sf{tag}" in sf_dir:
             sf = float(tag)
-    n_turns = int(os.environ.get("LOGPIPE_BENCH_TURNS", str(int(10_000_000 * sf))))
+    # 4M turns at sf0.1: the steady-state size (fixed costs amortized) used
+    # by BENCH/BASELINE.md's scaling ladders; 1M-turn runs read ~3x low from
+    # per-job overheads alone (see SCALE.md: throughput rises with n)
+    n_turns = int(os.environ.get("LOGPIPE_BENCH_TURNS", str(int(40_000_000 * sf))))
 
     spark = get_spark("logpipe-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
