@@ -57,7 +57,9 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
     )
     return (
-        routed.groupBy("sink", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        routed.groupBy(
+            "sink", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour")
+        )
         .agg(
             F.count("*").alias("events"),
             F.round(F.sum("value"), 3).alias("total_value"),

@@ -26,11 +26,13 @@ def per_sink_counts(
 
     Map-side partial aggregation makes this one shuffle on the group keys;
     AQE coalesces post-shuffle partitions (generalizes printStats.js:11-83
-    and the per-file line counters files.js:180)."""
-    return (
-        df.groupBy(*group_cols, F.date_trunc("hour", F.col(ts_col)).alias("hour"))
-        .agg(F.count("*").alias("events"))
-    )
+    and the per-file line counters files.js:180).
+
+    The hour bucket stays TIMESTAMP_NTZ: date_trunc silently upcasts NTZ to
+    session-zoned TIMESTAMP, which would make the collected hour labels
+    depend on the session timezone — the cast pins the naive value."""
+    hour = F.date_trunc("hour", F.col(ts_col)).cast("timestamp_ntz").alias("hour")
+    return df.groupBy(*group_cols, hour).agg(F.count("*").alias("events"))
 
 
 def interval_sql(

@@ -156,7 +156,13 @@ def transcripts(
         role.alias("role"),
         text.alias("text"),
         tool.alias("tool"),
-        (F.to_timestamp(F.lit(base_ts)) + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), i * F.lit(0.001))).alias("ts"),
+        # TIMESTAMP_NTZ: a string→NTZ cast is timezone-free, so the generated
+        # table (and everything hashed downstream) is identical under ANY
+        # session timezone — to_timestamp would parse in session-local time
+        (
+            F.lit(base_ts).cast("timestamp_ntz")
+            + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), i * F.lit(0.001))
+        ).alias("ts"),
     )
     return out
 

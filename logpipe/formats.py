@@ -56,13 +56,19 @@ def journald_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
     rt = F.coalesce(_mget(m, "__REALTIME_TIMESTAMP"), _mget(m, "__SOURCE_REALTIME_TIMESTAMP"))
     prio = _mget(m, "PRIORITY").try_cast("int")
     fac = _mget(m, "SYSLOG_FACILITY").try_cast("int")
+    # epoch µs → TIMESTAMP_NTZ via interval arithmetic: unlike
+    # timestamp_millis (LTZ), the value is independent of the session tz
+    rt_ms = (rt.try_cast("long") / 1000).cast("long")
+    rt_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), rt_ms.cast("double") / 1000.0
+    )
     out = (
         df.withColumn("os_host", _mget(m, "_HOSTNAME"))
         .withColumn(
             "event_ts",
             F.coalesce(
-                F.timestamp_millis((rt.try_cast("long") / 1000).cast("long")),
-                F.col("event_ts") if "event_ts" in df.columns else F.lit(None).cast("timestamp"),
+                rt_ntz,
+                F.col("event_ts") if "event_ts" in df.columns else F.lit(None).cast("timestamp_ntz"),
             ),
         )
         .withColumn(

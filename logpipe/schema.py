@@ -19,12 +19,16 @@ TRANSCRIPT_SCHEMA = T.StructType(
         T.StructField("role", T.StringType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("tool", T.StringType(), True),
-        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
     ]
 )
 
 # Parser output struct (one column added by logpipe.parse.parse_text):
 #   event_ts — reference `@timestamp` (lib/parser/parser.js:322-326,401-422;
+#              TIMESTAMP_NTZ (naive UTC): every downstream date_trunc/
+#              date_format/window is then independent of the session
+#              timezone — the UDF computes UTC instants, and LTZ would make
+#              collected values shift under a non-UTC driver session
 #              fallback paths :520,:559 use wall-clock `new Date()`, we use the
 #              row's `ts` for determinism — SURVEY.md §7 hard part 3)
 #   message  — main text (parser.js:520,559; bunyan remap :431-439)
@@ -34,7 +38,7 @@ TRANSCRIPT_SCHEMA = T.StructType(
 #   fields   — all extracted capture groups / JSON keys as canonical strings
 PARSED_STRUCT = T.StructType(
     [
-        T.StructField("event_ts", T.TimestampType(), True),
+        T.StructField("event_ts", T.TimestampNTZType(), True),
         T.StructField("message", T.StringType(), True),
         T.StructField("log_type", T.StringType(), True),
         T.StructField("severity", T.StringType(), True),

@@ -57,12 +57,26 @@ def windowed_sink_counts(
 ) -> DataFrame:
     """Streaming analog of aggregate.per_sink_counts: tumbling event-time
     window + watermark (the reference has NO late-data concept — absent ts
-    becomes `now`, parser.js:520; the watermark is our principled addition)."""
+    becomes `now`, parser.js:520; the watermark is our principled addition).
+
+    The pipeline's event time is TIMESTAMP_NTZ (session-tz-proof), but
+    Structured Streaming event time requires TIMESTAMP — so an LTZ shadow
+    column drives the watermark/window and the window start is cast back.
+    Within one session the NTZ→LTZ→NTZ round trip is the identity for
+    whole-hour-offset zones (window boundaries are epoch-aligned; a
+    half-hour-offset session tz would shift hour labels by 30 min)."""
     return (
-        routed.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), interval).alias("win"), "sink", "role", "tool")
+        routed.withColumn("_evt", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_evt", watermark)
+        .groupBy(F.window(F.col("_evt"), interval).alias("win"), "sink", "role", "tool")
         .agg(F.count("*").alias("events"))
-        .select(F.col("win.start").alias("hour"), "sink", "role", "tool", "events")
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour"),
+            "sink",
+            "role",
+            "tool",
+            "events",
+        )
     )
 
 
@@ -259,7 +273,8 @@ def stream_exact_dedup(
     )
     return (
         stream.withColumn("_fp", fp)
-        .withWatermark(ts_col, watermark)
+        .withColumn("_evt", F.col(ts_col).cast("timestamp"))  # watermark needs LTZ
+        .withWatermark("_evt", watermark)
         .dropDuplicatesWithinWatermark(["_fp"])
-        .drop("_fp")
+        .drop("_fp", "_evt")
     )

@@ -139,3 +139,38 @@ def test_pipeline_multiline_mode(spark):
         F.sum(F.size(F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1))).alias("n")
     ).collect()[0]["n"]
     assert total_lines == 2400
+
+
+def test_all_queries_session_timezone_invariant(spark):
+    """The driver may run queries under ANY session timezone; everything the
+    oracles hash must be invariant. TIMESTAMP_NTZ end-to-end (datagen ts,
+    parser event_ts, NTZ-pinned hour buckets) makes every collected value a
+    literal — assert EVERY driver query returns identical rows under UTC and
+    America/New_York at sf0.001."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry_mod.queries()
+    skip = {"transcript_stream"}  # streaming drain ×2 is slow; its output is
+    # sink+count only (tz-free by construction) and covered at sf0.01
+
+    def run(name):
+        rows = qs[name](spark, sf).collect()
+        return sorted((tuple(r) for r in rows), key=repr)
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    diffs = []
+    try:
+        for name in qs:
+            if name in skip:
+                continue
+            spark.conf.set("spark.sql.session.timeZone", orig)
+            utc = run(name)
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            shifted = run(name)
+            if utc != shifted:
+                first = next((a, b) for a, b in zip(utc, shifted) if a != b)
+                diffs.append((name, first))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    assert not diffs, diffs[:3]
