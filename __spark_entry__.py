@@ -1486,6 +1486,33 @@ FROM u GROUP BY 1, 2
 """
 
 
+def q_filter_cri_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """containerd/CRI log-line split (kubernetesContainerd.js:65-124):
+    `<time> <stream> <P|F> <msg>` → typed columns (the P/F partial flag
+    composes with multiline reassembly downstream)."""
+    i = F.col("event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.format_string(
+            "2024-01-01T00:00:0%dZ %s %s log line %d",
+            (i % 10).cast("int"),
+            F.element_at(F.array(F.lit("stdout"), F.lit("stderr")), (i % 2 + 1).cast("int")),
+            F.element_at(F.array(F.lit("F"), F.lit("P")), (i % 3 == 0).cast("int") + 1),
+            i,
+        ).alias("text"),
+    )
+    return filters.cri_split(ev).select("event_id", "stream", "cri_flag", "cri_message")
+
+
+_CRI_SPLIT_SQL = """
+SELECT event_id,
+       (['stdout', 'stderr'])[CAST(event_id % 2 AS INT) + 1] AS stream,
+       CASE WHEN event_id % 3 = 0 THEN 'P' ELSE 'F' END AS cri_flag,
+       'log line ' || event_id AS cri_message
+FROM events
+"""
+
+
 def q_sink_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clickhouse sink shape (clickhouse.js:43-59): ordered positional column
     map + @timestamp → epoch millis."""
@@ -1598,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_clickhouse": q_sink_clickhouse,
         "sink_ldjson": q_sink_ldjson,
         "sink_flatten": q_sink_flatten,
+        "filter_cri_split": q_filter_cri_split,
     }
 
 
@@ -1651,4 +1679,5 @@ def oracle_sql() -> dict[str, str]:
         "sink_clickhouse": _SINK_CLICKHOUSE_SQL,
         "sink_ldjson": _SINK_LDJSON_SQL,
         "sink_flatten": _SINK_FLATTEN_SQL,
+        "filter_cri_split": _CRI_SPLIT_SQL,
     }
