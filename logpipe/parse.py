@@ -420,14 +420,30 @@ def make_parse_udf(ruleset: RuleSet = DEFAULT_RULESET):
     source_cache: dict[str, tuple] = {}
 
     def _rules_for_source(src: str):
+        """(rules, combined_any_pattern): combined is an RE2 alternation of
+        ALL the source's rule regexes — one vectorized pre-scan decides
+        which rows can match ANY rule, so a row that matches nothing (the
+        fallback path — most rows of a dirty corpus) pays ONE scan instead
+        of k. Superset-safe: input_filter/input_drop only narrow matched
+        rows. Only built when the source has ≥3 all-RE2 rules (below that
+        the extra pass costs more than it saves)."""
         hit = source_cache.get(src)
         if hit is None:
-            hit = tuple(
+            rules = tuple(
                 r
                 for g in ruleset.groups
                 if re.search(g.source_name, src or "")
                 for r in g.rules
             )
+            combined = None
+            if len(rules) >= 3 and all(_re2_for(r.regex) is not None for r in rules):
+                cand = "|".join(f"(?:{r.regex})" for r in rules)
+                try:
+                    pc.match_substring_regex(pa.array([], type=pa.string()), pattern=cand)
+                    combined = cand
+                except Exception:
+                    combined = None
+            hit = (rules, combined)
             source_cache[src] = hit
         return hit
 
@@ -454,7 +470,14 @@ def make_parse_udf(ruleset: RuleSet = DEFAULT_RULESET):
             codes, uniques = pd.factorize(source.fillna(""))
             for k, src in enumerate(uniques):
                 live = np.flatnonzero((codes == k) & remaining)
-                for rule in _rules_for_source(src):
+                rules, combined = _rules_for_source(src)
+                if combined is not None and live.size:
+                    arr = pa.array(text.iloc[live], from_pandas=True, type=pa.string())
+                    any_hit = pc.fill_null(
+                        pc.match_substring_regex(arr, pattern=combined), False
+                    ).to_numpy(zero_copy_only=False)
+                    live = live[np.asarray(any_hit, dtype=bool)]
+                for rule in rules:
                     if live.size == 0:
                         break
                     hit = _apply_rule(rule, text, ts_np, live, ruleset, res)
