@@ -164,7 +164,22 @@ def _parse_json_rows(text: pd.Series, ts_np: np.ndarray, ruleset: RuleSet, res: 
             if "message" in obj:
                 message = _canon(obj.pop("message"))
         for k, v in obj.items():
-            cv = _canon(v)
+            # inlined _canon fast paths: the per-key dispatch dominates the
+            # JSON branch profile (700k calls/200k rows); type() is exact
+            # here because json.loads only produces these types
+            tv = type(v)
+            if tv is str:
+                cv = v
+            elif tv is int:
+                cv = str(v)
+            elif tv is bool:
+                cv = "true" if v else "false"
+            elif tv is float:
+                cv = str(int(v)) if v.is_integer() else str(v)
+            elif v is None:
+                cv = ""
+            else:
+                cv = json.dumps(v, separators=(",", ":"), sort_keys=True)
             if ah is not None:
                 hit = ah_cache.get(k)
                 if hit is None:
