@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logpipe import dedup, filters, mask, similarity, textstats
-from logpipe.aggregate import interval_sql, per_sink_counts
+from logpipe.aggregate import (
+    approx_distinct,
+    heavy_hitters,
+    interval_sql,
+    per_sink_counts,
+    percentile_contract,
+    session_windows,
+)
 from logpipe.datagen import role_dim, tool_dim, transcripts
 from logpipe.parse import field, parse_text
 from logpipe.pipeline import TranscriptPipeline
@@ -521,6 +528,87 @@ FROM (
   FROM events
 )
 GROUP BY 1, 2
+"""
+
+
+def q_session_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # native gap sessionization (aggregate.session_windows): 6h inactivity
+    # gap per user via session_window — ONE shuffle, map-side session merge.
+    # Boundary semantics verified empirically: an event exactly `gap` after
+    # the previous one MERGES (split only when diff > gap), mirrored by the
+    # strict `>` in the gaps-and-islands oracle below.
+    ev = _t(spark, sf_dir, "events")
+    return session_windows(
+        ev, gap="6 hours", partition_cols=("user_id",), ts_col="ts", value_col="value"
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH deltas AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM deltas
+)
+SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 6 HOUR AS session_end,
+       count(*) AS events, round(sum(value), 3) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++ distinct sketch (aggregate.approx_distinct) with a self-checking
+    # error contract: the oracle asserts the exact count and hll_ok=TRUE
+    # (|approx-exact| <= 15% — HLL++ at rsd=0.05 is far inside that, and
+    # exact below the sparse-mode threshold).
+    ev = _t(spark, sf_dir, "events")
+    d = approx_distinct(ev, ("event_type",), "user_id", rsd=0.05)
+    return d.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.15
+        ).alias("hll_ok"),
+    )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_distinct, TRUE AS hll_ok
+FROM events GROUP BY 1
+"""
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Greenwald-Khanna percentile sketch (aggregate.percentile_contract):
+    # exact interpolated p95 next to a sketch whose rank-error bound makes
+    # approx_ok deterministically TRUE (oracle asserts both).
+    ev = _t(spark, sf_dir, "events")
+    return percentile_contract(ev, ("event_type",), "value", p=0.95, band=0.04)
+
+
+_PERCENTILES_SQL = """
+SELECT event_type, round(quantile_cont(value, 0.95), 3) AS p95_exact,
+       count(*) AS n, TRUE AS approx_ok
+FROM events GROUP BY 1
+"""
+
+
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k frequent keys (aggregate.heavy_hitters): map-side-combined count
+    # + TakeOrderedAndProject, deterministic tie-break on user_id.
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, ("user_id",), k=10)
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT user_id, count(*) AS cnt FROM events
+GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 10
 """
 
 
@@ -1594,6 +1682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_ua_device": q_enrich_ua_device,
         "agg_interval_window": q_agg_interval_window,
         "sessionize_blocks": q_sessionize,
+        "session_window_gap": q_session_window_gap,
+        "agg_approx_distinct": q_agg_approx_distinct,
+        "agg_percentiles": q_agg_percentiles,
+        "agg_heavy_hitters": q_agg_heavy_hitters,
         "enrich_broadcast_join": q_enrich_broadcast_join,
         "tpch_q1_pricing": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
@@ -1648,6 +1740,10 @@ def oracle_sql() -> dict[str, str]:
         "enrich_ua_device": _UA_SQL,
         "agg_interval_window": _AGG_WINDOW_SQL,
         "sessionize_blocks": _SESSIONIZE_SQL,
+        "session_window_gap": _SESSION_WINDOW_SQL,
+        "agg_approx_distinct": _APPROX_DISTINCT_SQL,
+        "agg_percentiles": _PERCENTILES_SQL,
+        "agg_heavy_hitters": _HEAVY_HITTERS_SQL,
         "enrich_broadcast_join": _ENRICH_JOIN_SQL,
         "tpch_q1_pricing": _TPCH_Q1_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,

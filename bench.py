@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "mask_content_redact",
     "agg_interval_window",
     "sessionize_blocks",
+    "session_window_gap",
     "enrich_broadcast_join",
     "tpch_q1_pricing",
     "dedup_exact",

@@ -107,6 +107,99 @@ def _inject_window_grouping(query: str, view: str, group_extra: list[str]) -> st
     return f"{head} GROUP BY {extra}, {tail}"
 
 
+def session_windows(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    partition_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gap-based sessionization via native `session_window` (Catalyst
+    MergingSessions aggregation): per-partition partial session merge, then
+    ONE shuffle on the partition keys — no window-function full sort chain
+    and no self-join, so it survives 100 TB the same way per_sink_counts
+    does. Generalizes the blockStart sessionization of multiLine.js:53-71
+    (marker-started blocks → inactivity-gap sessions, the telemetry-native
+    form). Two events belong to one session iff their gap < `gap`;
+    session_end = last event ts + gap (Spark semantics, mirrored by the
+    DuckDB gaps-and-islands oracle in __spark_entry__).
+
+    Session-window event time must be TIMESTAMP (LTZ); the NTZ-safe cast
+    dance matches streaming.windowed_sink_counts."""
+    aggs = [F.count("*").alias("events")]
+    if value_col and value_col in df.columns:
+        aggs.append(F.round(F.sum(value_col), 3).alias("total_value"))
+    grouped = (
+        df.withColumn("_evt", F.col(ts_col).cast("timestamp"))
+        .groupBy(*partition_cols, F.session_window("_evt", gap).alias("sw"))
+        .agg(*aggs)
+    )
+    out_cols = ["events"] + (["total_value"] if len(aggs) == 2 else [])
+    return grouped.select(
+        *partition_cols,
+        F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+        *out_cols,
+    )
+
+
+def approx_distinct(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    col: str,
+    rsd: float = 0.05,
+    with_exact: bool = True,
+) -> DataFrame:
+    """HLL++ distinct-count sketch per group (`approx_count_distinct`):
+    sketches merge map-side, so the whole aggregate is one shuffle of
+    fixed-size sketch bytes — the 100 TB path for "unique conv_ids per sink"
+    where exact count_distinct would expand to a two-phase distinct shuffle
+    of the full key set. `with_exact` adds the exact count next to it so
+    small-scale oracles can bound the sketch error (the driver contract
+    checks |approx-exact| <= rsd_bound * exact)."""
+    aggs = []
+    if with_exact:
+        aggs.append(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    aggs.append(F.approx_count_distinct(col, rsd).alias("approx_distinct"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def heavy_hitters(df: DataFrame, key_cols: tuple[str, ...], k: int = 10) -> DataFrame:
+    """Top-k frequent keys: map-side-combined count per key, then a global
+    TakeOrderedAndProject (per-partition local top-k, k-row merge on the
+    driver) — no full sort, no single-partition window, scales with key
+    cardinality not row count. Deterministic tie-break on the key columns so
+    the result is a stable set for oracle comparison."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), *key_cols).limit(k)
+
+
+def percentile_contract(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    col: str,
+    p: float = 0.95,
+    band: float = 0.04,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Latency-percentile sketch per group with a self-checking contract:
+    `percentile_approx` (Greenwald-Khanna, mergeable, one shuffle of bounded
+    sketch state — the 100 TB path) next to the exact interpolated
+    percentile, plus `approx_ok` asserting the sketch lands between the
+    exact (p-band) and (p+band) quantiles. GK guarantees rank error
+    <= 1/accuracy, so with accuracy=10000 the boolean is deterministically
+    TRUE for any group — which is exactly what the DuckDB oracle asserts."""
+    exact = F.round(F.expr(f"percentile({col}, {p})"), 3).alias(f"p{int(p * 100)}_exact")
+    lo = F.expr(f"percentile({col}, {max(p - band, 0.0)})")
+    hi = F.expr(f"percentile({col}, {min(p + band, 1.0)})")
+    approx = F.expr(f"percentile_approx({col}, {p}, {accuracy})")
+    return df.groupBy(*group_cols).agg(
+        exact,
+        F.count("*").alias("n"),
+        ((approx >= lo) & (approx <= hi)).alias("approx_ok"),
+    )
+
+
 def throughput_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """printStats counters (lib/core/printStats.js:11-83): rows, bytes,
     empty lines — one map-side-combinable aggregate."""

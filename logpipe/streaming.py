@@ -80,6 +80,33 @@ def windowed_sink_counts(
     )
 
 
+def windowed_session_counts(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    partition_cols: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming analog of aggregate.session_windows: native merging session
+    windows under a watermark (state per open session, closed and emitted
+    once the watermark passes session_end — bounded state, no custom
+    applyInPandasWithState needed). Same NTZ→LTZ→NTZ event-time dance as
+    windowed_sink_counts; same output schema as the batch operator so
+    stream==batch equality is testable on a closed input."""
+    return (
+        df.withColumn("_evt", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_evt", watermark)
+        .groupBy(*partition_cols, F.session_window("_evt", gap).alias("sw"))
+        .agg(F.count("*").alias("events"))
+        .select(
+            *partition_cols,
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # stateful multiline (applyInPandasWithState)
 # ---------------------------------------------------------------------------

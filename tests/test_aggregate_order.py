@@ -124,3 +124,59 @@ def test_multiline_default_separator(spark):
     )
     out = sorted(reassemble_multiline(df).collect(), key=lambda r: r["turn_idx"])
     assert [r["text"] for r in out] == ["first line\n  continuation", "second line"]
+
+
+def test_session_window_gap_boundary(spark):
+    # exact-gap event MERGES (Spark session merge is start <= prev_end);
+    # strictly-greater gap splits — the invariant the DuckDB oracle mirrors
+    from logpipe.aggregate import session_windows
+
+    td = datetime.timedelta
+    rows = [
+        ("u", T0, 1.0),
+        ("u", T0 + td(minutes=30), 2.0),  # exactly 30m after prev -> same session
+        ("u", T0 + td(minutes=61), 4.0),  # 31m after prev -> new session
+        ("v", T0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = session_windows(df, gap="30 minutes", partition_cols=("user_id",), ts_col="ts")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["events"], r["total_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("u", T0, T0 + td(minutes=60), 2, 3.0),
+        ("u", T0 + td(minutes=61), T0 + td(minutes=91), 1, 4.0),
+        ("v", T0, T0 + td(minutes=30), 1, 8.0),
+    }
+
+
+def test_approx_distinct_small_is_exact(spark):
+    # HLL++ below the sparse-mode threshold is exact — the contract the
+    # driver query's hll_ok bound relies on
+    from logpipe.aggregate import approx_distinct
+
+    rows = [("a", i % 7) for i in range(50)] + [("b", i % 3) for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, uid int")
+    got = {r["grp"]: (r["exact_distinct"], r["approx_distinct"]) for r in
+           approx_distinct(df, ("grp",), "uid").collect()}
+    assert got == {"a": (7, 7), "b": (3, 3)}
+
+
+def test_heavy_hitters_tiebreak(spark):
+    from logpipe.aggregate import heavy_hitters
+
+    rows = [("a",)] * 3 + [("c",)] * 2 + [("b",)] * 2 + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r["k"], r["cnt"]) for r in heavy_hitters(df, ("k",), k=2).collect()]
+    assert got == [("a", 3), ("b", 2)]  # count desc, then key asc at the tie
+
+
+def test_percentile_contract(spark):
+    from logpipe.aggregate import percentile_contract
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    row = percentile_contract(df.withColumn("g", F.lit("x")), ("g",), "v").collect()[0]
+    assert row["n"] == 100
+    assert row["p95_exact"] == pytest.approx(95.05)  # 1 + 0.95*99 interpolated
+    assert row["approx_ok"] is True

@@ -209,3 +209,30 @@ def test_stream_checkpoint_incremental(spark, tmp_path):
     want_total = pipe.routed(spark.read.parquet(src)).count()
     assert n2 == want_total  # everything exactly once
     assert n2 > n1  # the increment actually processed
+
+
+def test_stream_session_counts_matches_batch(spark, tmp_path):
+    # streaming session_window + watermark == batch session_windows on a
+    # closed input (complete mode emits open sessions too)
+    from logpipe.aggregate import session_windows
+    from logpipe.streaming import read_transcript_stream, windowed_session_counts
+
+    src = str(tmp_path / "in_sess")
+    transcripts(spark, 1000, 20).write.parquet(src)
+    stream = read_transcript_stream(spark, src)
+    agg = windowed_session_counts(stream, gap="30 minutes", ts_col="ts")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.sql("select * from sess_counts").collect()}
+    batch = session_windows(
+        spark.read.parquet(src), gap="30 minutes", partition_cols=("conv_id",),
+        ts_col="ts", value_col=None,
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0

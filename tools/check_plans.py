@@ -123,6 +123,26 @@ def main() -> int:
                       "phase-2 window on q_id sees only |Q|×buckets×k rows",
                       "WindowGroupLimit prunes each partition to k pre-sort"]))
 
+    # 4b. gap sessionization: map-side partial aggregate, ONE exchange on the
+    # partition key only (not the session struct), reduce-side MergingSessions
+    from logpipe.aggregate import session_windows
+
+    sess = session_windows(ev, gap="6 hours", partition_cols=("user_id",), ts_col="ts")
+    p = plan_of(sess)
+    problems += check(
+        "session_windows",
+        p,
+        want=[r"MergingSessions", r"partial_count", r"hashpartitioning\(user_id#\d+L?, "],
+        forbid=[r"SortMergeJoin"],
+    )
+    n_exch = len(re.findall(r"(?<!Broadcast)Exchange \(\d", p))
+    if n_exch != 1:
+        problems.append(f"session_windows: expected exactly 1 exchange, found {n_exch}")
+    sections.append(("Gap sessionization (session_window)", p,
+                     ["partial_count/partial_sum before the exchange = map-side session pre-merge",
+                      "exactly one Exchange, partitioned by user_id alone (sessions merge reduce-side)",
+                      "MergingSessions is the native Catalyst operator — no window-function sort chain"]))
+
     # 5. whole-stage codegen present around the masking/routing exprs (AQE
     # display defers codegen ids, so inspect the static plan with AQE off)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
