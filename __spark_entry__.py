@@ -1523,12 +1523,12 @@ def q_enrich_ua_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = spark.createDataFrame(
         [
-            (r"(?i)iphone os 15", "mobile", "iPhone iOS15"),
-            (r"(?i)iphone", "mobile", "iPhone"),
-            (r"(?i)windows nt", "desktop", "Windows PC"),
-            (r"(?i)bot|curl", "bot", "Robot"),
+            (0, r"(?i)iphone os 15", "mobile", "iPhone iOS15"),
+            (1, r"(?i)iphone", "mobile", "iPhone"),
+            (2, r"(?i)windows nt", "desktop", "Windows PC"),
+            (3, r"(?i)bot|curl", "bot", "Robot"),
         ],
-        "pattern string, device_type string, device_name string",
+        "priority int, pattern string, device_type string, device_name string",
     )
     uas = [
         "Mozilla/5.0 (iPhone; CPU iPhone OS 15_0)",

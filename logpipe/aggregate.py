@@ -124,8 +124,11 @@ def session_windows(
     session_end = last event ts + gap (Spark semantics, mirrored by the
     DuckDB gaps-and-islands oracle in __spark_entry__).
 
-    Session-window event time must be TIMESTAMP (LTZ); the NTZ-safe cast
-    dance matches streaming.windowed_sink_counts."""
+    Session-window event time must be TIMESTAMP (LTZ); the NTZ→LTZ cast is
+    the identity only because session.get_spark pins
+    spark.sql.session.timeZone=UTC — under a DST session timezone the
+    naive→instant mapping distorts inter-event gaps around transitions
+    (same caveat family as streaming.windowed_sink_counts)."""
     aggs = [F.count("*").alias("events")]
     if value_col and value_col in df.columns:
         aggs.append(F.round(F.sum(value_col), 3).alias("total_value"))

@@ -219,7 +219,24 @@ def minhash_lsh_pairs(
     """
     sig_len = num_hashes
     rows_per_band = sig_len // bands
-    banded = sigs.select(
+    # a signature built with a different num_hashes would silently band over
+    # only a prefix (shifting the (1-(1-j^r)^b) curve) — fail loudly instead;
+    # the when-guard costs one integer compare per row
+    len_guard = F.when(
+        F.size("signature") == F.lit(sig_len),
+        F.col("signature"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"minhash_lsh_pairs: num_hashes={sig_len} but signature length is "),
+                F.size("signature").cast("string"),
+            )
+        )
+    )
+    # separate select: a same-select alias would lateral-resolve inside the
+    # explode's slice() and produce an unsupported Generate plan
+    guarded = sigs.select("id", len_guard.alias("signature"))
+    banded = guarded.select(
         "id",
         "signature",
         F.explode(

@@ -142,6 +142,7 @@ def ua_enrich_dim(
     ua_dim: DataFrame,
     ua_col: str = "user_agent",
     pattern_col: str = "pattern",
+    priority_col: str = "priority",
 ) -> DataFrame:
     """Full device-database UA enrichment: a broadcast-sized priority-ordered
     regex dim table (the device-detector-js database shape,
@@ -149,11 +150,28 @@ def ua_enrich_dim(
     Arrow-batched pandas UDF over the collected+compiled dim — the regex DB
     is a few MB, the scan is narrow, and plan size stays O(1) in the number
     of dim rows (an rlike when-chain or literal-array would grow with it).
-    Payload columns of the dim (everything but `pattern`) land as columns."""
-    import re
+    Payload columns of the dim (everything but pattern/priority) land as
+    columns.
 
-    rows = ua_dim.collect()
-    payload_cols = [c for c in ua_dim.columns if c != pattern_col]
+    First-match order is the dim's `priority` column (ascending) — NOT
+    DataFrame row order, which is no contract (a repartition or multi-file
+    source can reorder collect() and silently let a generic pattern beat a
+    specific one). A dim without a priority column warns and falls back to
+    collect order."""
+    import re
+    import warnings
+
+    if priority_col in ua_dim.columns:
+        rows = ua_dim.orderBy(priority_col, pattern_col).collect()
+    else:
+        warnings.warn(
+            "ua_enrich_dim: dim has no 'priority' column — first-match order "
+            "falls back to DataFrame row order, which is not stable across "
+            "repartitions/file layouts",
+            stacklevel=2,
+        )
+        rows = ua_dim.collect()
+    payload_cols = [c for c in ua_dim.columns if c not in (pattern_col, priority_col)]
     compiled = [(re.compile(r[pattern_col]), tuple(r[c] for c in payload_cols)) for r in rows]
     out_schema = T.StructType([T.StructField(c, T.StringType()) for c in payload_cols])
 

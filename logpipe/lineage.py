@@ -32,6 +32,7 @@ construction. A killed run therefore never double-counts (north rule).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import time
 from typing import Callable
@@ -40,7 +41,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
-    "run_id string, unit int, status string, rows_in long, rows_out long, wall_ms long, finished_at timestamp"
+    "run_id string, unit int, unit_key string, status string, rows_in long, rows_out long, "
+    "wall_ms long, finished_at timestamp"
 )
 
 
@@ -50,16 +52,26 @@ def unit_column(key: str = "conv_id", n_units: int = 16) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key)), F.lit(n_units)).cast("int")
 
 
-def completed_units(spark: SparkSession, lineage_dir: str, run_id: str) -> set[int]:
+def unit_key(files: list[str]) -> str:
+    """Content identity of a work unit: hash of its (sorted) file list. The
+    'done' marker is only honored when the unit still means the same files —
+    if the fileset changed, the unit re-runs and OVERWRITES its directory
+    (idempotent), instead of silently skipping new files or double-counting
+    moved ones."""
+    return hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:16]
+
+
+def completed_units(spark: SparkSession, lineage_dir: str, run_id: str) -> set[tuple[int, str]]:
+    """(unit, unit_key) pairs marked done for run_id."""
     try:
         rows = (
             spark.read.schema(LINEAGE_SCHEMA)
             .parquet(lineage_dir)
             .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
-            .select("unit")
+            .select("unit", "unit_key")
             .collect()
         )
-        return {r["unit"] for r in rows}
+        return {(r["unit"], r["unit_key"]) for r in rows}
     except Exception:
         return set()
 
@@ -72,6 +84,7 @@ def _process_unit(
     lineage_dir: str,
     run_id: str,
     unit: int,
+    key: str,
 ) -> None:
     """One unit: write with overwrite, metrics via observe() on the SAME
     action (the reference's printStats counters ride the data path too,
@@ -89,6 +102,7 @@ def _process_unit(
         lineage_dir,
         run_id,
         unit,
+        key,
         "done",
         obs_in.get["rows"],
         obs_out.get["rows"],
@@ -98,12 +112,19 @@ def _process_unit(
 
 def file_units(spark: SparkSession, input_path: str, n_units: int = 16) -> list[list[str]]:
     """Carve the input into work units of whole FILES (no-scan metadata
-    listing). Round-robin over the sorted file list keeps units balanced;
-    on an Iceberg bucket(conv_id) table this groups bucket data files, so
-    units are closed under conv_id."""
+    listing). Files group by a hash of their own path, so a file's unit
+    NEVER depends on which other files exist — adding/removing input files
+    cannot move a file between units (a positional round-robin would, and a
+    resume against the shifted list would double-write moved files and skip
+    new ones). On an Iceberg bucket(conv_id) table this groups bucket data
+    files, so units are closed under conv_id."""
     files = sorted(spark.read.parquet(input_path).inputFiles())
     n_units = min(n_units, max(len(files), 1))
-    return [files[k::n_units] for k in range(n_units)]
+    groups: list[list[str]] = [[] for _ in range(n_units)]
+    for f in files:
+        h = int.from_bytes(hashlib.sha256(f.encode()).digest()[:8], "big")
+        groups[h % n_units].append(f)
+    return groups
 
 
 def run_resumable_files(
@@ -126,13 +147,13 @@ def run_resumable_files(
     done = completed_units(spark, lineage_dir, run_id)
     processed, skipped = [], []
     for unit, files in enumerate(groups):
-        if unit in done:
-            skipped.append(unit)
-            continue
         if not files:
             continue
+        if (unit, unit_key(files)) in done:
+            skipped.append(unit)
+            continue
         part = spark.read.parquet(*files)
-        _process_unit(spark, part, process, out_dir, lineage_dir, run_id, unit)
+        _process_unit(spark, part, process, out_dir, lineage_dir, run_id, unit, unit_key(files))
         processed.append(unit)
         if fail_after_unit is not None and unit >= fail_after_unit:
             raise RuntimeError(f"injected failure after unit {unit}")
@@ -156,24 +177,30 @@ def run_resumable(
     unit)."""
     done = completed_units(spark, lineage_dir, run_id)
     with_unit = df.withColumn("_unit", unit_column(key, n_units))
+    # hash buckets have no file-list identity; the bucket definition itself
+    # is the key (a row's bucket depends only on its own conv_id) — resume
+    # assumes the input frame is the same one the run started with
+    bucket_key = f"pmod-xxhash64-{key}-{n_units}"
     processed, skipped = [], []
     for unit in range(n_units):
-        if unit in done:
+        if (unit, bucket_key) in done:
             skipped.append(unit)
             continue
         part = with_unit.filter(F.col("_unit") == unit).drop("_unit")
-        _process_unit(spark, part, process, out_dir, lineage_dir, run_id, unit)
+        _process_unit(spark, part, process, out_dir, lineage_dir, run_id, unit, bucket_key)
         processed.append(unit)
         if fail_after_unit is not None and unit >= fail_after_unit:
             raise RuntimeError(f"injected failure after unit {unit}")
     return {"processed": processed, "skipped": skipped}
 
 
-def _append_lineage(spark, lineage_dir, run_id, unit, status, rows_in, rows_out, wall_ms):
-    row = [(run_id, unit, status, rows_in, rows_out, wall_ms)]
+def _append_lineage(spark, lineage_dir, run_id, unit, unit_key, status, rows_in, rows_out, wall_ms):
+    row = [(run_id, unit, unit_key, status, rows_in, rows_out, wall_ms)]
     (
         spark.createDataFrame(
-            row, "run_id string, unit int, status string, rows_in long, rows_out long, wall_ms long"
+            row,
+            "run_id string, unit int, unit_key string, status string, rows_in long, "
+            "rows_out long, wall_ms long",
         )
         .withColumn("finished_at", F.current_timestamp())
         .coalesce(1)

@@ -159,29 +159,45 @@ def rename_map_fields(
     """Dotted-path rename inside the open fields map — the reference's
     get/set/unset-value path semantics (rename-fields.js:5-27 with keys like
     'os.host'): an exact key renames, and a renamed PREFIX carries its
-    children ('a.b' → 'c' also moves 'a.b.x' → 'c.x'). Pure map_entries
-    transform, no shuffle."""
+    children ('a.b' → 'c' also moves 'a.b.x' → 'c.x'). Pure map exprs, no
+    shuffle. Collision-safe under the default mapKeyDedupPolicy=EXCEPTION:
+    when a rename target already exists in the map, the renamed value
+    OVERWRITES it (the reference's setValue does exactly that), and when two
+    renames land on one target the later config entry wins (JS iterates the
+    config sequentially)."""
+    from .formats import _merge_last_wins
 
-    def new_key(k: F.Column) -> F.Column:
-        chain = None
-        for old, new in renames.items():
-            exact = k == old
-            child = k.startswith(old + ".")
-            moved = F.concat(F.lit(new), F.substring(k, len(old) + 1, 1_000_000))
-            branch_val = F.when(exact, F.lit(new)).otherwise(moved)
-            cond = exact | child
-            chain = F.when(cond, branch_val) if chain is None else chain.when(cond, branch_val)
-        return chain.otherwise(k) if chain is not None else k
+    src = F.col(map_col)
 
-    return df.withColumn(
-        map_col,
-        F.map_from_entries(
+    def moved_map(old: str, new: str) -> Column:
+        # entries under `old` (exact key or dotted children), re-keyed to
+        # `new` — injective within one rename, so map_from_entries is safe
+        sub = F.map_filter(src, lambda k, _v: (k == old) | k.startswith(old + "."))
+        return F.map_from_entries(
             F.transform(
-                F.map_entries(F.col(map_col)),
-                lambda e: F.struct(new_key(e["key"]).alias("key"), e["value"].alias("value")),
+                F.map_entries(sub),
+                lambda e: F.struct(
+                    F.when(e["key"] == old, F.lit(new))
+                    .otherwise(F.concat(F.lit(new), F.substring(e["key"], len(old) + 1, 1_000_000)))
+                    .alias("key"),
+                    e["value"].alias("value"),
+                ),
             )
-        ),
-    )
+        )
+
+    def drop_pred(old: str):
+        # NB: map_filter lambdas must take EXACTLY two params (Spark derives
+        # the HOF arity from the Python signature — a bound default would
+        # make it three), hence the closure factory
+        return lambda k, _v: ~((k == old) | k.startswith(old + "."))
+
+    kept = src
+    for old in renames:
+        kept = F.map_filter(kept, drop_pred(old))
+    out = kept
+    for old, new in renames.items():
+        out = _merge_last_wins(out, moved_map(old, new))
+    return df.withColumn(map_col, out)
 
 
 def remove_map_fields(df: DataFrame, paths: list[str], map_col: str = "fields") -> DataFrame:

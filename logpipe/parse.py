@@ -204,6 +204,9 @@ def _parse_json_rows(text: pd.Series, ts_np: np.ndarray, ruleset: RuleSet, res: 
         fmaps[i] = fields
     if str_pos:
         vals = pd.Series(str_vals, dtype="object")
+        ref_years = (
+            pd.Series(ts_np[np.asarray(str_pos)]).dt.year.fillna(1970).astype(int).astype(str)
+        )
         conv = pd.to_datetime(vals, format="ISO8601", errors="coerce", utc=True)
         bad = conv.isna()
         # non-ISO strings: the ordered dateFormats list (patterns.yml:
@@ -215,8 +218,17 @@ def _parse_json_rows(text: pd.Series, ts_np: np.ndarray, ruleset: RuleSet, res: 
                 continue
             py = datefns_to_strptime(fmt)
             # utc=True throughout: naive parses localize as UTC, keeping the
-            # series tz-homogeneous with the ISO branch
-            attempt = pd.to_datetime(vals[bad], format=py, errors="coerce", utc=True)
+            # series tz-homogeneous with the ISO branch; year-less formats
+            # inherit the row ts year exactly like _parse_dates does on the
+            # rule path (otherwise strptime defaults them to 1900)
+            if not format_has_year(fmt):
+                years = ref_years[bad]
+                attempt = pd.to_datetime(
+                    years + " " + vals[bad].fillna(""), format="%Y " + py,
+                    errors="coerce", utc=True,
+                )
+            else:
+                attempt = pd.to_datetime(vals[bad], format=py, errors="coerce", utc=True)
             got = attempt.notna()
             if got.any():
                 conv.loc[attempt.index[got]] = attempt[got]

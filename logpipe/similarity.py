@@ -150,15 +150,30 @@ def make_cell_assigner(centroids: DataFrame, n_probe: int = 1):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _cells(vecs: pd.Series) -> pd.Series:
-        X = np.array(vecs.tolist(), dtype=np.float64)
-        if X.ndim != 2 or len(X) == 0:
-            return pd.Series([[]] * len(vecs))
+        # null / wrong-dimension embeddings assign to NO cell ([]) instead of
+        # raising ValueError on the ragged np.array conversion (which would
+        # kill the task for the whole batch); the all-valid fast path stays a
+        # single vectorized conversion
+        dim = Cn.shape[1]
+        lists = vecs.tolist()
+        if not lists:
+            return pd.Series([], dtype="object")
+        valid = np.array([v is not None and len(v) == dim for v in lists], dtype=bool)
+        if valid.all():
+            X = np.array(lists, dtype=np.float64)
+        else:
+            X = np.zeros((len(lists), dim), dtype=np.float64)
+            vidx = np.flatnonzero(valid)
+            if len(vidx):
+                X[vidx] = np.array([lists[i] for i in vidx], dtype=np.float64)
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = np.round((X / norms) @ Cn.T, 9)
         # stable argsort on -sims: ties keep lowest cell first
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+        return pd.Series(
+            [row.astype("int32").tolist() if ok else [] for row, ok in zip(order, valid)]
+        )
 
     return _cells
 

@@ -125,5 +125,8 @@ def kafka_stream(
         (F.col("topic") if source_from_topic else F.lit("kafka")).alias("log_source"),
         F.col("timestamp").alias("ts"),
         F.col("key").cast("string").alias("conv_id"),
-        F.col("offset").cast("int").alias("turn_idx"),
+        # kafka offsets are long and routinely exceed 2^31 on long-lived
+        # partitions — an int cast would CAST_OVERFLOW under ANSI (or wrap
+        # negative with ANSI off), so turn_idx stays wide here
+        F.col("offset").alias("turn_idx"),
     )

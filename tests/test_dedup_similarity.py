@@ -169,3 +169,35 @@ def test_duplicate_clusters_deep_chain(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(20)], "id_a long, id_b long")
     out = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(chain, max_iter=40).collect()}
     assert set(out.values()) == {0} and len(out) == 21
+
+
+def test_minhash_lsh_wrong_num_hashes_raises(spark):
+    # signatures built with a different num_hashes must fail loudly, not
+    # silently band over a prefix of the signature
+    from logpipe.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps"), ("b", "the quick brown fox leaps")],
+        "doc_id string, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=32)
+    with pytest.raises(Exception, match="signature length"):
+        minhash_lsh_pairs(sigs, bands=16, num_hashes=64).collect()
+
+
+def test_cell_assigner_null_and_ragged_embeddings(spark):
+    # a null or wrong-dimension embedding assigns to NO cell instead of
+    # raising ValueError for the whole Arrow batch
+    from logpipe.similarity import make_cell_assigner
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+    assign = make_cell_assigner(cents, n_probe=1)
+    df = spark.createDataFrame(
+        [("ok", [0.9, 0.1]), ("null", None), ("short", [1.0]), ("ok2", [0.1, 0.9])],
+        "id string, embedding array<double>",
+    )
+    got = {r["id"]: r["cells"] for r in df.select("id", assign("embedding").alias("cells")).collect()}
+    assert got["ok"] == [0] and got["ok2"] == [1]
+    assert got["null"] == [] and got["short"] == []

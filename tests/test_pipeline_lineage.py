@@ -100,8 +100,10 @@ def test_resume_file_units_single_pass(spark, tmp_path):
     with pytest.raises(RuntimeError):
         run_resumable_files(spark, src, process, out_dir, lin_dir, n_units=4, fail_after_unit=1)
     res = run_resumable_files(spark, src, process, out_dir, lin_dir, n_units=4)
-    assert res["skipped"] == [0, 1]
-    assert res["processed"] == [2, 3]
+    nonempty = {u for u, g in enumerate(groups) if g}
+    assert res["skipped"]  # units done before the injected failure stay done
+    assert set(res["skipped"]) | set(res["processed"]) == nonempty
+    assert not set(res["skipped"]) & set(res["processed"])
     assert spark.read.parquet(out_dir).count() == 800
     m = metrics_table(spark, lin_dir).collect()[0]
     assert m["rows_in"] == 800 and m["rows_out"] == 800
@@ -174,3 +176,26 @@ def test_all_queries_session_timezone_invariant(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
     assert not diffs, diffs[:3]
+
+
+def test_resume_fileset_change_reprocesses(spark, tmp_path):
+    """The 'done' marker binds to the unit's file-list content: landing new
+    input files re-runs (and OVERWRITES) exactly the units that gained
+    files — no silently-skipped new rows, no double-written moved ones."""
+    from logpipe.lineage import run_resumable_files
+
+    src = str(tmp_path / "src")
+    out_dir, lin_dir = str(tmp_path / "out"), str(tmp_path / "lineage")
+    transcripts(spark, 400, 10, partitions=4).write.mode("overwrite").parquet(src)
+    run_resumable_files(spark, src, lambda d: d, out_dir, lin_dir, n_units=2)
+    assert spark.read.parquet(out_dir).count() == 400
+
+    # new files land in the same directory (e.g. a later ingest)
+    transcripts(spark, 200, 10, partitions=2).withColumn(
+        "conv_id", F.concat(F.lit("b2-"), F.col("conv_id"))
+    ).write.mode("append").parquet(src)
+    res = run_resumable_files(spark, src, lambda d: d, out_dir, lin_dir, n_units=2)
+    assert res["processed"]  # at least one unit re-ran for its new files
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 600  # nothing skipped, nothing duplicated
+    assert got.select("conv_id", "turn_idx").distinct().count() == 600

@@ -216,3 +216,19 @@ def test_json_datestring_format_list(spark):
     )
     r = parse_text(df, rs, source_col="tool").collect()[0]
     assert r["event_ts"] == __import__("datetime").datetime(2021, 6, 1, 10, 20, 30)
+
+
+def test_json_datestring_yearless_inherits_row_year(spark):
+    # a year-less dateFormats entry (e.g. syslog 'MMM dd HH:mm:ss') inherits
+    # the row ts year, exactly like the rule path's _parse_dates — not 1900
+    from logpipe.parse import parse_text
+    from logpipe.rules import DEFAULT_GROUPS, RuleSet
+
+    rs = RuleSet(groups=DEFAULT_GROUPS, date_formats=("iso", "MMM dd HH:mm:ss"))
+    df = spark.createDataFrame(
+        [("c1", 0, "u", '{"message":"m","time":"Dec 06 05:06:31"}', "json",
+          __import__("datetime").datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    r = parse_text(df, rs, source_col="tool").collect()[0]
+    assert r["event_ts"] == __import__("datetime").datetime(2024, 12, 6, 5, 6, 31)

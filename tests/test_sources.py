@@ -64,11 +64,13 @@ def test_ua_enrich_dim(spark):
 
     dim = spark.createDataFrame(
         [
-            (r"(?i)iphone os 15", "mobile", "iPhone iOS15"),
-            (r"(?i)iphone", "mobile", "iPhone"),
-            (r"(?i)windows nt", "desktop", "Windows PC"),
+            # priorities deliberately out of row order: the function must
+            # sort on priority, not trust collect() order
+            (2, r"(?i)windows nt", "desktop", "Windows PC"),
+            (0, r"(?i)iphone os 15", "mobile", "iPhone iOS15"),
+            (1, r"(?i)iphone", "mobile", "iPhone"),
         ],
-        "pattern string, device_type string, device_name string",
+        "priority int, pattern string, device_type string, device_name string",
     )
     df = spark.createDataFrame(
         [
@@ -100,3 +102,27 @@ def test_kafka_stream_builds_unbound(spark):
 
 
 _ = datetime  # (imported for parity with sibling test modules)
+
+
+def test_rename_map_fields_collision_last_wins(spark):
+    # rename target already present in the map: the renamed value OVERWRITES
+    # (reference setValue semantics) instead of DUPLICATED_MAP_KEY crashing
+    from logpipe.mask import rename_map_fields
+
+    df = spark.createDataFrame([(1,)], "id int").withColumn(
+        "fields",
+        F.create_map(
+            F.lit("os.host"), F.lit("h1"),
+            F.lit("os.host.fqdn"), F.lit("h1.example"),
+            F.lit("host.name"), F.lit("stale"),
+            F.lit("host.name.fqdn"), F.lit("stale.example"),
+        ),
+    )
+    r = rename_map_fields(df, {"os.host": "host.name"}).collect()[0]["fields"]
+    assert r == {"host.name": "h1", "host.name.fqdn": "h1.example"}
+    # two renames landing on one target: later config entry wins (JS order)
+    df2 = spark.createDataFrame([(1,)], "id int").withColumn(
+        "fields", F.create_map(F.lit("a"), F.lit("va"), F.lit("b"), F.lit("vb"))
+    )
+    r2 = rename_map_fields(df2, {"a": "c", "b": "c"}).collect()[0]["fields"]
+    assert r2 == {"c": "vb"}
