@@ -1113,6 +1113,29 @@ FROM range(500) t(i)
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthetic_ppm_media writes genuine P6
+    PPM bytes (header + raster), decode_image_stats parses them back in pure
+    numpy inside mapInPandas, and the oracle derives the expected decoded
+    dimensions and constant-fill mean brightness arithmetically from
+    media_id — any header-parse or raster-shape bug breaks the hash."""
+    from logpipe.multimodal import decode_image_stats, synthetic_ppm_media
+
+    media = synthetic_ppm_media(spark, 200)
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", F.round("brightness", 6).alias("brightness")
+    )
+
+
+_MULTIMODAL_DECODE_SQL = """
+SELECT i AS media_id,
+       CAST(i % 13 + 4 AS INT) AS width,
+       CAST(i % 11 + 4 AS INT) AS height,
+       round(((i*7)%256 + (i*13)%256 + (i*29)%256) / 3.0 / 255.0, 6) AS brightness
+FROM range(200) t(i)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -1698,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "textstats_langid": q_textstats_langid,
         "textstats_quality": q_textstats_quality,
         "token_counts": q_token_counts,
@@ -1756,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh_topk": _lsh_topk_sql(),
         "similarity_ivf_topk": _ivf_topk_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_decode": _MULTIMODAL_DECODE_SQL,
         "textstats_langid": _LANGID_SQL,
         "textstats_quality": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

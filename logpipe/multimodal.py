@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (image/audio libraries are not in this container):
-`decode_image` raises NotImplementedError unless `fake=True`, which produces
-a deterministic fake decode so the Spark-side plumbing — schema, batch shape,
-partition sizing — is real and tested. Swap `_decode_image_bytes` for a PIL/
-ffmpeg call in a real deployment; nothing else changes.
+Decode: UNCOMPRESSED raster formats (PPM P6, BMP 24-bit BI_RGB) decode for
+REAL in pure numpy — header parse, pixel-matrix reconstruction, area-average
+resize, grayscale features — so the decode path is exercised end-to-end
+(q_multimodal_decode oracle-checks brightness/width/height arithmetically).
+COMPRESSED formats (JPEG/PNG/...) remain stubbed: decoding them needs
+PIL/opencv (not in this container); `fake=True` substitutes a deterministic
+hash-derived matrix so the Spark-side plumbing — schema, batch shape,
+partition sizing — stays real and tested. Swap `_decode_image_bytes`'s
+fallback for a PIL call in a real deployment; nothing else changes.
 """
 
 from __future__ import annotations
@@ -59,15 +63,84 @@ def synthetic_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
     )
 
 
-def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
-    if not fake:
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Pure-numpy P6 PPM decode → (H, W, 3) uint8. Handles the full header
+    grammar: '#' comments and arbitrary whitespace between tokens, exactly
+    one whitespace byte before the raster."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace byte separating header from raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Pure-numpy BMP decode → (H, W, 3) uint8 RGB: BITMAPINFOHEADER,
+    24-bit, BI_RGB (uncompressed), bottom-up rows padded to 4 bytes."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit BI_RGB BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * abs(h), offset=offset)
+    img = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up storage
+        img = img[::-1]
+    return img[..., ::-1]  # BGR → RGB
+
+
+def _resize_area(gray: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Area-average resample to (th, tw) — the mean-pool 'thumbnail'."""
+    H, W = gray.shape
+    ys = np.linspace(0, H, th + 1).astype(int)
+    xs = np.linspace(0, W, tw + 1).astype(int)
+    out = np.empty((th, tw), dtype=np.float64)
+    for i in range(th):
+        for j in range(tw):
+            block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.mean()
+    return out
+
+
+def _decode_image_bytes(payload: bytes, fake: bool, target: tuple[int, int] = (4, 4)) -> np.ndarray:
+    """Sniff the magic: uncompressed formats decode for real (grayscale +
+    area resize to `target`); anything else is the deterministic stub
+    (fake=True) or NotImplementedError."""
+    if payload[:2] == b"P6":
+        rgb = decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        rgb = decode_bmp(payload)
+    elif fake:
+        # deterministic fake decode: 4x4 grayscale derived from payload hash
+        h = hashlib.sha256(payload or b"").digest()
+        return np.frombuffer(h[:16], dtype=np.uint8).reshape(4, 4).astype(np.float32)
+    else:
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic stub"
+            "compressed-image decode requires PIL/opencv (not in this "
+            "container); pass fake=True for the deterministic stub"
         )
-    # deterministic fake decode: 4x4 grayscale derived from payload hash
-    h = hashlib.sha256(payload or b"").digest()
-    return np.frombuffer(h[:16], dtype=np.uint8).reshape(4, 4).astype(np.float32)
+    gray = rgb.astype(np.float64).mean(axis=2)
+    return _resize_area(gray, target[0], target[1]).astype(np.float32)
 
 
 def extract_image_features(
@@ -89,7 +162,7 @@ def extract_image_features(
             feats, shas, nbytes = [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
-                arr = _decode_image_bytes(raw, fake)
+                arr = _decode_image_bytes(raw, fake, target)
                 feats.append([float(x) for x in arr.flatten() / 255.0])
                 shas.append(hashlib.sha256(raw).hexdigest())
                 nbytes.append(len(raw))
@@ -105,6 +178,77 @@ def extract_image_features(
             )
 
     return media.select("media_id", "payload").mapInPandas(_proc, IMAGE_FEATURES_SCHEMA)
+
+
+def synthetic_ppm_media(spark, n: int = 100) -> DataFrame:
+    """REAL P6 PPM payloads, deterministically derived from media_id:
+    width = id%13+4, height = id%11+4, constant fill color
+    (id*7%256, id*13%256, id*29%256) — so every decoded stat (dimensions,
+    mean brightness) is arithmetically derivable in a SQL oracle while the
+    Spark side genuinely parses the header bytes and raster."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _ppm(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 13 + 4, i % 11 + 4
+            r, g, b = i * 7 % 256, i * 13 % 256, i * 29 % 256
+            out.append(f"P6\n# synthetic {i}\n{w} {h}\n255\n".encode() + bytes((r, g, b)) * (w * h))
+        return pd.Series(out)
+
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        _ppm(F.col("id")).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        (F.col("id") % 13 + 4).cast("int").alias("width"),
+        (F.col("id") % 11 + 4).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("brightness", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """REAL decode statistics over mapInPandas: parse each payload's header
+    and raster (PPM/BMP, pure numpy), emit decoded dimensions and mean
+    grayscale brightness in [0,1]. Unrecognized formats yield nulls (the
+    drop-nothing contract of the parser's fallback row)."""
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, brightness = [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    rgb = decode_ppm(raw) if raw[:2] == b"P6" else decode_bmp(raw)
+                    h, w = rgb.shape[0], rgb.shape[1]
+                    widths.append(w)
+                    heights.append(h)
+                    brightness.append(float(rgb.astype(np.float64).mean() / 255.0))
+                except Exception:
+                    widths.append(None)
+                    heights.append(None)
+                    brightness.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "brightness": brightness,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_proc, DECODE_STATS_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

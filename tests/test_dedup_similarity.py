@@ -201,3 +201,66 @@ def test_cell_assigner_null_and_ragged_embeddings(spark):
     got = {r["id"]: r["cells"] for r in df.select("id", assign("embedding").alias("cells")).collect()}
     assert got["ok"] == [0] and got["ok2"] == [1]
     assert got["null"] == [] and got["short"] == []
+
+
+def test_decode_ppm_and_bmp_real():
+    # pure-numpy decoders against hand-built files (no Spark needed)
+    import numpy as np
+
+    from logpipe.multimodal import decode_bmp, decode_ppm
+
+    # 2x2 PPM with a comment line: pixels r g / b w
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    ppm = b"P6\n# comment\n2 2\n255\n" + px
+    img = decode_ppm(ppm)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0] and img[1, 1].tolist() == [255, 255, 255]
+
+    # 2x2 24-bit BMP (bottom-up, stride padded to 8): same pixels
+    def bmp_2x2():
+        rows = [
+            bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00",  # bottom row BGR: blue, white
+            bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00",  # top row BGR: red, green
+        ]
+        raster = rows[0] + rows[1]
+        header = (
+            b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + (2).to_bytes(4, "little", signed=True)
+            + (2).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(raster).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        return header + raster
+    img2 = decode_bmp(bmp_2x2())
+    assert img2.shape == (2, 2, 3)
+    assert img2[0, 0].tolist() == [255, 0, 0]  # top-left red after bottom-up flip
+    assert img2[1, 1].tolist() == [255, 255, 255]
+
+    # area resize: 2x2 mean of the four pixels collapses to 1x1
+    from logpipe.multimodal import _resize_area
+
+    gray = img.astype(np.float64).mean(axis=2)
+    assert _resize_area(gray, 1, 1)[0, 0] == gray.mean()
+
+
+def test_decode_image_stats_roundtrip(spark):
+    # real PPM bytes written by the generator decode back to the exact
+    # arithmetic dimensions/brightness the oracle derives
+    from logpipe.multimodal import decode_image_stats, synthetic_ppm_media
+
+    got = {r["media_id"]: r for r in decode_image_stats(synthetic_ppm_media(spark, 30)).collect()}
+    for i in range(30):
+        r = got[i]
+        assert (r["width"], r["height"]) == (i % 13 + 4, i % 11 + 4)
+        expect = (i * 7 % 256 + i * 13 % 256 + i * 29 % 256) / 3.0 / 255.0
+        assert abs(r["brightness"] - expect) < 1e-9
+    # unrecognized payloads yield nulls, not task failures
+    from logpipe.multimodal import synthetic_media
+
+    junk = decode_image_stats(synthetic_media(spark, 5)).collect()
+    assert all(r["width"] is None and r["brightness"] is None for r in junk)
