@@ -1136,6 +1136,30 @@ FROM range(200) t(i)
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthetic_wav_media writes genuine
+    RIFF/WAVE PCM16 bytes, decode_audio_stats walks the chunk list and
+    reconstructs the sample matrix; the oracle derives rate / sample count /
+    duration / exact square-wave RMS arithmetically from media_id."""
+    from logpipe.multimodal import decode_audio_stats, synthetic_wav_media
+
+    media = synthetic_wav_media(spark, 200)
+    return decode_audio_stats(media).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms",
+        F.round("rms", 9).alias("rms"),
+    )
+
+
+_MULTIMODAL_AUDIO_SQL = """
+SELECT i AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST((i%50+1)*80 AS INT) AS n_samples,
+       CAST((i%50+1)*10 AS INT) AS duration_ms,
+       round((i*31%1000+1)*32 / 32768.0, 9) AS rms
+FROM range(200) t(i)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -1722,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
         "textstats_langid": q_textstats_langid,
         "textstats_quality": q_textstats_quality,
         "token_counts": q_token_counts,
@@ -1781,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_topk": _ivf_topk_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+        "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "textstats_langid": _LANGID_SQL,
         "textstats_quality": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -251,6 +251,125 @@ def decode_image_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_proc, DECODE_STATS_SCHEMA)
 
 
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE PCM decode → (samples float64 in [-1,1] shaped
+    (n, channels), sample_rate). Walks the chunk list (fmt may not be the
+    first chunk), supports PCM 16-bit and 8-bit."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError("only PCM supported")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError("only 8/16-bit PCM supported")
+    n = len(samples) // channels
+    return samples[: n * channels].reshape(n, channels), rate
+
+
+def synthetic_wav_media(spark, n: int = 100, rate: int = 8000) -> DataFrame:
+    """REAL RIFF/WAVE PCM16 payloads, deterministic from media_id: mono,
+    n_samples = (id%50+1)*80, alternating +/-amp square wave with
+    amp = (id*31%1000+1)*32 (integer, <=32000) — so RMS = amp/32768.0 is
+    EXACT float64 arithmetic (amp has <=15 significand bits; the power-of-two
+    denominator keeps mean/sqrt exact) and duration_ms = n_samples*1000/rate
+    divides evenly, while the Spark side genuinely walks the RIFF chunks."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n_samp = (i % 50 + 1) * 80
+            amp = (i * 31 % 1000 + 1) * 32
+            wave = np.empty(n_samp, dtype="<i2")
+            wave[0::2] = amp
+            wave[1::2] = -amp
+            data = wave.tobytes()
+            fmt = (
+                (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+                + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            )
+            body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            body += b"data" + len(data).to_bytes(4, "little") + data
+            out.append(b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body)
+        return pd.Series(out)
+
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        _wav(F.col("id")).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("id") % 50 + 1) * 80 * 1000 / rate).cast("int").alias("duration_ms"),
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode statistics over mapInPandas: walk the RIFF chunks,
+    reconstruct the PCM sample matrix, emit rate / length / RMS loudness.
+    Unrecognized payloads yield nulls (drop-nothing contract)."""
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, durs, rms = [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    samples, rate = decode_wav(raw)
+                    rates.append(rate)
+                    counts.append(samples.shape[0])
+                    durs.append(int(samples.shape[0] * 1000 / rate))
+                    rms.append(float(np.sqrt(np.mean(samples**2))))
+                except Exception:
+                    rates.append(None)
+                    counts.append(None)
+                    durs.append(None)
+                    rms.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(counts, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int32"),
+                    "rms": rms,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_proc, AUDIO_STATS_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: explode sample timestamps per clip (pure
     exprs; actual frame extraction would run in the decode UDF)."""

@@ -264,3 +264,33 @@ def test_decode_image_stats_roundtrip(spark):
 
     junk = decode_image_stats(synthetic_media(spark, 5)).collect()
     assert all(r["width"] is None and r["brightness"] is None for r in junk)
+
+
+def test_decode_wav_real(spark):
+    import numpy as np
+
+    from logpipe.multimodal import decode_audio_stats, decode_wav, synthetic_wav_media
+
+    # hand-built stereo 16-bit WAV with an extra chunk before fmt
+    samples = np.array([[1000, -1000], [2000, -2000]], dtype="<i2")
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (44100 * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"LIST" + (4).to_bytes(4, "little") + b"INFO"  # skipped chunk
+    body += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    buf = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    out, rate = decode_wav(buf)
+    assert rate == 44100 and out.shape == (2, 2)
+    assert abs(out[0, 0] - 1000 / 32768.0) < 1e-12 and abs(out[1, 1] + 2000 / 32768.0) < 1e-12
+
+    # generator round-trip: decoded stats equal the arithmetic derivation
+    got = {r["media_id"]: r for r in decode_audio_stats(synthetic_wav_media(spark, 20)).collect()}
+    for i in range(20):
+        r = got[i]
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == (i % 50 + 1) * 80
+        assert r["rms"] == (i * 31 % 1000 + 1) * 32 / 32768.0  # exact, not approx
