@@ -137,12 +137,31 @@ def transcripts(
     i = F.col("id")
     n_convs = max(n_turns // turns_per_conv, 1)
     if skew is None:
-        conv = (i / turns_per_conv).cast("long")
-        turn = (i % turns_per_conv).cast("int")
+        conv, turn = None, None
     else:
         u = i / F.lit(float(n_turns))
         conv = F.floor(F.pow(u, F.lit(float(skew))) * n_convs).cast("long")
         turn = F.pmod(i, F.lit(2_000_000_000)).cast("int")
+    return df.select(
+        *transcript_projection(i, turns_per_conv, base_ts, conv=conv, turn=turn)
+    )
+
+
+def transcript_projection(
+    i,
+    turns_per_conv: int = 20,
+    base_ts: str = "2024-01-01 00:00:00",
+    conv=None,
+    turn=None,
+) -> list:
+    """The deterministic id → transcript-row projection shared by the batch
+    generator and the rate-source stream (sources.rate_transcript_stream):
+    the same `i` always yields the same row, so stream == batch is provable
+    row-for-row."""
+    if conv is None:
+        conv = (i / turns_per_conv).cast("long")
+    if turn is None:
+        turn = (i % turns_per_conv).cast("int")
     tmpl_idx = F.pmod(i + conv, F.lit(len(_TOOLS))).cast("int")
     texts = _templates(i)
     text = None
@@ -150,7 +169,7 @@ def transcripts(
         text = F.when(tmpl_idx == k, t) if text is None else text.when(tmpl_idx == k, t)
     tool = F.element_at(F.array(*[F.lit(t) for t in _TOOLS]), tmpl_idx + 1)
     role = F.element_at(F.array(*[F.lit(r) for r in ROLES]), F.pmod(i, F.lit(4)).cast("int") + 1)
-    out = df.select(
+    return [
         F.format_string("conv-%08d", conv).alias("conv_id"),
         turn.alias("turn_idx"),
         role.alias("role"),
@@ -163,8 +182,7 @@ def transcripts(
             F.lit(base_ts).cast("timestamp_ntz")
             + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), i * F.lit(0.001))
         ).alias("ts"),
-    )
-    return out
+    ]
 
 
 def role_dim(spark: SparkSession) -> DataFrame:

@@ -130,3 +130,27 @@ def kafka_stream(
         # negative with ANSI off), so turn_idx stays wide here
         F.col("offset").alias("turn_idx"),
     )
+
+
+def rate_transcript_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    ramp_up: str = "0s",
+    turns_per_conv: int = 20,
+) -> DataFrame:
+    """stdin / rate-throttle analog (lib/plugins/input/stdin.js + the
+    elasticsearch output's throttled buffer): Spark's built-in `rate` source
+    emits a monotonic `value` at a bounded rows/sec; `value` feeds the SAME
+    deterministic projection as datagen.transcripts, so the stream replays
+    the batch transcript table at a controlled rate — throughput is bounded
+    at the SOURCE (the reference throttles at the sink), and stream==batch
+    equality is provable row-for-row (tests/test_sources.py)."""
+    from .datagen import transcript_projection
+
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("rampUpTime", ramp_up)
+        .load()
+    )
+    return raw.select(*transcript_projection(F.col("value"), turns_per_conv))

@@ -126,3 +126,36 @@ def test_rename_map_fields_collision_last_wins(spark):
     )
     r2 = rename_map_fields(df2, {"a": "c", "b": "c"}).collect()[0]["fields"]
     assert r2 == {"c": "vb"}
+
+
+def test_rate_transcript_stream_matches_batch(spark, tmp_path):
+    # the rate source replays the deterministic transcript projection at a
+    # bounded rate: every streamed row equals the batch row for the same id
+    from logpipe.datagen import transcripts
+    from logpipe.sources import rate_transcript_stream
+
+    stream = rate_transcript_stream(spark, rows_per_second=500)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_rows")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select count(*) from rate_rows").collect()[0][0] >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.sql("select * from rate_rows").collect()
+    assert len(got) >= 100
+    batch = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"], r["ts"])
+        for r in transcripts(spark, 5000, 20).collect()
+    }
+    for r in got:
+        assert batch[(r["conv_id"], r["turn_idx"])] == (r["role"], r["text"], r["tool"], r["ts"])
