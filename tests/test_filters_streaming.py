@@ -236,3 +236,43 @@ def test_stream_session_counts_matches_batch(spark, tmp_path):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_session_append_closes_by_watermark(spark, tmp_path):
+    """Append mode emits a session ONLY after the watermark (driven by later
+    events) passes session_end — the bounded-state contract that lets
+    session aggregation run forever: closed sessions leave the store."""
+    import datetime
+
+    from logpipe.streaming import read_transcript_stream, windowed_session_counts
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "in_wm")
+
+    def rows(conv, ts_list):
+        return [(conv, i, "user", "m", "chat", ts) for i, ts in enumerate(ts_list)]
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    # file A: conv c1, a tight 5-minute burst (its session will close)
+    spark.createDataFrame(
+        rows("c1", [t0 + datetime.timedelta(minutes=m) for m in (0, 2, 5)]), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # file B: conv c2 three hours later — advances the watermark far past
+    # c1's session_end, while c2's own session stays open
+    spark.createDataFrame(
+        rows("c2", [t0 + datetime.timedelta(hours=3)]), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    agg = windowed_session_counts(stream, gap="10 minutes", watermark="30 minutes", ts_col="ts")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["conv_id"], r["events"]) for r in spark.sql("select * from sess_wm").collect()}
+    assert got == {("c1", 3)}  # c1 closed and emitted; c2 still open
