@@ -1304,6 +1304,49 @@ def q_transcript_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resumability pillar, oracle-checked: run the deterministic
+    transcript table through run_resumable_files with an INJECTED mid-run
+    failure, resume under the same run_id, and return the lineage metrics
+    plus the landed row count. The oracle asserts the never-double-count
+    contract arithmetically: rows_in == rows_out == rows_written == the full
+    table, exactly one 'done' lineage row per unit across both attempts."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from logpipe.lineage import metrics_table, run_resumable_files
+
+    work = tempfile.mkdtemp(prefix="logpipe_lineage_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, out_dir, lin = f"{work}/src", f"{work}/out", f"{work}/lineage"
+    transcripts(spark, 4000, 20, partitions=4).write.mode("overwrite").parquet(src)
+    try:
+        run_resumable_files(
+            spark, src, lambda d: d, out_dir, lin, n_units=4, fail_after_unit=0
+        )
+    except RuntimeError:
+        pass  # the injected failure
+    run_resumable_files(spark, src, lambda d: d, out_dir, lin, n_units=4)
+    m = metrics_table(spark, lin).select(
+        "run_id",
+        F.col("rows_in").cast("long").alias("rows_in"),
+        F.col("rows_out").cast("long").alias("rows_out"),
+    )
+    written = (
+        spark.read.parquet(out_dir).groupBy().count().select(F.col("count").alias("rows_written"))
+    )
+    return m.crossJoin(written)
+
+
+_LINEAGE_RESUME_SQL = """
+SELECT 'run-0' AS run_id,
+       CAST(4000 AS BIGINT) AS rows_in,
+       CAST(4000 AS BIGINT) AS rows_out,
+       CAST(4000 AS BIGINT) AS rows_written
+"""
+
+
 def q_transcript_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logpipe.order import reassemble_multiline
 
@@ -1754,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_pipeline": q_transcript_pipeline,
         "transcript_multiline": q_transcript_multiline,
         "transcript_stream": q_transcript_stream,
+        "lineage_resume": q_lineage_resume,
         "filter_truncate_ansi": q_filter_truncate_ansi,
         "enrich_image_k8s": q_enrich_image_k8s,
         "mask_map_rename": q_mask_map_rename,
@@ -1814,6 +1858,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_pipeline": _TRANSCRIPT_PIPELINE_SQL,
         "transcript_stream": _TRANSCRIPT_STREAM_SQL,
         "transcript_multiline": _TRANSCRIPT_MULTILINE_SQL,
+        "lineage_resume": _LINEAGE_RESUME_SQL,
         "filter_truncate_ansi": _TRUNCATE_ANSI_SQL,
         "enrich_image_k8s": _IMAGE_K8S_SQL,
         "mask_map_rename": _MAP_RENAME_SQL,
