@@ -1160,6 +1160,33 @@ FROM range(200) t(i)
 """
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: synthetic_y4m_media writes genuine
+    YUV4MPEG2 streams (header tags + FRAME markers + planar YUV),
+    decode_video_stats walks the frame list and reconstructs luma planes;
+    the oracle derives dimensions / frame count / mean luma arithmetically
+    from media_id via a lateral frame join."""
+    from logpipe.multimodal import decode_video_stats, synthetic_y4m_media
+
+    media = synthetic_y4m_media(spark, 200)
+    return decode_video_stats(media).select(
+        "media_id", "width", "height", "n_frames",
+        F.round("mean_luma", 9).alias("mean_luma"),
+    )
+
+
+_MULTIMODAL_VIDEO_SQL = """
+SELECT t.i AS media_id,
+       CAST((t.i%4+1)*4 AS INT) AS width,
+       CAST((t.i%3+1)*4 AS INT) AS height,
+       CAST(t.i%5+2 AS INT) AS n_frames,
+       round(avg(((t.i*17 + u.f*3) % 256) / 255.0), 9) AS mean_luma
+FROM range(200) t(i), range(6) u(f)
+WHERE u.f < t.i % 5 + 2
+GROUP BY t.i
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -1790,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
         "textstats_langid": q_textstats_langid,
         "textstats_quality": q_textstats_quality,
         "token_counts": q_token_counts,
@@ -1851,6 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
+        "multimodal_video": _MULTIMODAL_VIDEO_SQL,
         "textstats_langid": _LANGID_SQL,
         "textstats_quality": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -370,6 +370,119 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_proc, AUDIO_STATS_SCHEMA)
 
 
+def decode_y4m(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-numpy YUV4MPEG2 decode → (luma frames (n, H, W) uint8, W, H).
+    Parses the stream header (W/H/C tags), walks FRAME markers, and slices
+    the planar YUV payload (C420 and C444 subsampling supported; chroma
+    planes are skipped — stats need luma only)."""
+    nl = buf.find(b"\n")
+    if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    subsample = "420"
+    for tag in buf[9:nl].split():
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            subsample = tag[1:].decode()
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    luma_size = w * h
+    chroma = luma_size // 2 if subsample.startswith("420") else (
+        luma_size * 2 if subsample.startswith("444") else None
+    )
+    if chroma is None:
+        raise ValueError(f"unsupported Y4M chroma mode {subsample}")
+    frames, pos = [], nl + 1
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        fnl = buf.find(b"\n", pos)
+        pos = fnl + 1
+        frames.append(np.frombuffer(buf, dtype=np.uint8, count=luma_size, offset=pos).reshape(h, w))
+        pos += luma_size + chroma
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), w, h
+
+
+def synthetic_y4m_media(spark, n: int = 100, fps: int = 25) -> DataFrame:
+    """REAL YUV4MPEG2 payloads, deterministic from media_id: C420,
+    width = (id%4+1)*4, height = (id%3+1)*4, n_frames = id%5+2, frame f
+    filled with constant luma (id*17 + f*3) % 256 (chroma 128) — every
+    decoded stat is exact SQL arithmetic."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _y4m(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h, nf = (i % 4 + 1) * 4, (i % 3 + 1) * 4, i % 5 + 2
+            parts = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()]
+            for f in range(nf):
+                luma = (i * 17 + f * 3) % 256
+                parts.append(b"FRAME\n")
+                parts.append(bytes([luma]) * (w * h) + bytes([128]) * (w * h // 2))
+            out.append(b"".join(parts))
+        return pd.Series(out)
+
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        _y4m(F.col("id")).alias("payload"),
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+        ((F.col("id") % 4 + 1) * 4).cast("int").alias("width"),
+        ((F.col("id") % 3 + 1) * 4).cast("int").alias("height"),
+        ((F.col("id") % 5 + 2) * 1000 / fps).cast("int").alias("duration_ms"),
+    )
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_video_stats(media: DataFrame) -> DataFrame:
+    """REAL video decode statistics over mapInPandas: walk the Y4M frame
+    list, reconstruct luma planes, emit dimensions / frame count / mean luma
+    in [0,1]. Unrecognized payloads yield nulls (drop-nothing contract)."""
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, nfs, lumas = [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    frames, w, h = decode_y4m(raw)
+                    ws.append(w)
+                    hs.append(h)
+                    nfs.append(frames.shape[0])
+                    per_frame = frames.reshape(frames.shape[0], -1).mean(axis=1) / 255.0
+                    lumas.append(float(per_frame.mean()) if len(per_frame) else None)
+                except Exception:
+                    ws.append(None)
+                    hs.append(None)
+                    nfs.append(None)
+                    lumas.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_frames": pd.array(nfs, dtype="Int32"),
+                    "mean_luma": lumas,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_proc, VIDEO_STATS_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: explode sample timestamps per clip (pure
     exprs; actual frame extraction would run in the decode UDF)."""

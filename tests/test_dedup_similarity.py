@@ -294,3 +294,30 @@ def test_decode_wav_real(spark):
         assert r["sample_rate"] == 8000
         assert r["n_samples"] == (i % 50 + 1) * 80
         assert r["rms"] == (i * 31 % 1000 + 1) * 32 / 32768.0  # exact, not approx
+
+
+def test_decode_y4m_real(spark):
+    import numpy as np
+
+    from logpipe.multimodal import decode_video_stats, decode_y4m, synthetic_y4m_media
+
+    # hand-built 2-frame 4x2 C420 stream with a gradient first frame
+    y0 = bytes(range(8))
+    y1 = bytes([200] * 8)
+    chroma = bytes([128] * 4)
+    buf = (
+        b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n" + y0 + chroma + b"FRAME\n" + y1 + chroma
+    )
+    frames, w, h = decode_y4m(buf)
+    assert (w, h) == (4, 2) and frames.shape == (2, 2, 4)
+    assert frames[0].flatten().tolist() == list(range(8))
+    assert frames[1].mean() == 200.0
+
+    # generator round-trip equals the arithmetic derivation
+    got = {r["media_id"]: r for r in decode_video_stats(synthetic_y4m_media(spark, 25)).collect()}
+    for i in range(25):
+        r = got[i]
+        assert (r["width"], r["height"], r["n_frames"]) == ((i % 4 + 1) * 4, (i % 3 + 1) * 4, i % 5 + 2)
+        expect = float(np.mean([((i * 17 + f * 3) % 256) / 255.0 for f in range(i % 5 + 2)]))
+        assert abs(r["mean_luma"] - expect) < 1e-12
