@@ -1187,6 +1187,29 @@ GROUP BY t.i
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling end-to-end: one decode per clip inside
+    mapInPandas, one output row per sampled timestamp with the genuinely
+    decoded frame's mean luma; the oracle replays the sampling arithmetic
+    (frame_idx = min(ms*fps/1000, n_frames-1)) per (clip, sample) pair."""
+    from logpipe.multimodal import extract_frames, synthetic_y4m_media
+
+    media = synthetic_y4m_media(spark, 200)
+    return extract_frames(media, every_ms=80, fps=25).select(
+        "media_id", "sample_ms", "frame_idx", F.round("luma", 9).alias("luma")
+    )
+
+
+_MULTIMODAL_FRAMES_SQL = """
+SELECT t.i AS media_id,
+       CAST(u.k*80 AS INT) AS sample_ms,
+       CAST(LEAST(u.k*2, t.i%5+1) AS INT) AS frame_idx,
+       round(((t.i*17 + LEAST(u.k*2, t.i%5+1)*3) % 256) / 255.0, 9) AS luma
+FROM range(200) t(i), range(4) u(k)
+WHERE u.k*80 <= (t.i%5+2)*40
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -1818,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
+        "multimodal_frames": q_multimodal_frames,
         "textstats_langid": q_textstats_langid,
         "textstats_quality": q_textstats_quality,
         "token_counts": q_token_counts,
@@ -1880,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "multimodal_video": _MULTIMODAL_VIDEO_SQL,
+        "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         "textstats_langid": _LANGID_SQL,
         "textstats_quality": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -321,3 +321,18 @@ def test_decode_y4m_real(spark):
         assert (r["width"], r["height"], r["n_frames"]) == ((i % 4 + 1) * 4, (i % 3 + 1) * 4, i % 5 + 2)
         expect = float(np.mean([((i * 17 + f * 3) % 256) / 255.0 for f in range(i % 5 + 2)]))
         assert abs(r["mean_luma"] - expect) < 1e-12
+
+
+def test_extract_frames_real(spark):
+    from logpipe.multimodal import extract_frames, synthetic_y4m_media
+
+    out = extract_frames(synthetic_y4m_media(spark, 10), every_ms=80, fps=25).collect()
+    rows = {(r["media_id"], r["sample_ms"]): r for r in out}
+    for i in range(10):
+        nf = i % 5 + 2
+        dur = nf * 40
+        for k in range(0, dur + 1, 80):
+            r = rows[(i, k)]
+            idx = min(k * 25 // 1000, nf - 1)
+            assert r["frame_idx"] == idx
+            assert r["luma"] == ((i * 17 + idx * 3) % 256) / 255.0
