@@ -403,17 +403,20 @@ def duplicate_clusters(
     max_iter: int = 50,
 ) -> DataFrame:
     """Group near-dup pairs into clusters: connected components by iterative
-    min-label propagation (the alternating-star family of MapReduce CC
-    algorithms, simplified: each round every node takes the min label among
-    itself and its neighbors; converges in O(component diameter) rounds —
-    near-dup components are shallow in practice).
+    min-label propagation PLUS pointer-doubling shortcutting (the classic
+    pointer-jumping step of PRAM/MapReduce CC): each round every node takes
+    the min label among itself and its neighbors, then jumps to its label's
+    label — so label chains halve every round and convergence is
+    O(log component-diameter) rounds, not O(diameter). A 1M-node path
+    component converges in ~20 rounds instead of 1M.
 
-    Returns (id, cluster_id = min doc id of the component). Each round is one
-    shuffle on node id; per-round `localCheckpoint` TRUNCATES the logical
-    plan — without it each iteration nests the previous one and Catalyst
-    analysis grows until the driver OOMs around a dozen rounds (caught by the
-    12-node-chain probe). On a cluster with a checkpoint dir configured,
-    swap for reliable `checkpoint` to also survive executor loss.
+    Returns (id, cluster_id = min doc id of the component). Each round is a
+    bounded number of shuffles on node id; per-round `localCheckpoint`
+    TRUNCATES the logical plan — without it each iteration nests the
+    previous one and Catalyst analysis grows until the driver OOMs around a
+    dozen rounds (caught by the chain probes). On a cluster with a
+    checkpoint dir configured, swap for reliable `checkpoint` to also
+    survive executor loss.
 
     `max_iter` is a runaway-safety cap, NOT a silent truncation: if labels
     are still changing when it is reached the function raises instead of
@@ -437,13 +440,28 @@ def duplicate_clusters(
             .groupBy("a")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
-        new_labels = (
+        propagated = (
             labels.join(nbr_min, labels.id == nbr_min.a, "left")
             .select(
                 "id",
                 F.least(F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))).alias(
                     "cluster"
                 ),
+            )
+            # materialize: the shortcut self-join references this twice —
+            # without the checkpoint the propagation joins would run twice
+            .localCheckpoint()
+        )
+        # pointer-doubling shortcut: cluster(u) <- cluster(cluster(u)).
+        # Labels are always node ids (mins over neighbors/self), so the
+        # self-join resolves; least() keeps monotone descent within the
+        # component, and chains halve each round.
+        hop = propagated.select(F.col("id").alias("cid"), F.col("cluster").alias("cc"))
+        new_labels = (
+            propagated.join(hop, propagated.cluster == hop.cid, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce("cc", F.col("cluster"))).alias("cluster"),
             )
             .localCheckpoint()
         )

@@ -336,3 +336,12 @@ def test_extract_frames_real(spark):
             idx = min(k * 25 // 1000, nf - 1)
             assert r["frame_idx"] == idx
             assert r["luma"] == ((i * 17 + idx * 3) % 256) / 255.0
+
+
+def test_duplicate_clusters_long_chain_log_rounds(spark):
+    # pointer-doubling makes convergence O(log diameter): a 200-node path
+    # must finish well inside the DEFAULT max_iter (min-propagation alone
+    # would need 200 rounds)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(200)], "id_a long, id_b long")
+    out = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(chain).collect()}
+    assert set(out.values()) == {0} and len(out) == 201
