@@ -107,6 +107,48 @@ def windowed_session_counts(
     )
 
 
+def start_sql_filter_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    query: str,
+    out_dir: str,
+    interval_seconds: int = 60,
+    checkpoint: str | None = None,
+    view_name: str = "buffer",
+    trigger_available_now: bool = False,
+):
+    """The reference's SQL output-filter semantics, faithfully: sql.js
+    buffers events per sourceName and runs the configured query against the
+    buffer every `interval` seconds of PROCESSING time (sql.js:10-13,55-82)
+    — not event time. Restatement: a processingTime trigger of the same
+    interval makes each micro-batch exactly one buffer; foreachBatch
+    registers it as the `buffer` view, runs the configured SQL verbatim, and
+    lands the result idempotently under its batch_id directory (replays
+    overwrite themselves). aggregate.interval_sql remains the event-time
+    variant — correct under replay/late data; this is the
+    wall-clock-faithful one.
+
+    `trigger_available_now=True` drains the source in one buffer (tests)."""
+
+    def _run(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_df.createOrReplaceTempView(view_name)
+        try:
+            result = sess.sql(query)
+            result.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        finally:
+            sess.catalog.dropTempView(view_name)
+
+    writer = stream.writeStream.foreachBatch(_run).option(
+        "checkpointLocation", checkpoint or f"{out_dir}/_ckpt"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{interval_seconds} seconds")
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # stateful multiline (applyInPandasWithState)
 # ---------------------------------------------------------------------------

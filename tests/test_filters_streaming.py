@@ -276,3 +276,34 @@ def test_stream_session_append_closes_by_watermark(spark, tmp_path):
     q.awaitTermination(300)
     got = {(r["conv_id"], r["events"]) for r in spark.sql("select * from sess_wm").collect()}
     assert got == {("c1", 3)}  # c1 closed and emitted; c2 still open
+
+
+def test_stream_sql_filter_buffer(spark, tmp_path):
+    # the reference's alasql processing-time buffer: the configured SQL runs
+    # verbatim against each micro-batch as the `buffer` view
+    # (test/sql-filter-test.js:18 shape)
+    from logpipe.streaming import read_transcript_stream, start_sql_filter_stream
+
+    src = str(tmp_path / "in_sql")
+    transcripts(spark, 500, 20).write.parquet(src)
+    out = str(tmp_path / "out_sql")
+    q = start_sql_filter_stream(
+        spark,
+        read_transcript_stream(spark, src),
+        "SELECT tool, count(*) AS events, sum(length(text)) AS bytes FROM buffer GROUP BY tool",
+        out,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["tool"], r["events"], r["bytes"])
+        for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+    }
+    batch = spark.read.parquet(src)
+    want = {
+        (r["tool"], r["events"], r["bytes"])
+        for r in batch.groupBy("tool")
+        .agg(F.count("*").alias("events"), F.sum(F.length("text")).alias("bytes"))
+        .collect()
+    }
+    assert got == want and len(want) > 1
