@@ -1136,6 +1136,28 @@ FROM range(200) t(i)
 """
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: synthetic_png_media writes
+    genuine PNGs (zlib-deflated filter-0 scanlines), decode_image_stats
+    inflates and unfilters them back; the oracle derives dimensions and
+    constant-fill brightness arithmetically from media_id."""
+    from logpipe.multimodal import decode_image_stats, synthetic_png_media
+
+    media = synthetic_png_media(spark, 200)
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", F.round("brightness", 6).alias("brightness")
+    )
+
+
+_MULTIMODAL_PNG_SQL = """
+SELECT i AS media_id,
+       CAST(i % 9 + 2 AS INT) AS width,
+       CAST(i % 7 + 2 AS INT) AS height,
+       round(((i*11)%256 + (i*23)%256 + (i*37)%256) / 3.0 / 255.0, 6) AS brightness
+FROM range(200) t(i)
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: synthetic_wav_media writes genuine
     RIFF/WAVE PCM16 bytes, decode_audio_stats walks the chunk list and
@@ -1839,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_png": q_multimodal_png,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "multimodal_frames": q_multimodal_frames,
@@ -1902,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_topk": _ivf_topk_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+        "multimodal_png": _MULTIMODAL_PNG_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "multimodal_video": _MULTIMODAL_VIDEO_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Decode: UNCOMPRESSED raster formats (PPM P6, BMP 24-bit BI_RGB) decode for
-REAL in pure numpy — header parse, pixel-matrix reconstruction, area-average
+Decode: PPM P6, BMP 24-bit BI_RGB, and PNG (8-bit gray/GA/RGB/RGBA,
+all five scanline filters, genuine zlib inflate) decode for REAL in pure
+numpy — header parse, pixel-matrix reconstruction, area-average
 resize, grayscale features — so the decode path is exercised end-to-end
 (q_multimodal_decode oracle-checks brightness/width/height arithmetically).
-COMPRESSED formats (JPEG/PNG/...) remain stubbed: decoding them needs
+JPEG and other DCT/wavelet codecs remain stubbed: decoding them needs
 PIL/opencv (not in this container); `fake=True` substitutes a deterministic
 hash-derived matrix so the Spark-side plumbing — schema, batch shape,
 partition sizing — stays real and tested. Swap `_decode_image_bytes`'s
@@ -109,6 +110,103 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return img[..., ::-1]  # BGR → RGB
 
 
+def decode_png(buf: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decode → (H, W, channels) uint8 for 8-bit
+    gray / gray+alpha / RGB / RGBA, non-interlaced, all five scanline
+    filters (None/Sub/Up/Average/Paeth). Sub and Up are fully vectorized
+    (per-residue cumsum / row add); Average and Paeth fall back to the
+    per-pixel recurrence they inherently are."""
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    w = h = channels = None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8], data[9], data[10], data[11], data[12]
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError("palette PNG unsupported")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride, bpp = w * channels, channels
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-residue cumulative sum (mod distributes)
+            cur = line.copy()
+            for r in range(bpp):
+                cur[r::bpp] = np.cumsum(cur[r::bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        img[y] = cur.astype(np.uint8)
+        prev = cur
+    return img.reshape(h, w, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal deterministic PNG writer (filter-0 scanlines, one IDAT) for
+    the synthetic generators and round-trip tests."""
+    import zlib
+
+    h, w, channels = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return len(data).to_bytes(4, "big") + body + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _resize_area(gray: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Area-average resample to (th, tw) — the mean-pool 'thumbnail'."""
     H, W = gray.shape
@@ -122,25 +220,33 @@ def _resize_area(gray: np.ndarray, tw: int, th: int) -> np.ndarray:
     return out
 
 
+def _gray(img: np.ndarray) -> np.ndarray:
+    """(H, W, channels) → float64 grayscale: mean of color channels, alpha
+    ignored (gray / gray+alpha use the gray plane)."""
+    color = img[..., :1] if img.shape[2] <= 2 else img[..., :3]
+    return color.astype(np.float64).mean(axis=2)
+
+
 def _decode_image_bytes(payload: bytes, fake: bool, target: tuple[int, int] = (4, 4)) -> np.ndarray:
-    """Sniff the magic: uncompressed formats decode for real (grayscale +
-    area resize to `target`); anything else is the deterministic stub
-    (fake=True) or NotImplementedError."""
+    """Sniff the magic: PPM/BMP/PNG decode for real (grayscale + area
+    resize to `target`); anything else is the deterministic stub (fake=True)
+    or NotImplementedError."""
     if payload[:2] == b"P6":
         rgb = decode_ppm(payload)
     elif payload[:2] == b"BM":
         rgb = decode_bmp(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        rgb = decode_png(payload)
     elif fake:
         # deterministic fake decode: 4x4 grayscale derived from payload hash
         h = hashlib.sha256(payload or b"").digest()
         return np.frombuffer(h[:16], dtype=np.uint8).reshape(4, 4).astype(np.float32)
     else:
         raise NotImplementedError(
-            "compressed-image decode requires PIL/opencv (not in this "
+            "JPEG/other codec decode requires PIL/opencv (not in this "
             "container); pass fake=True for the deterministic stub"
         )
-    gray = rgb.astype(np.float64).mean(axis=2)
-    return _resize_area(gray, target[0], target[1]).astype(np.float32)
+    return _resize_area(_gray(rgb), target[0], target[1]).astype(np.float32)
 
 
 def extract_image_features(
@@ -208,6 +314,34 @@ def synthetic_ppm_media(spark, n: int = 100) -> DataFrame:
     )
 
 
+def synthetic_png_media(spark, n: int = 100) -> DataFrame:
+    """REAL PNG payloads (encode_png: filter-0 scanlines through zlib),
+    deterministic from media_id: width = id%9+2, height = id%7+2, constant
+    RGB ((id*11)%256, (id*23)%256, (id*37)%256) — decode round-trips through
+    a genuine zlib inflate + unfilter, stats exact in SQL."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _png(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 9 + 2, i % 7 + 2
+            color = np.array([i * 11 % 256, i * 23 % 256, i * 37 % 256], dtype=np.uint8)
+            img = np.broadcast_to(color, (h, w, 3)).copy()
+            out.append(encode_png(img))
+        return pd.Series(out)
+
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        _png(F.col("id")).alias("payload"),
+        F.lit("image/png").alias("mime"),
+        (F.col("id") % 9 + 2).cast("int").alias("width"),
+        (F.col("id") % 7 + 2).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
 DECODE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -230,11 +364,16 @@ def decode_image_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    rgb = decode_ppm(raw) if raw[:2] == b"P6" else decode_bmp(raw)
+                    if raw[:2] == b"P6":
+                        rgb = decode_ppm(raw)
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        rgb = decode_png(raw)
+                    else:
+                        rgb = decode_bmp(raw)
                     h, w = rgb.shape[0], rgb.shape[1]
                     widths.append(w)
                     heights.append(h)
-                    brightness.append(float(rgb.astype(np.float64).mean() / 255.0))
+                    brightness.append(float(_gray(rgb).mean() / 255.0))
                 except Exception:
                     widths.append(None)
                     heights.append(None)

@@ -345,3 +345,68 @@ def test_duplicate_clusters_long_chain_log_rounds(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(200)], "id_a long, id_b long")
     out = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(chain).collect()}
     assert set(out.values()) == {0} and len(out) == 201
+
+
+def test_decode_png_all_filters(spark):
+    import numpy as np
+
+    from logpipe.multimodal import (
+        decode_image_stats,
+        decode_png,
+        encode_png,
+        synthetic_png_media,
+    )
+
+    # round-trip a gradient RGB image through the filter-0 writer
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # hand-assemble scanlines exercising EVERY filter type (Sub/Up/Avg/Paeth)
+    import zlib
+
+    w, h, bpp = 4, 5, 3
+    want = rng.randint(0, 256, size=(h, w, bpp), dtype=np.uint8).astype(np.int32)
+    rows = []
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = want[y].reshape(-1)
+        line = np.empty(w * bpp, dtype=np.int32)
+        for i in range(w * bpp):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (cur[i] - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(line.astype(np.uint8)))
+        prev = cur
+    ihdr = (w).to_bytes(4, "big") + (h).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+
+    def chunk(typ, data):
+        body = typ + data
+        return len(data).to_bytes(4, "big") + body + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+
+    buf = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows))) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(buf), want.astype(np.uint8))
+
+    # generator round-trip through the Spark stats path
+    got = {r["media_id"]: r for r in decode_image_stats(synthetic_png_media(spark, 20)).collect()}
+    for i in range(20):
+        r = got[i]
+        assert (r["width"], r["height"]) == (i % 9 + 2, i % 7 + 2)
+        expect = (i * 11 % 256 + i * 23 % 256 + i * 37 % 256) / 3.0 / 255.0
+        assert abs(r["brightness"] - expect) < 1e-9
