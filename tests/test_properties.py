@@ -88,3 +88,32 @@ def test_parser_never_crashes_on_garbage(spark, lines):
     assert len(out) == len(lines)
     for r in out:
         assert r["event_ts"] is not None
+
+
+def test_decoders_never_kill_the_task_on_garbage(spark):
+    """Drop-nothing contract under arbitrary bytes: every decode stats path
+    yields null rows for garbage/truncated payloads instead of failing the
+    Spark task (a single poisoned blob must not abort a 100 TB scan)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from logpipe.multimodal import (
+        decode_audio_stats,
+        decode_image_stats,
+        decode_video_stats,
+    )
+
+    # adversarial payloads: valid magics with truncated/corrupt bodies
+    blobs = [
+        b"", b"\x00" * 64, b"P6", b"P6\n9999999 9999999\n255\n\x00", b"BM",
+        b"BM" + b"\x01" * 40, b"\x89PNG\r\n\x1a\n", b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,
+        b"RIFF\x00\x00\x00\x00WAVE", b"YUV4MPEG2 W4 H2\nFRAME\n\x01",
+        hashlib.sha256(b"x").digest() * 8,
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "media_id long, payload binary"
+    ).withColumn("duration_ms", F.lit(None).cast("int")).withColumn("kind", F.lit("video"))
+    for fn in (decode_image_stats, decode_audio_stats, decode_video_stats):
+        rows = fn(df).collect()  # must not raise
+        assert len(rows) == len(blobs)

@@ -143,6 +143,22 @@ def main() -> int:
                       "exactly one Exchange, partitioned by user_id alone (sessions merge reduce-side)",
                       "MergingSessions is the native Catalyst operator — no window-function sort chain"]))
 
+    # 4c. multimodal decode: ONE mapInPandas stage straight off the
+    # generator — zero exchanges, payload bytes never shuffled
+    from logpipe.multimodal import decode_image_stats, synthetic_ppm_media
+
+    dec = decode_image_stats(synthetic_ppm_media(spark, 100))
+    p = plan_of(dec)
+    problems += check(
+        "multimodal_decode",
+        p,
+        want=[r"MapInPandas"],
+        forbid=[r"(?<!Broadcast)Exchange \(\d", r"SortMergeJoin"],
+    )
+    sections.append(("Multimodal decode (mapInPandas)", p,
+                     ["single MapInPandas stage — decode runs where the bytes are",
+                      "ZERO exchanges: payload binaries are never shuffled"]))
+
     # 5. whole-stage codegen present around the masking/routing exprs (AQE
     # display defers codegen ids, so inspect the static plan with AQE off)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
