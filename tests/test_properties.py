@@ -117,3 +117,63 @@ def test_decoders_never_kill_the_task_on_garbage(spark):
     for fn in (decode_image_stats, decode_audio_stats, decode_video_stats):
         rows = fn(df).collect()  # must not raise
         assert len(rows) == len(blobs)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_session_windows_partition_events_exactly(spark, events):
+    """For ANY event set: sessions partition the events (counts sum to n),
+    every event lies in [start, end), session_end = last event + gap, and
+    consecutive sessions of one user never overlap."""
+    import datetime
+    from collections import Counter
+
+    from logpipe.aggregate import session_windows
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(f"u{u}", base + datetime.timedelta(seconds=s)) for u, s in events]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = session_windows(
+        df, gap="10 minutes", partition_cols=("user_id",), ts_col="ts", value_col=None
+    ).collect()
+    assert sum(r["events"] for r in out) == len(rows)
+    counts = Counter(rows)
+    gap = datetime.timedelta(minutes=10)
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"], r["events"])
+        )
+    for u, sess in per_user.items():
+        sess.sort()
+        for (_s1, e1, _n1), (s2, _e2, _n2) in zip(sess, sess[1:]):
+            assert s2 > e1  # disjoint ⇒ inter-session gap > the gap duration
+        for s, e, n in sess:
+            inside = sum(c for (uu, ts), c in counts.items() if uu == u and s <= ts < e)
+            assert inside == n
+            last = max(ts for (uu, ts) in rows if uu == u and s <= ts < e)
+            assert e - last == gap
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(0, 9), min_size=1, max_size=200))
+def test_heavy_hitters_match_exact_counter(spark, keys):
+    """heavy_hitters == the exact Counter ranking under (count desc, key
+    asc) for any input multiset."""
+    from collections import Counter
+
+    from logpipe.aggregate import heavy_hitters
+
+    df = spark.createDataFrame([(f"k{k}",) for k in keys], "k string")
+    got = [(r["k"], r["cnt"]) for r in heavy_hitters(df, ("k",), k=5).collect()]
+    want = sorted(
+        ((f"k{k}", c) for k, c in Counter(keys).items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got == want
