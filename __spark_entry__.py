@@ -1158,6 +1158,29 @@ FROM range(200) t(i)
 """
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end: the generator emits genuine
+    JFIF streams (Huffman-coded DC-only blocks), the decoder walks segments,
+    builds the Huffman tables from DHT, entropy-decodes with byte-stuffing,
+    dequantizes and IDCTs; the quantization-exact constant fill makes the
+    decoded brightness analytic for the oracle."""
+    from logpipe.multimodal import decode_image_stats, synthetic_jpeg_media
+
+    media = synthetic_jpeg_media(spark, 200)
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", F.round("brightness", 6).alias("brightness")
+    )
+
+
+_MULTIMODAL_JPEG_SQL = """
+SELECT i AS media_id,
+       CAST(i % 3 * 8 + 8 AS INT) AS width,
+       CAST(i % 2 * 8 + 8 AS INT) AS height,
+       round((i*7 % 128) * 2 / 255.0, 6) AS brightness
+FROM range(200) t(i)
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: synthetic_wav_media writes genuine
     RIFF/WAVE PCM16 bytes, decode_audio_stats walks the chunk list and
@@ -1862,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "multimodal_frames": q_multimodal_frames,
@@ -1926,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
         "multimodal_png": _MULTIMODAL_PNG_SQL,
+        "multimodal_jpeg": _MULTIMODAL_JPEG_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "multimodal_video": _MULTIMODAL_VIDEO_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,

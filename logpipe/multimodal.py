@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Decode: PPM P6, BMP 24-bit BI_RGB, and PNG (8-bit gray/GA/RGB/RGBA,
-all five scanline filters, genuine zlib inflate) decode for REAL in pure
-numpy — header parse, pixel-matrix reconstruction, area-average
+Decode: PPM P6, BMP 24-bit BI_RGB, PNG (8-bit gray/GA/RGB/RGBA, all five
+scanline filters, genuine zlib inflate), and baseline GRAYSCALE JPEG
+(segment walk, DHT Huffman decode with byte-stuffing, dequant + IDCT)
+decode for REAL in pure numpy — header parse, pixel-matrix reconstruction, area-average
 resize, grayscale features — so the decode path is exercised end-to-end
 (q_multimodal_decode oracle-checks brightness/width/height arithmetically).
-JPEG and other DCT/wavelet codecs remain stubbed: decoding them needs
+Color/progressive JPEG and other codecs remain stubbed: decoding them needs
 PIL/opencv (not in this container); `fake=True` substitutes a deterministic
 hash-derived matrix so the Spark-side plumbing — schema, batch shape,
 partition sizing — stays real and tested. Swap `_decode_image_bytes`'s
@@ -207,6 +208,243 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def _zigzag_order(n: int = 8) -> np.ndarray:
+    """Indices of the JPEG zigzag walk over an n×n block (generated, not
+    hardcoded): position k in the entropy stream → (row, col)."""
+    out = []
+    for s in range(2 * n - 1):
+        ks = range(max(0, s - n + 1), min(s, n - 1) + 1)
+        diag = [(k, s - k) for k in ks]
+        out.extend(diag if s % 2 else diag[::-1])
+    return np.array([r * n + c for r, c in out])
+
+
+_ZIGZAG = _zigzag_order()
+# 8x8 DCT-II basis (orthonormal): spatial = C.T @ coeffs @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)) * np.cos((2 * k + 1) * u * np.pi / 16)
+            for k in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _BitReader:
+    """JPEG entropy-segment bit reader: MSB-first, 0xFF00 byte-stuffing
+    removed, stops at any other marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.bits, self.nbits = buf, pos, 0, 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("hit marker inside entropy data")
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return out
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG sign extension: `size`-bit magnitude → signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_gray(buf: bytes) -> np.ndarray:
+    """Baseline JPEG decode for 8-bit GRAYSCALE (single-component, no
+    subsampling, no restart markers) in pure numpy: segment walk, DQT/DHT
+    parse (arbitrary tables, not just Annex K), Huffman entropy decode with
+    byte-stuffing, dequantize through the zigzag, orthonormal IDCT, level
+    shift + clamp, crop to the declared size. Color / progressive /
+    restart-interval streams raise ValueError (stubbed pending PIL)."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_qt = comp_dc = comp_ac = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = int.from_bytes(buf[pos : pos + 2], "big")
+        seg = buf[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                prec, tid = seg[sp] >> 4, seg[sp] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tid] = np.frombuffer(seg, np.uint8, 64, sp + 1).astype(np.int32)
+                sp += 65
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                cls, tid = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                n = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + n])
+                huff[(cls, tid)] = _huff_table(bits, vals)
+                sp += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision")
+            if seg[5] != 1:
+                raise ValueError("color JPEG unsupported (grayscale only)")
+            if seg[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_qt = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            comp_dc, comp_ac = seg[3] >> 4, seg[3] & 0xF
+            pos += ln
+            break
+        pos += ln
+    if w is None or comp_dc is None:
+        raise ValueError("missing SOF/SOS")
+    q = qt[comp_qt]
+    dc_tab, ac_tab = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    reader = _BitReader(buf, pos)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int32)
+            size = _huff_decode(reader, dc_tab)
+            pred += _extend(reader.read(size), size)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, sz = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(reader.read(sz), sz)
+                k += 1
+            coeffs = np.zeros(64, dtype=np.float64)
+            coeffs[_ZIGZAG] = zz * q[np.arange(64)]
+            block = _DCT_C.T @ coeffs.reshape(8, 8) @ _DCT_C
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(block + 128), 0, 255
+            ).astype(np.uint8)
+    return out[:h, :w, None]
+
+
+def encode_jpeg_gray_dc(img: np.ndarray, quant: int = 16) -> bytes:
+    """Minimal baseline JPEG writer for the synthetic generator: grayscale,
+    DC-only blocks (each 8x8 block must be constant), flat quant table, a
+    tiny custom DHT (Annex-K DC categories + a 1-code EOB AC table). With
+    (g-128)*8 divisible by `quant` the decode round-trip is EXACT, giving
+    the SQL oracle an analytic brightness."""
+    h, w = img.shape[:2]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    dc_table: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            dc_table[dc_vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+
+    out_bits: list[tuple[int, int]] = []  # (value, nbits)
+
+    def emit(v: int, n: int) -> None:
+        if n:
+            out_bits.append((v, n))
+
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            g = int(img[min(by * 8, h - 1), min(bx * 8, w - 1)])
+            dc = ((g - 128) * 8) // quant
+            diff = dc - pred
+            pred = dc
+            size = diff.bit_length() if diff != 0 else 0
+            length, hcode = dc_table[size]
+            emit(hcode, length)
+            if size:
+                emit(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            emit(0, 1)  # EOB: the custom AC table's single length-1 code '0'
+    # pack MSB-first, 1-pad to a byte boundary, 0xFF-stuff
+    acc, nacc, payload = 0, 0, bytearray()
+    for v, n in out_bits + [((1 << 7) - 1, 7)]:
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        nacc += n
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            payload.append(b)
+            if b == 0xFF:
+                payload.append(0x00)
+            acc &= (1 << nacc) - 1
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([quant] * 64))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals)) + seg(
+        0xC4, bytes([0x10, 1] + [0] * 15) + bytes([0x00])
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(payload) + b"\xff\xd9"
+
+
 def _resize_area(gray: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Area-average resample to (th, tw) — the mean-pool 'thumbnail'."""
     H, W = gray.shape
@@ -237,6 +475,8 @@ def _decode_image_bytes(payload: bytes, fake: bool, target: tuple[int, int] = (4
         rgb = decode_bmp(payload)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
         rgb = decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        rgb = decode_jpeg_gray(payload)
     elif fake:
         # deterministic fake decode: 4x4 grayscale derived from payload hash
         h = hashlib.sha256(payload or b"").digest()
@@ -342,6 +582,34 @@ def synthetic_png_media(spark, n: int = 100) -> DataFrame:
     )
 
 
+def synthetic_jpeg_media(spark, n: int = 100) -> DataFrame:
+    """REAL baseline-JPEG payloads (encode_jpeg_gray_dc), deterministic
+    from media_id: width = 8*(id%3+1), height = 8*(id%2+1), constant gray
+    (id*7%128)*2 — even, so the DC quantization round-trip is EXACT and the
+    decoded brightness is analytic in SQL while Spark genuinely Huffman-
+    decodes and IDCTs the stream."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _jpg(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 8 * (i % 3 + 1), 8 * (i % 2 + 1)
+            g = (i * 7 % 128) * 2
+            out.append(encode_jpeg_gray_dc(np.full((h, w), g, dtype=np.uint8)))
+        return pd.Series(out)
+
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        _jpg(F.col("id")).alias("payload"),
+        F.lit("image/jpeg").alias("mime"),
+        (F.col("id") % 3 * 8 + 8).cast("int").alias("width"),
+        (F.col("id") % 2 * 8 + 8).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
 DECODE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -368,6 +636,8 @@ def decode_image_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
                         rgb = decode_ppm(raw)
                     elif raw[:8] == b"\x89PNG\r\n\x1a\n":
                         rgb = decode_png(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        rgb = decode_jpeg_gray(raw)
                     else:
                         rgb = decode_bmp(raw)
                     h, w = rgb.shape[0], rgb.shape[1]

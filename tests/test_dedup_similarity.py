@@ -410,3 +410,61 @@ def test_decode_png_all_filters(spark):
         assert (r["width"], r["height"]) == (i % 9 + 2, i % 7 + 2)
         expect = (i * 11 % 256 + i * 23 % 256 + i * 37 % 256) / 3.0 / 255.0
         assert abs(r["brightness"] - expect) < 1e-9
+
+
+def test_decode_jpeg_real(spark):
+    import numpy as np
+
+    from logpipe.multimodal import (
+        _DCT_C,
+        _ZIGZAG,
+        decode_image_stats,
+        decode_jpeg_gray,
+        encode_jpeg_gray_dc,
+        synthetic_jpeg_media,
+    )
+
+    # DC round-trip incl. negative diffs and non-multiple-of-8 crop
+    img = np.zeros((12, 20), dtype=np.uint8)
+    img[:, :8], img[:, 8:16], img[:, 16:] = 200, 10, 128
+    out = decode_jpeg_gray(encode_jpeg_gray_dc(img))
+    assert out.shape == (12, 20, 1)
+    assert (out[..., 0] == img).all()
+
+    # AC path: hand-crafted entropy stream with run-length + negative coef,
+    # verified against an independent numpy IDCT
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    q = 16
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    # AC table: 3 codes of length 2 -> 00:EOB, 01:(run0,size1), 10:(run15,size1)
+    ac_bits = [0, 3] + [0] * 14
+    ac_vals = [0x00, 0x01, 0xF1]
+    buf = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([q] * 64))
+        + seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        # bits: DC size0 = '00'; AC (0,1)='01' coef bit '1' (+1);
+        # (15,1)='10' coef bit '0' (-1); EOB='00'; pad to byte with 1s
+        + bytes([0b00011100, 0b00111111])
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg_gray(buf)[..., 0]
+    zz = np.zeros(64)
+    zz[1], zz[17] = 1 * q, -1 * q  # k=1, then 15 zeros -> k=17
+    coeffs = np.zeros(64)
+    coeffs[_ZIGZAG] = zz
+    want = np.clip(np.round(_DCT_C.T @ coeffs.reshape(8, 8) @ _DCT_C + 128), 0, 255)
+    assert (got == want.astype(np.uint8)).all()
+
+    # generator round-trip through the Spark stats path
+    stats = {r["media_id"]: r for r in decode_image_stats(synthetic_jpeg_media(spark, 20)).collect()}
+    for i in range(20):
+        r = stats[i]
+        assert (r["width"], r["height"]) == (8 * (i % 3 + 1), 8 * (i % 2 + 1))
+        assert r["brightness"] == (i * 7 % 128) * 2 / 255.0
