@@ -109,6 +109,7 @@ def test_decoders_never_kill_the_task_on_garbage(spark):
         b"", b"\x00" * 64, b"P6", b"P6\n9999999 9999999\n255\n\x00", b"BM",
         b"BM" + b"\x01" * 40, b"\x89PNG\r\n\x1a\n", b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,
         b"RIFF\x00\x00\x00\x00WAVE", b"YUV4MPEG2 W4 H2\nFRAME\n\x01",
+        b"\xff\xd8", b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x08", b"\xff\xd8\xff\xd9",
         hashlib.sha256(b"x").digest() * 8,
     ]
     df = spark.createDataFrame(
