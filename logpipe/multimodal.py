@@ -2,13 +2,14 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode: PPM P6, BMP 24-bit BI_RGB, PNG (8-bit gray/GA/RGB/RGBA, all five
-scanline filters, genuine zlib inflate), and baseline GRAYSCALE JPEG
-(segment walk, DHT Huffman decode with byte-stuffing, dequant + IDCT)
+scanline filters, genuine zlib inflate), and baseline JPEG — grayscale
+AND 4:4:4 YCbCr color (segment walk, DHT Huffman decode with byte-stuffing,
+interleaved MCUs, dequant + IDCT, JFIF color transform)
 decode for REAL in pure numpy — header parse, pixel-matrix reconstruction, area-average
 resize, grayscale features — so the decode path is exercised end-to-end
 (q_multimodal_decode oracle-checks brightness/width/height arithmetically).
-Color/progressive JPEG and other codecs remain stubbed: decoding them needs
-PIL/opencv (not in this container); `fake=True` substitutes a deterministic
+Chroma-subsampled/progressive JPEG and other codecs remain stubbed:
+decoding them needs PIL/opencv (not in this container); `fake=True` substitutes a deterministic
 hash-derived matrix so the Spark-side plumbing — schema, batch shape,
 partition sizing — stays real and tested. Swap `_decode_image_bytes`'s
 fallback for a PIL call in a real deployment; nothing else changes.
@@ -286,20 +287,24 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_gray(buf: bytes) -> np.ndarray:
-    """Baseline JPEG decode for 8-bit GRAYSCALE (single-component, no
-    subsampling, no restart markers) in pure numpy: segment walk, DQT/DHT
-    parse (arbitrary tables, not just Annex K), Huffman entropy decode with
-    byte-stuffing, dequantize through the zigzag, orthonormal IDCT, level
-    shift + clamp, crop to the declared size. Color / progressive /
-    restart-interval streams raise ValueError (stubbed pending PIL)."""
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JPEG decode in pure numpy: 8-bit GRAYSCALE or 4:4:4 YCbCr
+    COLOR (interleaved MCUs, per-component quant/Huffman tables, JFIF
+    YCbCr→RGB), no chroma subsampling, no restart markers. Segment walk,
+    DQT/DHT parse (arbitrary canonical tables, not just Annex K), Huffman
+    entropy decode with byte-stuffing, dequantize through the zigzag,
+    orthonormal IDCT, level shift + clamp, crop to the declared size.
+    Subsampled / progressive / restart-interval streams raise ValueError
+    (stubbed pending PIL)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     w = h = None
-    comp_qt = comp_dc = comp_ac = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # component id → (dc, ac)
+    scan_order: list[int] = []
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -331,55 +336,78 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
             w = int.from_bytes(seg[3:5], "big")
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision")
-            if seg[5] != 1:
-                raise ValueError("color JPEG unsupported (grayscale only)")
-            if seg[7] != 0x11:
-                raise ValueError("subsampling unsupported")
-            comp_qt = seg[8]
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise ValueError("only 1 (gray) or 3 (YCbCr) components")
+            for c in range(ncomp):
+                if seg[7 + 3 * c] != 0x11:
+                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
+                comps.append((seg[6 + 3 * c], seg[8 + 3 * c]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows
-            comp_dc, comp_ac = seg[3] >> 4, seg[3] & 0xF
+            ns = seg[0]
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                scan_tabs[cid] = (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                scan_order.append(cid)
             pos += ln
             break
         pos += ln
-    if w is None or comp_dc is None:
+    if w is None or not scan_order:
         raise ValueError("missing SOF/SOS")
-    q = qt[comp_qt]
-    dc_tab, ac_tab = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    if sorted(scan_order) != sorted(cid for cid, _ in comps):
+        raise ValueError("scan/frame component mismatch")
     reader = _BitReader(buf, pos)
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-    pred = 0
+    qt_by_cid = dict(comps)
+    planes = {cid: np.empty((bh * 8, bw * 8), dtype=np.uint8) for cid in scan_order}
+    preds = {cid: 0 for cid in scan_order}
+
+    def read_block(cid: int) -> np.ndarray:
+        dc_tab = huff[(0, scan_tabs[cid][0])]
+        ac_tab = huff[(1, scan_tabs[cid][1])]
+        zz = np.zeros(64, dtype=np.int32)
+        size = _huff_decode(reader, dc_tab)
+        preds[cid] += _extend(reader.read(size), size)
+        zz[0] = preds[cid]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, sz = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(reader.read(sz), sz)
+            k += 1
+        coeffs = np.zeros(64, dtype=np.float64)
+        coeffs[_ZIGZAG] = zz * qt[qt_by_cid[cid]][np.arange(64)]
+        block = _DCT_C.T @ coeffs.reshape(8, 8) @ _DCT_C
+        return np.clip(np.round(block + 128), 0, 255).astype(np.uint8)
+
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int32)
-            size = _huff_decode(reader, dc_tab)
-            pred += _extend(reader.read(size), size)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, sz = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.read(sz), sz)
-                k += 1
-            coeffs = np.zeros(64, dtype=np.float64)
-            coeffs[_ZIGZAG] = zz * q[np.arange(64)]
-            block = _DCT_C.T @ coeffs.reshape(8, 8) @ _DCT_C
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.round(block + 128), 0, 255
-            ).astype(np.uint8)
-    return out[:h, :w, None]
+            for cid in scan_order:  # one block per component per MCU (4:4:4)
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = read_block(cid)
+    if len(scan_order) == 1:
+        return planes[scan_order[0]][:h, :w, None]
+    y, cb, cr = (planes[cid][:h, :w].astype(np.float64) for cid in scan_order)
+    # JFIF YCbCr → RGB
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# grayscale-era alias kept for call sites / external users
+decode_jpeg_gray = decode_jpeg
 
 
 def encode_jpeg_gray_dc(img: np.ndarray, quant: int = 16) -> bytes:
@@ -443,6 +471,66 @@ def encode_jpeg_gray_dc(img: np.ndarray, quant: int = 16) -> bytes:
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(payload) + b"\xff\xd9"
+
+
+def encode_jpeg_color_dc(ycbcr: np.ndarray, quant: int = 16) -> bytes:
+    """Test-grade 4:4:4 color JPEG writer: per-block-constant Y/Cb/Cr planes
+    as DC-only interleaved MCUs (components 1..3 share one flat quant table,
+    the Annex-K DC table, and a 1-code EOB AC table)."""
+    h, w = ycbcr.shape[:2]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    dc_table: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            dc_table[dc_vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    out_bits: list[tuple[int, int]] = []
+    preds = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                g = int(ycbcr[min(by * 8, h - 1), min(bx * 8, w - 1), ci])
+                dc = ((g - 128) * 8) // quant
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                size = diff.bit_length() if diff != 0 else 0
+                length, hcode = dc_table[size]
+                out_bits.append((hcode, length))
+                if size:
+                    out_bits.append((diff if diff >= 0 else diff + (1 << size) - 1, size))
+                out_bits.append((0, 1))  # EOB
+    acc, nacc, payload = 0, 0, bytearray()
+    for v, n in out_bits + [((1 << 7) - 1, 7)]:
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        nacc += n
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            payload.append(b)
+            if b == 0xFF:
+                payload.append(0x00)
+            acc &= (1 << nacc) - 1
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    sof_comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+    sos_comps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([quant] * 64))
+        + seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3]) + sof_comps)
+        + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10, 1] + [0] * 15) + bytes([0x00]))
+        + seg(0xDA, bytes([3]) + sos_comps + bytes([0, 63, 0]))
+        + bytes(payload)
+        + b"\xff\xd9"
+    )
 
 
 def _resize_area(gray: np.ndarray, tw: int, th: int) -> np.ndarray:

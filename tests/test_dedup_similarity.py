@@ -468,3 +468,32 @@ def test_decode_jpeg_real(spark):
         r = stats[i]
         assert (r["width"], r["height"]) == (8 * (i % 3 + 1), 8 * (i % 2 + 1))
         assert r["brightness"] == (i * 7 % 128) * 2 / 255.0
+
+
+def test_decode_jpeg_color_444(spark):
+    import numpy as np
+
+    from logpipe.multimodal import decode_image_stats, decode_jpeg, encode_jpeg_color_dc
+
+    ycbcr = np.zeros((8, 24, 3), dtype=np.uint8)
+    ycbcr[:, :8] = (120, 128, 128)  # neutral gray -> r=g=b=120
+    ycbcr[:, 8:16] = (82, 90, 240)  # red-ish
+    ycbcr[:, 16:] = (144, 54, 34)  # green-ish
+    out = decode_jpeg(encode_jpeg_color_dc(ycbcr))
+    assert out.shape == (8, 24, 3)
+    for bx in range(3):
+        y, cb, cr = (float(v) for v in ycbcr[0, bx * 8])
+        want = (
+            int(np.clip(round(y + 1.402 * (cr - 128.0)), 0, 255)),
+            int(np.clip(round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255)),
+            int(np.clip(round(y + 1.772 * (cb - 128.0)), 0, 255)),
+        )
+        assert tuple(out[4, bx * 8 + 3]) == want
+    assert tuple(out[0, 0]) == (120, 120, 120)
+
+    # color JPEGs flow through the Spark stats path (sniffed by magic)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_jpeg_color_dc(ycbcr)))], "media_id long, payload binary"
+    )
+    r = decode_image_stats(df).collect()[0]
+    assert (r["width"], r["height"]) == (24, 8) and r["brightness"] is not None
