@@ -2,13 +2,14 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode: PPM P6, BMP 24-bit BI_RGB, PNG (8-bit gray/GA/RGB/RGBA, all five
-scanline filters, genuine zlib inflate), and baseline JPEG — grayscale
-AND 4:4:4 YCbCr color (segment walk, DHT Huffman decode with byte-stuffing,
-interleaved MCUs, dequant + IDCT, JFIF color transform)
+scanline filters, genuine zlib inflate), and baseline JPEG — grayscale,
+4:4:4, AND 4:2:0-subsampled YCbCr color (segment walk, DHT Huffman decode
+with byte-stuffing, sampling-factor MCU layout, chroma upsample, dequant +
+IDCT, JFIF color transform)
 decode for REAL in pure numpy — header parse, pixel-matrix reconstruction, area-average
 resize, grayscale features — so the decode path is exercised end-to-end
 (q_multimodal_decode oracle-checks brightness/width/height arithmetically).
-Chroma-subsampled/progressive JPEG and other codecs remain stubbed:
+Progressive JPEG and other codecs remain stubbed:
 decoding them needs PIL/opencv (not in this container); `fake=True` substitutes a deterministic
 hash-derived matrix so the Spark-side plumbing — schema, batch shape,
 partition sizing — stays real and tested. Swap `_decode_image_bytes`'s
@@ -294,8 +295,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     DQT/DHT parse (arbitrary canonical tables, not just Annex K), Huffman
     entropy decode with byte-stuffing, dequantize through the zigzag,
     orthonormal IDCT, level shift + clamp, crop to the declared size.
-    Subsampled / progressive / restart-interval streams raise ValueError
-    (stubbed pending PIL)."""
+    Progressive / restart-interval streams raise ValueError (stubbed
+    pending PIL)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -340,9 +341,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if ncomp not in (1, 3):
                 raise ValueError("only 1 (gray) or 3 (YCbCr) components")
             for c in range(ncomp):
-                if seg[7 + 3 * c] != 0x11:
-                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
-                comps.append((seg[6 + 3 * c], seg[8 + 3 * c]))
+                samp = seg[7 + 3 * c]
+                comps.append((seg[6 + 3 * c], seg[8 + 3 * c], samp >> 4, samp & 0xF))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xDD:
@@ -358,12 +358,23 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         pos += ln
     if w is None or not scan_order:
         raise ValueError("missing SOF/SOS")
-    if sorted(scan_order) != sorted(cid for cid, _ in comps):
+    if sorted(scan_order) != sorted(c[0] for c in comps):
         raise ValueError("scan/frame component mismatch")
     reader = _BitReader(buf, pos)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    qt_by_cid = dict(comps)
-    planes = {cid: np.empty((bh * 8, bw * 8), dtype=np.uint8) for cid in scan_order}
+    qt_by_cid = {c[0]: c[1] for c in comps}
+    samp_by_cid = {c[0]: (c[2], c[3]) for c in comps}
+    max_h = max(c[2] for c in comps)
+    max_v = max(c[3] for c in comps)
+    if max_h > 2 or max_v > 2 or any(max_h % c[2] or max_v % c[3] for c in comps):
+        raise ValueError("unsupported sampling layout (1x1 / 2x2 grids only)")
+    # MCU grid: each MCU covers (8*max_h × 8*max_v) image pixels; component
+    # i contributes h_i×v_i blocks per MCU at its own (subsampled) scale
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    planes = {
+        cid: np.empty((mcus_y * 8 * sv, mcus_x * 8 * sh), dtype=np.uint8)
+        for cid, (sh, sv) in samp_by_cid.items()
+    }
     preds = {cid: 0 for cid in scan_order}
 
     def read_block(cid: int) -> np.ndarray:
@@ -392,13 +403,26 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         block = _DCT_C.T @ coeffs.reshape(8, 8) @ _DCT_C
         return np.clip(np.round(block + 128), 0, 255).astype(np.uint8)
 
-    for by in range(bh):
-        for bx in range(bw):
-            for cid in scan_order:  # one block per component per MCU (4:4:4)
-                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = read_block(cid)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid in scan_order:  # h_i×v_i blocks per component, raster order
+                sh, sv = samp_by_cid[cid]
+                for vy in range(sv):
+                    for vx in range(sh):
+                        r0 = (my * sv + vy) * 8
+                        c0 = (mx * sh + vx) * 8
+                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = read_block(cid)
     if len(scan_order) == 1:
         return planes[scan_order[0]][:h, :w, None]
-    y, cb, cr = (planes[cid][:h, :w].astype(np.float64) for cid in scan_order)
+
+    def full_res(cid: int) -> np.ndarray:
+        sh, sv = samp_by_cid[cid]
+        p = planes[cid]
+        if (sh, sv) != (max_h, max_v):  # nearest-neighbor chroma upsample
+            p = np.repeat(np.repeat(p, max_v // sv, axis=0), max_h // sh, axis=1)
+        return p[:h, :w].astype(np.float64)
+
+    y, cb, cr = (full_res(cid) for cid in scan_order)
     # JFIF YCbCr → RGB
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -520,6 +544,75 @@ def encode_jpeg_color_dc(ycbcr: np.ndarray, quant: int = 16) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     sof_comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+    sos_comps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([quant] * 64))
+        + seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3]) + sof_comps)
+        + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10, 1] + [0] * 15) + bytes([0x00]))
+        + seg(0xDA, bytes([3]) + sos_comps + bytes([0, 63, 0]))
+        + bytes(payload)
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_420_dc(ycbcr: np.ndarray, quant: int = 16) -> bytes:
+    """Test-grade 4:2:0 color JPEG writer: Y sampled 2x2, Cb/Cr 1x1 — each
+    MCU is 4 Y blocks (raster order) + 1 Cb + 1 Cr, DC-only (the image must
+    be constant per 8x8 Y block and per 16x16 chroma MCU)."""
+    h, w = ycbcr.shape[:2]
+    mx, my = (w + 15) // 16, (h + 15) // 16
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    dc_table: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            dc_table[dc_vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    out_bits: list[tuple[int, int]] = []
+    preds = [0, 0, 0]
+
+    def emit_block(ci: int, g: int) -> None:
+        dc = ((g - 128) * 8) // quant
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        size = diff.bit_length() if diff != 0 else 0
+        length, hcode = dc_table[size]
+        out_bits.append((hcode, length))
+        if size:
+            out_bits.append((diff if diff >= 0 else diff + (1 << size) - 1, size))
+        out_bits.append((0, 1))  # EOB
+
+    for by in range(my):
+        for bx in range(mx):
+            for vy in range(2):  # 4 Y blocks, raster order in the MCU
+                for vx in range(2):
+                    r = min(by * 16 + vy * 8, h - 1)
+                    c = min(bx * 16 + vx * 8, w - 1)
+                    emit_block(0, int(ycbcr[r, c, 0]))
+            r, c = min(by * 16, h - 1), min(bx * 16, w - 1)
+            emit_block(1, int(ycbcr[r, c, 1]))
+            emit_block(2, int(ycbcr[r, c, 2]))
+    acc, nacc, payload = 0, 0, bytearray()
+    for v, n in out_bits + [((1 << 7) - 1, 7)]:
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        nacc += n
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            payload.append(b)
+            if b == 0xFF:
+                payload.append(0x00)
+            acc &= (1 << nacc) - 1
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    sof_comps = bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
     sos_comps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
     return (
         b"\xff\xd8"

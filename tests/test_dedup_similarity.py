@@ -497,3 +497,28 @@ def test_decode_jpeg_color_444(spark):
     )
     r = decode_image_stats(df).collect()[0]
     assert (r["width"], r["height"]) == (24, 8) and r["brightness"] is not None
+
+
+def test_decode_jpeg_420_subsampled(spark):
+    import numpy as np
+
+    from logpipe.multimodal import decode_jpeg, encode_jpeg_420_dc
+
+    # two MCUs with distinct constant YCbCr; chroma carried at quarter res
+    ycbcr = np.zeros((16, 32, 3), dtype=np.uint8)
+    ycbcr[:, :16] = (120, 90, 240)
+    ycbcr[:, 16:] = (64, 200, 34)
+    out = decode_jpeg(encode_jpeg_420_dc(ycbcr))
+    assert out.shape == (16, 32, 3)
+    for px, (y, cb, cr) in ((3, (120.0, 90.0, 240.0)), (20, (64.0, 200.0, 34.0))):
+        want = (
+            int(np.clip(round(y + 1.402 * (cr - 128.0)), 0, 255)),
+            int(np.clip(round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255)),
+            int(np.clip(round(y + 1.772 * (cb - 128.0)), 0, 255)),
+        )
+        assert tuple(out[8, px]) == want
+    # odd dimensions crop through the MCU padding
+    flat = np.zeros((12, 20, 3), dtype=np.uint8)
+    flat[:] = (100, 128, 128)
+    out2 = decode_jpeg(encode_jpeg_420_dc(flat))
+    assert out2.shape == (12, 20, 3) and (out2 == 100).all()
