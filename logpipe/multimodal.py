@@ -125,6 +125,7 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     pos, idat = 8, []
     w = h = channels = None
+    palette = None
     while pos + 8 <= len(buf):
         ln = int.from_bytes(buf[pos : pos + 4], "big")
         typ = buf[pos + 4 : pos + 8]
@@ -135,9 +136,12 @@ def decode_png(buf: bytes) -> np.ndarray:
             depth, color, comp, filt, interlace = data[8], data[9], data[10], data[11], data[12]
             if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
                 raise ValueError("only 8-bit non-interlaced PNG supported")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
             if channels is None:
-                raise ValueError("palette PNG unsupported")
+                raise ValueError(f"unknown PNG color type {color}")
+            palette = b"" if color == 3 else None  # PLTE required later
+        elif typ == b"PLTE":
+            palette = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -145,6 +149,8 @@ def decode_png(buf: bytes) -> np.ndarray:
         pos += 12 + ln  # length + type + data + crc
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if palette == b"":
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
     stride, bpp = w * channels, channels
     img = np.empty((h, stride), dtype=np.uint8)
@@ -181,6 +187,9 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {f}")
         img[y] = cur.astype(np.uint8)
         prev = cur
+    if palette is not None:  # indexed color: map through PLTE
+        plte = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+        return plte[img.reshape(h, w)]
     return img.reshape(h, w, channels)
 
 
@@ -241,6 +250,14 @@ class _BitReader:
     def __init__(self, buf: bytes, pos: int):
         self.buf, self.pos, self.bits, self.nbits = buf, pos, 0, 0
 
+    def restart(self) -> None:
+        """Consume an RSTn marker at a byte boundary (restart intervals)."""
+        self.bits = self.nbits = 0
+        if self.buf[self.pos] == 0xFF and 0xD0 <= self.buf[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+        raise ValueError("expected RSTn marker at restart interval")
+
     def read(self, n: int) -> int:
         while self.nbits < n:
             b = self.buf[self.pos]
@@ -291,18 +308,18 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline JPEG decode in pure numpy: 8-bit GRAYSCALE or 4:4:4 YCbCr
     COLOR (interleaved MCUs, per-component quant/Huffman tables, JFIF
-    YCbCr→RGB), no chroma subsampling, no restart markers. Segment walk,
+    YCbCr→RGB) with restart-interval (DRI/RSTn) support. Segment walk,
     DQT/DHT parse (arbitrary canonical tables, not just Annex K), Huffman
     entropy decode with byte-stuffing, dequantize through the zigzag,
     orthonormal IDCT, level shift + clamp, crop to the declared size.
-    Progressive / restart-interval streams raise ValueError (stubbed
-    pending PIL)."""
+    Progressive streams raise ValueError (stubbed pending PIL)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     w = h = None
+    restart_interval = 0
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     scan_tabs: dict[int, tuple[int, int]] = {}  # component id → (dc, ac)
     scan_order: list[int] = []
@@ -345,8 +362,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comps.append((seg[6 + 3 * c], seg[8 + 3 * c], samp >> 4, samp & 0xF))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline SOF0 supported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             for i in range(ns):
@@ -403,8 +420,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         block = _DCT_C.T @ coeffs.reshape(8, 8) @ _DCT_C
         return np.clip(np.round(block + 128), 0, 255).astype(np.uint8)
 
+    mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # RSTn: aligned to a byte boundary; DC predictors reset
+                reader.restart()
+                for cid in preds:
+                    preds[cid] = 0
+            mcu_count += 1
             for cid in scan_order:  # h_i×v_i blocks per component, raster order
                 sh, sv = samp_by_cid[cid]
                 for vy in range(sv):
@@ -434,12 +458,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 decode_jpeg_gray = decode_jpeg
 
 
-def encode_jpeg_gray_dc(img: np.ndarray, quant: int = 16) -> bytes:
+def encode_jpeg_gray_dc(img: np.ndarray, quant: int = 16, restart_interval: int = 0) -> bytes:
     """Minimal baseline JPEG writer for the synthetic generator: grayscale,
     DC-only blocks (each 8x8 block must be constant), flat quant table, a
     tiny custom DHT (Annex-K DC categories + a 1-code EOB AC table). With
     (g-128)*8 divisible by `quant` the decode round-trip is EXACT, giving
-    the SQL oracle an analytic brightness."""
+    the SQL oracle an analytic brightness. `restart_interval` (MCUs) emits
+    DRI + RSTn markers for decoder restart-path testing."""
     h, w = img.shape[:2]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -453,15 +478,35 @@ def encode_jpeg_gray_dc(img: np.ndarray, quant: int = 16) -> bytes:
             k += 1
         code <<= 1
 
-    out_bits: list[tuple[int, int]] = []  # (value, nbits)
+    def pack(chunk_bits: list[tuple[int, int]]) -> bytearray:
+        # MSB-first, 1-pad to a byte boundary, 0xFF-stuff
+        acc, nacc, out = 0, 0, bytearray()
+        for v, n in chunk_bits + [((1 << 7) - 1, 7)]:
+            acc = (acc << n) | (v & ((1 << n) - 1))
+            nacc += n
+            while nacc >= 8:
+                nacc -= 8
+                b = (acc >> nacc) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+                acc &= (1 << nacc) - 1
+        return out
 
-    def emit(v: int, n: int) -> None:
-        if n:
-            out_bits.append((v, n))
-
-    pred = 0
+    chunks: list[list[tuple[int, int]]] = [[]]
+    pred = mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                chunks.append([])  # restart: new entropy segment, pred resets
+                pred = 0
+            mcu += 1
+            out_bits = chunks[-1]
+
+            def emit(v: int, n: int) -> None:
+                if n:
+                    out_bits.append((v, n))
+
             g = int(img[min(by * 8, h - 1), min(bx * 8, w - 1)])
             dc = ((g - 128) * 8) // quant
             diff = dc - pred
@@ -472,18 +517,11 @@ def encode_jpeg_gray_dc(img: np.ndarray, quant: int = 16) -> bytes:
             if size:
                 emit(diff if diff >= 0 else diff + (1 << size) - 1, size)
             emit(0, 1)  # EOB: the custom AC table's single length-1 code '0'
-    # pack MSB-first, 1-pad to a byte boundary, 0xFF-stuff
-    acc, nacc, payload = 0, 0, bytearray()
-    for v, n in out_bits + [((1 << 7) - 1, 7)]:
-        acc = (acc << n) | (v & ((1 << n) - 1))
-        nacc += n
-        while nacc >= 8:
-            nacc -= 8
-            b = (acc >> nacc) & 0xFF
-            payload.append(b)
-            if b == 0xFF:
-                payload.append(0x00)
-            acc &= (1 << nacc) - 1
+    payload = bytearray()
+    for ci, chunk in enumerate(chunks):
+        if ci:
+            payload += bytes([0xFF, 0xD0 + (ci - 1) % 8])  # RSTn
+        payload += pack(chunk)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -494,7 +532,8 @@ def encode_jpeg_gray_dc(img: np.ndarray, quant: int = 16) -> bytes:
         0xC4, bytes([0x10, 1] + [0] * 15) + bytes([0x00])
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(payload) + b"\xff\xd9"
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(payload) + b"\xff\xd9"
 
 
 def encode_jpeg_color_dc(ycbcr: np.ndarray, quant: int = 16) -> bytes:

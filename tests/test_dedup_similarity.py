@@ -522,3 +522,37 @@ def test_decode_jpeg_420_subsampled(spark):
     flat[:] = (100, 128, 128)
     out2 = decode_jpeg(encode_jpeg_420_dc(flat))
     assert out2.shape == (12, 20, 3) and (out2 == 100).all()
+
+
+def test_decode_jpeg_restart_and_png_palette(spark):
+    import zlib
+
+    import numpy as np
+
+    from logpipe.multimodal import decode_jpeg, decode_png, encode_jpeg_gray_dc
+
+    # DRI/RSTn: entropy stream split every 2 MCUs, DC predictors reset at
+    # each marker — values must survive the byte-realign + reset
+    img = np.zeros((8, 48), dtype=np.uint8)
+    levels = (200, 10, 128, 64, 254, 32)
+    for bx, g in enumerate(levels):
+        img[:, bx * 8 : (bx + 1) * 8] = g
+    out = decode_jpeg(encode_jpeg_gray_dc(img, restart_interval=2))
+    for bx, g in enumerate(levels):
+        assert (out[:, bx * 8 : (bx + 1) * 8, 0] == g).all()
+
+    # PLTE-indexed PNG maps indices through the palette
+    def chunk(typ, data):
+        body = typ + data
+        return len(data).to_bytes(4, "big") + body + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 1, 0])
+    ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    buf = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    img2 = decode_png(buf)
+    assert img2.shape == (2, 3, 3)
+    assert img2[0, 0].tolist() == [255, 0, 0] and img2[1, 0].tolist() == [0, 0, 255]
