@@ -154,6 +154,47 @@ GROUP BY 1
 """
 
 
+def q_format_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GELF end-to-end: synthesize graygelf-shaped JSON lines (the
+    reference's GELF input re-emits exactly this, gelf.js:23-35), run them
+    through the JSON parse branch, normalize the envelope with
+    formats.gelf_format, and aggregate; the oracle derives severity word /
+    host / epoch-second timestamps / stripped custom field arithmetically."""
+    from logpipe.formats import gelf_format
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        "ts",
+        F.format_string(
+            '{"version":"1.1","host":"web-%d","short_message":"evt %d",'
+            '"timestamp":%d,"level":%d,"_app":"svc-%d"}',
+            (F.col("user_id") % 10).cast("int"),
+            F.col("event_id"),
+            (F.lit(1700000000) + F.col("event_id") % 1000).cast("long"),
+            (F.col("event_id") % 8).cast("int"),
+            (F.col("event_id") % 5).cast("int"),
+        ).alias("text"),
+        F.lit("gelf").alias("tool"),
+    )
+    out = gelf_format(parse_text(lines, source_col="tool"))
+    return out.groupBy("severity", "os_host").agg(
+        F.count("*").alias("events"),
+        F.max("event_ts").alias("max_ts"),
+        F.max(F.element_at(F.col("fields"), F.lit("app"))).alias("max_app"),
+    )
+
+
+_FORMAT_GELF_SQL = """
+SELECT (['emerg','alert','crit','err','warning','notice','info','debug'])[CAST(event_id % 8 AS INT) + 1] AS severity,
+       'web-' || CAST(user_id % 10 AS VARCHAR) AS os_host,
+       count(*) AS events,
+       make_timestamp((1700000000 + max(event_id % 1000)) * 1000000) AS max_ts,
+       max('svc-' || CAST(event_id % 5 AS VARCHAR)) AS max_app
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # masking operators
 # ---------------------------------------------------------------------------
@@ -1905,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "format_github": q_format_github,
         "format_journald": q_format_journald,
+        "format_gelf": q_format_gelf,
         "enrich_ua_dim": q_enrich_ua_dim,
         "sink_clickhouse": q_sink_clickhouse,
         "sink_ldjson": q_sink_ldjson,
@@ -1970,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_rolling": _FP_ROLLING_SQL,
         "format_github": _FORMAT_GITHUB_SQL,
         "format_journald": _journald_sql(),
+        "format_gelf": _FORMAT_GELF_SQL,
         "enrich_ua_dim": _UA_DIM_SQL,
         "sink_clickhouse": _SINK_CLICKHOUSE_SQL,
         "sink_ldjson": _SINK_LDJSON_SQL,

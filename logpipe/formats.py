@@ -202,3 +202,53 @@ def aws_ecs_format(df: DataFrame, fields_col: str = "fields", reparse: bool = Tr
             F.when(F.col("_ecs.matched"), F.col("_ecs.log_type")),
         ).drop("_ecs")
     return out
+
+
+def gelf_format(df: DataFrame, fields_col: str = "fields", text_col: str = "text") -> DataFrame:
+    """GELF envelope → Sematext common schema. The reference's GELF input
+    (lib/plugins/input/gelf.js:23-35) re-stringifies each graygelf message
+    and emits it as a raw JSON line, so GELF rows arrive here through the
+    JSON parse branch; this mapper then normalizes the envelope per the
+    GELF spec: short_message → message, host → os_host, level (syslog
+    0-7) → severity word, timestamp (epoch SECONDS, possibly fractional —
+    re-read from the raw text because generic epoch inference guesses
+    milliseconds) → event_ts, and custom `_field` keys lose their
+    underscore prefix (last-wins on collision). Envelope keys leave the
+    fields map; full_message stays."""
+    m = F.col(fields_col)
+    sev_arr = F.array(*[F.lit(s) for s in SYSLOG_SEVERITY])
+    level = _mget(m, "level").try_cast("int")
+    secs = F.get_json_object(F.col(text_col), "$.timestamp").try_cast("double")
+    # epoch seconds → TIMESTAMP_NTZ via interval arithmetic (session-tz-proof)
+    ts_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), secs
+    )
+    envelope = ("version", "host", "short_message", "level")
+    kept = F.map_filter(
+        m, lambda k, _v: ~k.isin(*[F.lit(e) for e in envelope]) & ~k.startswith("_")
+    )
+    stripped = F.map_from_entries(
+        F.transform(
+            F.map_entries(F.map_filter(m, lambda k, _v: k.startswith("_"))),
+            lambda e: F.struct(
+                F.substring(e["key"], 2, 1_000_000).alias("key"), e["value"].alias("value")
+            ),
+        )
+    )
+    out = (
+        df.withColumn("message", F.coalesce(_mget(m, "short_message"), F.col("message") if "message" in df.columns else F.lit(None)))
+        .withColumn("os_host", _mget(m, "host"))
+        .withColumn(
+            "severity",
+            F.when((level >= 0) & (level <= 7), F.element_at(sev_arr, level + 1)),
+        )
+        .withColumn(
+            "event_ts",
+            F.coalesce(
+                ts_ntz,
+                F.col("event_ts") if "event_ts" in df.columns else F.lit(None).cast("timestamp_ntz"),
+            ),
+        )
+        .withColumn(fields_col, _merge_last_wins(kept, stripped))
+    )
+    return out

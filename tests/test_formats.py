@@ -245,3 +245,31 @@ def test_vercel_format_cache_and_passthrough(spark):
     assert cache["message"] == "Cache hit for requestId: c-99"
     edge = [r for r in rows if r["source"] == "edge"][0]
     assert edge["message"] == "static hit" and edge["duration"] is None
+
+
+def test_gelf_format(spark):
+    import datetime
+
+    from logpipe.formats import gelf_format
+    from logpipe.parse import parse_text
+    from logpipe.rules import DEFAULT_RULESET, SYSLOG_SEVERITY
+
+    line = (
+        '{"version":"1.1","host":"web-1","short_message":"boom",'
+        '"timestamp":1700000123.5,"level":3,"_app":"svc-2",'
+        '"full_message":"boom\\nstack","_host":"shadow"}'
+    )
+    df = spark.createDataFrame(
+        [("c1", 0, "u", line, "gelf", datetime.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    r = gelf_format(parse_text(df, DEFAULT_RULESET, source_col="tool")).collect()[0]
+    assert r["message"] == "boom"
+    assert r["os_host"] == "web-1"
+    assert r["severity"] == SYSLOG_SEVERITY[3]  # syslog level 3
+    assert r["event_ts"] == datetime.datetime(2023, 11, 14, 22, 15, 23, 500000)
+    f = dict(r["fields"])
+    assert f["app"] == "svc-2"  # _app loses the underscore
+    assert f["host"] == "shadow"  # stripped _host wins last over envelope drop
+    assert f["full_message"] == "boom\nstack"
+    assert "version" not in f and "short_message" not in f and "level" not in f
