@@ -1800,6 +1800,71 @@ FROM u GROUP BY 1, 2
 """
 
 
+_UA_DB_SAMPLES = [
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 15_0 like Mac OS X) AppleWebKit/605.1.15",
+    "Mozilla/5.0 (Linux; Android 13; SM-S911B) Chrome/110 Mobile",
+    "Mozilla/5.0 (Linux; Android 12; SM-T870) Chrome/99",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Safari/605",
+    "Googlebot/2.1 (+http://www.google.com/bot.html)",
+    "curl/8.0.1",
+    "Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit",
+    "Mozilla/5.0 (Linux; Android 11; Pixel 5) Mobile",
+    "Roku/DVP-9.10 (289.10E04111A)",
+    "Mozilla/5.0 (X11; Linux x86_64) Firefox/115",
+    "weird-agent/0.0",
+]
+
+
+def q_enrich_ua_devicedb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIPPED device-class regex database (logpipe.ua_devices, 87
+    priority-ordered RE2-clean rules) through the vectorized first-match
+    cascade — the full device-detector-js shape end-to-end; the oracle
+    replays the identical cascade as a generated CASE chain in DuckDB (both
+    engines run RE2, so match semantics agree by construction)."""
+    from logpipe.enrich import ua_enrich_dim
+    from logpipe.ua_devices import default_ua_device_dim
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_agent",
+        F.element_at(
+            F.array(*[F.lit(u) for u in _UA_DB_SAMPLES]),
+            (F.col("event_id") % len(_UA_DB_SAMPLES) + 1).cast("int"),
+        ),
+    )
+    return (
+        ua_enrich_dim(ev, default_ua_device_dim(spark))
+        .groupBy("device_type", "device_brand")
+        .agg(F.count("*").alias("events"))
+    )
+
+
+def _ua_devicedb_sql() -> str:
+    from logpipe.ua_devices import device_rules
+
+    uas = ",\n           ".join("'" + u.replace("'", "''") + "'" for u in _UA_DB_SAMPLES)
+    type_chain = "\n         ".join(
+        f"WHEN regexp_matches(ua, '{p}') THEN '{t}'" for p, t, _ in device_rules()
+    )
+    brand_chain = "\n         ".join(
+        f"WHEN regexp_matches(ua, '{p}') THEN '{b}'" for p, _, b in device_rules()
+    )
+    return f"""
+WITH u AS (
+  SELECT ([{uas}])[CAST(event_id % {len(_UA_DB_SAMPLES)} AS INT) + 1] AS ua
+  FROM events
+)
+SELECT CASE
+         {type_chain}
+       END AS device_type,
+       CASE
+         {brand_chain}
+       END AS device_brand,
+       count(*) AS events
+FROM u GROUP BY 1, 2
+"""
+
+
 def q_filter_cri_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """containerd/CRI log-line split (kubernetesContainerd.js:65-124):
     `<time> <stream> <P|F> <msg>` → typed columns (the P/F partial flag
@@ -1948,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_journald": q_format_journald,
         "format_gelf": q_format_gelf,
         "enrich_ua_dim": q_enrich_ua_dim,
+        "enrich_ua_devicedb": q_enrich_ua_devicedb,
         "sink_clickhouse": q_sink_clickhouse,
         "sink_ldjson": q_sink_ldjson,
         "sink_flatten": q_sink_flatten,
@@ -2014,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         "format_journald": _journald_sql(),
         "format_gelf": _FORMAT_GELF_SQL,
         "enrich_ua_dim": _UA_DIM_SQL,
+        "enrich_ua_devicedb": _ua_devicedb_sql(),
         "sink_clickhouse": _SINK_CLICKHOUSE_SQL,
         "sink_ldjson": _SINK_LDJSON_SQL,
         "sink_flatten": _SINK_FLATTEN_SQL,

@@ -55,6 +55,15 @@ def _run(df):
 
 
 def main():
+    # keep the spark-submit artifact in lockstep with the sources: a stale
+    # dist/logpipe.zip would ship old code to anyone following the run-book
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import package as _pkg  # noqa: PLC0415
+
+        _pkg.build()
+    except Exception:
+        pass  # packaging is best-effort; the bench itself runs from sources
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = 0.1

@@ -1,0 +1,101 @@
+"""Socket-bandwidth control experiment for the 8->32 scaling gate.
+
+BENCH/BASELINE.md attributes the pipeline's high-core rolloff (per-core
+48k -> 27k turns/s from local[8] to local[32]) to the sandbox's single-socket
+memory bandwidth, which a real 4x node scale-out would multiply by 4. This
+script PROVES or REFUTES that attribution with two controls that bracket the
+pipeline's memory profile:
+
+  * `stream`  — pure memory-bandwidth-bound: each pinned worker sums a
+    256 MiB float64 array (far beyond L3), so aggregate GB/s measures the
+    socket's read bandwidth. If the socket saturates between 8 and 32
+    cores, this control's 8->32 efficiency is the CEILING any
+    memory-traffic-heavy job can reach on this box.
+  * `cache`   — compute-bound/cache-resident: each worker sums a 128 KiB
+    array (fits L2) repeatedly. No shared-resource contention, so this
+    control shows what the box can do when memory traffic is NOT the
+    bottleneck (expected ~linear to 32 cores).
+
+Reading: pipeline 8->32 efficiency ≈ stream control  ⇒ the rolloff is the
+environment's bandwidth ceiling, not a plan defect. pipeline ≪ stream
+⇒ the plan leaves scaling on the table. cache control must stay ≥0.8 or the
+box itself can't demonstrate 4x scaling for ANY workload.
+
+Usage: python bench/membw_control.py [levels e.g. 8,16,32] [seconds-per-run]
+Prints one JSON line per mode + a summary with pairwise efficiencies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_WORKER = r"""
+import sys, time
+import numpy as np
+mode = sys.argv[1]; seconds = float(sys.argv[2])
+n = (256 * 2**20 // 8) if mode == "stream" else (128 * 2**10 // 8)
+arr = np.ones(n, dtype=np.float64)
+arr.sum()  # touch/fault pages before timing
+t0 = time.perf_counter(); deadline = t0 + seconds
+passes = 0
+while time.perf_counter() < deadline:
+    arr.sum()
+    passes += 1
+dt = time.perf_counter() - t0
+print(passes * n * 8 / dt)  # bytes/sec this worker
+"""
+
+
+def run_level(mode: str, cores: int, seconds: float) -> float:
+    """Aggregate bytes/sec across `cores` workers, each pinned to its own
+    core (same pinning discipline as bench/scaling.py)."""
+    procs = []
+    for c in range(cores):
+        cmd = [sys.executable, "-c", _WORKER, mode, str(seconds)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", str(c)] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+    total = 0.0
+    for p in procs:
+        out, _ = p.communicate(timeout=seconds * 20 + 120)
+        total += float(out.strip().splitlines()[-1])
+    return total
+
+
+def main() -> None:
+    levels = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "8,16,32").split(",")]
+    seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
+    results: dict[str, dict[int, float]] = {}
+    for mode in ("stream", "cache"):
+        per = {}
+        for lv in levels:
+            bps = run_level(mode, lv, seconds)
+            per[lv] = bps
+            print(
+                json.dumps(
+                    {
+                        "mode": mode,
+                        "cores": lv,
+                        "gb_per_sec": round(bps / 2**30, 2),
+                        "gb_per_sec_per_core": round(bps / 2**30 / lv, 3),
+                    }
+                )
+            )
+        results[mode] = per
+    summary = {"levels": levels, "seconds_per_run": seconds}
+    for mode, per in results.items():
+        effs = {}
+        for a in levels:
+            for b in levels:
+                if b == 4 * a and a in per and b in per:
+                    effs[f"{a}->{b}"] = round((per[b] / per[a]) / 4, 3)
+        summary[f"{mode}_efficiency"] = effs
+        summary[f"{mode}_gb_per_sec"] = {str(k): round(v / 2**30, 2) for k, v in per.items()}
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Microbenchmark: ua_enrich_dim's vectorized RE2 cascade vs the per-row
+Python regex loop it replaced, at device-detector database scale (>=1k
+patterns).
+
+The loop variant here is the round-2 implementation kept verbatim as the
+comparison baseline (enrich.py history): for each row, try compiled regexes
+in priority order until one matches. The cascade runs one vectorized
+`match_substring_regex` per pattern over not-yet-matched rows plus a
+combined-alternation pre-pass, so rows that match nothing cost ONE scan.
+
+Usage: python bench/ua_bench.py [n_rows] [n_patterns]
+Prints one JSON line {"loop_sec": .., "cascade_sec": .., "speedup": ..}.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from logpipe.enrich import ua_enrich_dim  # noqa: E402
+from logpipe.session import get_spark  # noqa: E402
+from logpipe.ua_devices import device_rules  # noqa: E402
+
+
+def synthetic_dim_rows(n_patterns: int) -> list[tuple[int, str, str, str]]:
+    """Class rules (87, shipped) + synthetic model-token rules up to
+    n_patterns — the shape of device-detector's ~10k model rules: a literal
+    vendor token with a small alternation."""
+    rows = [(i, p, t, b) for i, (p, t, b) in enumerate(device_rules())]
+    base = len(rows)
+    for j in range(n_patterns - base):
+        pat = rf"(?i)\bdm{j:04d}(-[a-z0-9]{{2}})?\b"
+        rows.append((base + j, pat, "smartphone", f"Vendor{j % 40}"))
+    return rows
+
+
+def ua_enrich_loop(df, ua_dim, ua_col="user_agent"):
+    """Round-2 per-row loop implementation (baseline for comparison only)."""
+    rows = ua_dim.orderBy("priority", "pattern").collect()
+    payload_cols = [c for c in ua_dim.columns if c not in ("pattern", "priority")]
+    compiled = [(re.compile(r["pattern"]), tuple(r[c] for c in payload_cols)) for r in rows]
+    out_schema = T.StructType([T.StructField(c, T.StringType()) for c in payload_cols])
+
+    @F.pandas_udf(out_schema)
+    def _match(uas: pd.Series) -> pd.DataFrame:
+        hits = []
+        for ua in uas:
+            row = (None,) * len(payload_cols)
+            if ua:
+                for rx, payload in compiled:
+                    if rx.search(ua):
+                        row = payload
+                        break
+            hits.append(row)
+        return pd.DataFrame(hits, columns=payload_cols)
+
+    matched = df.withColumn("_ua", _match(F.coalesce(F.col(ua_col), F.lit(""))))
+    return matched.select("*", "_ua.*").drop("_ua")
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_patterns = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+    spark = get_spark("ua_bench")
+
+    uas = [
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 15_0 like Mac OS X) AppleWebKit/605.1.15",
+        "Mozilla/5.0 (Linux; Android 13; SM-S911B) Chrome/110 Mobile Safari/537.36",
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/120",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Safari/605.1.15",
+        "Mozilla/5.0 (X11; Linux x86_64; rv:115.0) Gecko/20100101 Firefox/115.0",
+        "Mozilla/5.0 (Linux; Android 11; Pixel 5) AppleWebKit/537.36 Mobile",
+        "Googlebot/2.1 (+http://www.google.com/bot.html)",
+        "Mozilla/5.0 (Linux; U; Android 9; DM0042-xy Build/PQ3A) Mobile",
+        "custom-telemetry-agent/3.2 (internal)",
+        "Mozilla/5.0 (compatible; unknown-fetcher/0.9)",
+    ]
+    df = (
+        spark.range(n_rows)
+        .select(
+            F.col("id"),
+            F.element_at(
+                F.array(*[F.lit(u) for u in uas]), (F.col("id") % len(uas) + 1).cast("int")
+            ).alias("user_agent"),
+        )
+        .cache()
+    )
+    df.count()
+    dim = spark.createDataFrame(
+        synthetic_dim_rows(n_patterns),
+        "priority int, pattern string, device_type string, device_brand string",
+    )
+
+    def run(fn):
+        t0 = time.monotonic()
+        out = fn(df, dim).groupBy("device_type", "device_brand").count().collect()
+        return time.monotonic() - t0, sorted((r[0], r[1], r[2]) for r in out if r[0])
+
+    # warm both code paths once at tiny scale, then time
+    tiny = df.limit(1000).cache()
+    tiny.count()
+    ua_enrich_loop(tiny, dim).count()
+    ua_enrich_dim(tiny, dim).count()
+
+    loop_sec, loop_out = run(ua_enrich_loop)
+    casc_sec, casc_out = run(ua_enrich_dim)
+    assert loop_out == casc_out, "cascade result diverges from loop baseline"
+    print(
+        json.dumps(
+            {
+                "n_rows": n_rows,
+                "n_patterns": n_patterns,
+                "loop_sec": round(loop_sec, 3),
+                "cascade_sec": round(casc_sec, 3),
+                "speedup": round(loop_sec / casc_sec, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

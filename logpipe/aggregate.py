@@ -71,10 +71,43 @@ _GROUP_BY_RE = re.compile(r"\bgroup\s+by\b", re.IGNORECASE)
 _SELECT_RE = re.compile(r"\bselect\b", re.IGNORECASE)
 
 
-def _top_level(q: str, matches) -> re.Match | None:
-    """First regex match at parenthesis depth 0 (subqueries live in parens)."""
+def _mask_literals(q: str) -> str:
+    """Same-length copy of `q` with the CONTENTS of string literals (and
+    double-quoted identifiers) blanked to spaces — keyword regexes and
+    parenthesis depth-counting run over this copy so a ')' or 'GROUP BY'
+    inside a literal can't skew match positions. Handles doubled-quote
+    ('It''s') and backslash escapes."""
+    out = list(q)
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in ("'", '"'):
+            quote = c
+            i += 1
+            while i < n:
+                if q[i] == "\\" and i + 1 < n:
+                    out[i] = " "
+                    out[i + 1] = " "
+                    i += 2
+                    continue
+                if q[i] == quote:
+                    if i + 1 < n and q[i + 1] == quote:  # doubled-quote escape
+                        out[i] = " "
+                        out[i + 1] = " "
+                        i += 2
+                        continue
+                    break
+                out[i] = " "
+                i += 1
+        i += 1
+    return "".join(out)
+
+
+def _top_level(masked: str, matches) -> re.Match | None:
+    """First regex match at parenthesis depth 0 (subqueries live in parens).
+    `masked` must be the literal-masked text the matches were found over."""
     for m in matches:
-        if q.count("(", 0, m.start()) == q.count(")", 0, m.start()):
+        if masked.count("(", 0, m.start()) == masked.count(")", 0, m.start()):
             return m
     return None
 
@@ -84,23 +117,28 @@ def _inject_window_grouping(query: str, view: str, group_extra: list[str]) -> st
     SELECT and GROUP BY when the query aggregates. Queries may also reference
     window_start explicitly, in which case they are run verbatim.
 
-    Mixed-case and subquery-safe: only the top-level (depth-0) SELECT /
-    GROUP BY of a query that selects FROM the buffer view directly are
-    rewritten. A query whose outer FROM is a subquery runs verbatim (the
+    Mixed-case, subquery- and string-literal-safe: keyword positions and
+    paren depth are computed over a literal-masked copy (same length, so
+    positions map 1:1 onto the original), then only the top-level (depth-0)
+    SELECT / GROUP BY of a query that selects FROM the buffer view directly
+    are rewritten. A query whose outer FROM is a subquery runs verbatim (the
     subquery occludes the window column — such queries must reference
     `window_start` explicitly for per-interval semantics); nested GROUP BYs
-    inside parens are never touched."""
+    inside parens are never touched; a '(' or 'GROUP BY' inside a quoted
+    literal no longer miscounts depth."""
     q = query.strip().rstrip(";")
-    if re.search(r"\bwindow_start\b", q, re.IGNORECASE):
+    masked = _mask_literals(q)
+    if re.search(r"\bwindow_start\b", masked, re.IGNORECASE):
         return q
-    gb = _top_level(q, _GROUP_BY_RE.finditer(q))
+    gb = _top_level(masked, _GROUP_BY_RE.finditer(masked))
     if gb is None:
         return q
-    from_buffer = _top_level(q, re.finditer(rf"\bfrom\s+{view}\b", q, re.IGNORECASE))
+    from_buffer = _top_level(masked, re.finditer(rf"\bfrom\s+{view}\b", masked, re.IGNORECASE))
     if from_buffer is None:
         return q
     head, tail = q[: gb.start()], q[gb.end():]
-    sel = _top_level(head, _SELECT_RE.finditer(head))
+    masked_head = masked[: gb.start()]
+    sel = _top_level(masked_head, _SELECT_RE.finditer(masked_head))
     extra = ", ".join(group_extra)
     if sel is not None:
         head = head[: sel.end()] + f" {extra}," + head[sel.end():]

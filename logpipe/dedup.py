@@ -179,7 +179,10 @@ def minhash_signatures(
                 words = str(t).lower().split()
                 grams = {" ".join(words[i : i + n_words]) for i in range(max(len(words) - n_words + 1, 0))}
                 if not grams:
-                    out.append([0] * len(a_params))
+                    # gram-less docs (< n words) get NO signature: a constant
+                    # [0]*k sig would make every short doc an exact near-dup
+                    # of every other. minhash_lsh_pairs filters the nulls.
+                    out.append(None)
                     continue
                 base = np.fromiter(
                     (hash_str64(g) for g in grams), dtype=np.uint64, count=len(grams)
@@ -233,9 +236,12 @@ def minhash_lsh_pairs(
             )
         )
     )
+    # null signatures (null text or < n words — the drop-nothing parse
+    # contract allows them) are legitimately near-dup-less: filter BEFORE the
+    # guard so they don't hit the raise_error branch (size(NULL) != k)
     # separate select: a same-select alias would lateral-resolve inside the
     # explode's slice() and produce an unsupported Generate plan
-    guarded = sigs.select("id", len_guard.alias("signature"))
+    guarded = sigs.filter(F.col("signature").isNotNull()).select("id", len_guard.alias("signature"))
     banded = guarded.select(
         "id",
         "signature",

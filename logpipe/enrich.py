@@ -157,9 +157,25 @@ def ua_enrich_dim(
     DataFrame row order, which is no contract (a repartition or multi-file
     source can reorder collect() and silently let a generic pattern beat a
     specific one). A dim without a priority column warns and falls back to
-    collect order."""
+    collect order.
+
+    Match execution is the parse-cascade shape (parse.py:449-519), not a
+    per-row Python loop, organized in PRIORITY-RUN BLOCKS: patterns are
+    grouped into consecutive blocks of ≤64, each block carries a combined
+    RE2 alternation, and a block none of the remaining rows match costs ONE
+    vectorized scan instead of 64. Rows that hit a block's alternation then
+    run the per-pattern first-match cascade within that block only. A real
+    device-detector-class DB (thousands of regexes) therefore costs
+    O(blocks × scan-of-remaining + hits), and rows matching nothing leave
+    after ~n/64 scans. Patterns RE2 rejects (backrefs, lookaround) become
+    singleton blocks matched via pandas' C-loop `str.contains` — order is
+    preserved because blocks are consecutive priority runs."""
     import re
     import warnings
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     if priority_col in ua_dim.columns:
         rows = ua_dim.orderBy(priority_col, pattern_col).collect()
@@ -172,21 +188,96 @@ def ua_enrich_dim(
         )
         rows = ua_dim.collect()
     payload_cols = [c for c in ua_dim.columns if c not in (pattern_col, priority_col)]
-    compiled = [(re.compile(r[pattern_col]), tuple(r[c] for c in payload_cols)) for r in rows]
+
+    def _re2_ok(pat: str) -> bool:
+        # NB: must probe a NON-empty array — pyarrow skips regex compilation
+        # entirely for zero-length input, so an empty-array probe "accepts"
+        # patterns RE2 rejects (backrefs) and then throws at execution time
+        try:
+            pc.match_substring_regex(pa.array([""], type=pa.string()), pattern=pat)
+            return True
+        except Exception:
+            return False
+
+    # (pattern, re2?, compiled-re-fallback, payload tuple) in priority order
+    table = [
+        (r[pattern_col], _re2_ok(r[pattern_col]), re.compile(r[pattern_col]),
+         tuple(r[c] for c in payload_cols))
+        for r in rows
+    ]
+    # consecutive priority runs of RE2-clean patterns → blocks with a
+    # combined alternation; RE2-rejected patterns are singleton blocks
+    _BLOCK = 64
+    blocks: list[tuple[str | None, list]] = []
+    run: list = []
+
+    def _flush_run():
+        nonlocal run
+        if run:
+            comb = "|".join(f"(?:{p})" for p, _, _, _ in run) if len(run) > 1 else None
+            if comb is not None and not _re2_ok(comb):
+                comb = None
+            blocks.append((comb, run))
+            run = []
+
+    for entry in table:
+        if entry[1]:
+            run.append(entry)
+            if len(run) >= _BLOCK:
+                _flush_run()
+        else:
+            _flush_run()
+            blocks.append((None, [entry]))
+    _flush_run()
     out_schema = T.StructType([T.StructField(c, T.StringType()) for c in payload_cols])
 
     @F.pandas_udf(out_schema)
     def _match(uas: pd.Series) -> pd.DataFrame:
-        hits = []
-        for ua in uas:
-            row = (None,) * len(payload_cols)
-            if ua:
-                for rx, payload in compiled:
-                    if rx.search(ua):
-                        row = payload
-                        break
-            hits.append(row)
-        return pd.DataFrame(hits, columns=payload_cols)
+        def _re2_hits(arr: pa.Array, pat: str) -> np.ndarray:
+            return np.asarray(
+                pc.fill_null(pc.match_substring_regex(arr, pattern=pat), False)
+                .to_numpy(zero_copy_only=False),
+                dtype=bool,
+            )
+
+        n = len(uas)
+        out = np.full((n, len(payload_cols)), None, dtype=object)
+        vals = uas.fillna("").astype(str)
+        arr_all = pa.array(vals, type=pa.string())
+        live = np.flatnonzero(vals.to_numpy() != "")
+        sub: pa.Array | None = None  # arr_all.take(live), rebuilt only when live shrinks
+        for comb, block in blocks:
+            if live.size == 0:
+                break
+            if sub is None:
+                sub = arr_all.take(pa.array(live))
+            if comb is not None:
+                block_hit = _re2_hits(sub, comb)
+                if not block_hit.any():
+                    continue  # one scan skipped the whole block; sub still valid
+                cand = live[block_hit]
+                cand_arr = arr_all.take(pa.array(cand))
+            else:
+                cand = live
+                cand_arr = sub
+            for pat, re2_ok, rx, payload in block:
+                if cand.size == 0:
+                    break
+                if re2_ok:
+                    hit = _re2_hits(cand_arr, pat)
+                else:
+                    hit = vals.iloc[cand].str.contains(rx, regex=True, na=False).to_numpy()
+                if hit.any():
+                    idx = cand[hit]
+                    for ci, v in enumerate(payload):
+                        out[idx, ci] = v
+                    cand = cand[~hit]
+                    cand_arr = arr_all.take(pa.array(cand))
+                    live = np.setdiff1d(live, idx, assume_unique=True)
+                    sub = None
+            if sub is None and live.size:
+                sub = arr_all.take(pa.array(live))
+        return pd.DataFrame(out, columns=payload_cols)
 
     matched = df.withColumn("_ua", _match(F.coalesce(F.col(ua_col), F.lit(""))))
     return matched.select("*", "_ua.*").drop("_ua")

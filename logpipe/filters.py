@@ -15,6 +15,7 @@ pushdown-eligible (a grep include on a parquet text column reaches the scan).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -130,3 +131,52 @@ def cri_split(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("cri_flag", F.regexp_extract(col, pat, 3))
         .withColumn("cri_message", F.regexp_extract(col, pat, 4))
     )
+
+
+def validate_webhook_signature(
+    df: DataFrame,
+    client_secrets: list[str],
+    body_col: str = "text",
+    sig_col: str = "signature",
+    algo: str = "sha1",
+    out_col: str = "sig_valid",
+) -> DataFrame:
+    """Webhook HMAC signature gate (vercel.js:108-136 verifySignature, spec
+    test/vercel/vercelSignature.spec.js): HMAC-<algo> of the raw body with
+    EACH configured client secret, valid when ANY hex digest equals the
+    signature header value (`x-zeit-signature` for Vercel;
+    `x-hub-signature-256` strips its 'sha256=' prefix upstream).
+
+    Neither Spark SQL nor DuckDB ship an HMAC builtin, so this is an
+    Arrow-batched pandas UDF over Python's C hmac — it gates webhook
+    ingestion (small, bursty), not the parse hot path. Adds a boolean
+    `out_col`; rows are NOT dropped (drop-nothing — callers filter), and a
+    null body/signature validates False."""
+    import hashlib
+    import hmac as hmac_mod
+
+    from pyspark.sql import types as T
+
+    digestmod = getattr(hashlib, algo)
+    keys = [s.encode() for s in client_secrets]
+
+    @F.pandas_udf(T.BooleanType())
+    def _valid(body: pd.Series, sig: pd.Series) -> pd.Series:
+        out = []
+        for b, s in zip(body, sig):
+            if b is None or s is None:
+                out.append(False)
+                continue
+            raw = b if isinstance(b, (bytes, bytearray)) else str(b).encode()
+            expect = str(s)
+            out.append(
+                any(
+                    hmac_mod.compare_digest(
+                        hmac_mod.new(k, raw, digestmod).hexdigest(), expect
+                    )
+                    for k in keys
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _valid(F.col(body_col), F.col(sig_col)))

@@ -223,7 +223,7 @@ def gelf_format(df: DataFrame, fields_col: str = "fields", text_col: str = "text
     ts_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_dt_interval(
         F.lit(0), F.lit(0), F.lit(0), secs
     )
-    envelope = ("version", "host", "short_message", "level")
+    envelope = ("version", "host", "short_message", "level", "timestamp")
     kept = F.map_filter(
         m, lambda k, _v: ~k.isin(*[F.lit(e) for e in envelope]) & ~k.startswith("_")
     )

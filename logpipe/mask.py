@@ -162,17 +162,16 @@ def rename_map_fields(
     children ('a.b' → 'c' also moves 'a.b.x' → 'c.x'). Pure map exprs, no
     shuffle. Collision-safe under the default mapKeyDedupPolicy=EXCEPTION:
     when a rename target already exists in the map, the renamed value
-    OVERWRITES it (the reference's setValue does exactly that), and when two
-    renames land on one target the later config entry wins (JS iterates the
-    config sequentially)."""
+    OVERWRITES it (the reference's setValue does exactly that), and renames
+    are applied SEQUENTIALLY against the evolving map (JS iterates the
+    config: {'a':'b','b':'c'} moves old-a all the way to c and removes b,
+    exactly as setValue/unset would)."""
     from .formats import _merge_last_wins
 
-    src = F.col(map_col)
-
-    def moved_map(old: str, new: str) -> Column:
+    def moved_map(cur: Column, old: str, new: str) -> Column:
         # entries under `old` (exact key or dotted children), re-keyed to
         # `new` — injective within one rename, so map_from_entries is safe
-        sub = F.map_filter(src, lambda k, _v: (k == old) | k.startswith(old + "."))
+        sub = F.map_filter(cur, lambda k, _v: (k == old) | k.startswith(old + "."))
         return F.map_from_entries(
             F.transform(
                 F.map_entries(sub),
@@ -191,12 +190,13 @@ def rename_map_fields(
         # make it three), hence the closure factory
         return lambda k, _v: ~((k == old) | k.startswith(old + "."))
 
-    kept = src
-    for old in renames:
-        kept = F.map_filter(kept, drop_pred(old))
-    out = kept
+    out = F.col(map_col)
     for old, new in renames.items():
-        out = _merge_last_wins(out, moved_map(old, new))
+        # each rename reads the PREVIOUS rename's result, not the original
+        # snapshot — chained configs compose like the reference's in-place
+        # setValue/unset loop. Still pure map exprs; Catalyst collapses the
+        # chain into one projection.
+        out = _merge_last_wins(F.map_filter(out, drop_pred(old)), moved_map(out, old, new))
     return df.withColumn(map_col, out)
 
 

@@ -48,6 +48,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("thumb_w", T.IntegerType(), True),
         T.StructField("thumb_h", T.IntegerType(), True),
+        T.StructField("decode_error", T.BooleanType(), False),
     ]
 )
 
@@ -721,17 +722,27 @@ def extract_image_features(
     stream through Arrow in bounded batches (`maxRecordsPerBatch` caps memory
     per task at real image sizes), the decode is per-batch vectorizable, and
     the output schema is fixed so downstream similarity joins are columnar.
+
+    Drop-nothing: a truncated/corrupt/unsupported payload yields a null
+    feature with `decode_error=true` (N rows in → N rows out, same contract
+    as decode_image_stats) — at 100 TB one bad payload must not kill the
+    task, and the error count is an observable column, not a log line.
     """
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, shas, nbytes = [], [], []
+            feats, shas, nbytes, errs = [], [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
-                arr = _decode_image_bytes(raw, fake, target)
-                feats.append([float(x) for x in arr.flatten() / 255.0])
                 shas.append(hashlib.sha256(raw).hexdigest())
                 nbytes.append(len(raw))
+                try:
+                    arr = _decode_image_bytes(raw, fake, target)
+                    feats.append([float(x) for x in arr.flatten() / 255.0])
+                    errs.append(False)
+                except Exception:
+                    feats.append(None)
+                    errs.append(True)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -740,6 +751,7 @@ def extract_image_features(
                     "feature": feats,
                     "thumb_w": target[0],
                     "thumb_h": target[1],
+                    "decode_error": errs,
                 }
             )
 

@@ -313,10 +313,14 @@ def _apply_rule(
     return positional hit mask aligned to `live`."""
     if rule.prefilter is not None:
         # cheap literal containment gate before the (expensive) extract —
-        # prefilter is a required substring of any match, so recall is exact
+        # prefilter is a required substring of any match, so recall is exact.
+        # Rules ported from the reference's /i patterns carry (?i): the
+        # containment must be case-insensitive too, or a case-variant line
+        # the regex matches would be silently skipped.
+        ci = "(?i)" in rule.regex
         pre = (
             text.iloc[live]
-            .str.contains(rule.prefilter, regex=False, na=False)
+            .str.contains(rule.prefilter, regex=False, na=False, case=not ci)
             .to_numpy()
         )
         hit_full = np.zeros(live.size, dtype=bool)
@@ -466,7 +470,10 @@ def make_parse_udf(ruleset: RuleSet = DEFAULT_RULESET):
             if len(rules) >= 3 and all(_re2_for(r.regex) is not None for r in rules):
                 cand = "|".join(f"(?:{r.regex})" for r in rules)
                 try:
-                    pc.match_substring_regex(pa.array([], type=pa.string()), pattern=cand)
+                    # non-empty probe: pyarrow skips regex compilation for
+                    # zero-length input, which would defer a bad pattern to
+                    # execution time
+                    pc.match_substring_regex(pa.array([""], type=pa.string()), pattern=cand)
                     combined = cand
                 except Exception:
                     combined = None

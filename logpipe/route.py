@@ -136,14 +136,16 @@ def fan_out(
         )
         if sinks is None:
             sinks = [r["sink"] for r in df.select("sink").distinct().collect()]
-        return {s: os.path.join(base_dir, f"sink={s}") for s in s_escape(sinks)}
+        return {s: os.path.join(base_dir, f"sink={escape_partition_value(s)}") for s in sinks}
     df = df.persist()
     try:
         if sinks is None:
             sinks = [r["sink"] for r in df.select("sink").distinct().collect()]
         out = {}
         for s in sinks:
-            path = os.path.join(base_dir, f"sink={s}")
+            # escaped here too: a '/' in a sink name must not traverse out of
+            # base_dir, and the two branches must agree on the layout
+            path = os.path.join(base_dir, f"sink={escape_partition_value(s)}")
             df.filter(F.col("sink") == s).drop("sink").write.mode(mode).format(fmt).save(path)
             out[s] = path
         return out
@@ -151,8 +153,23 @@ def fan_out(
         df.unpersist()
 
 
-def s_escape(sinks: list[str]) -> list[str]:
-    return [str(s) for s in sinks]
+# the characters Spark/Hive percent-escape in partition directory names
+# (ExternalCatalogUtils.escapePathName / Hive FileUtils): controls, '"', '#',
+# '%', ''', '*', '/', ':', '=', '?', '\', DEL, '{', '[', ']', '^'. Space is
+# NOT escaped. Escape format is '%' + two UPPERCASE hex digits.
+_PARTITION_ESCAPE_CHARS = frozenset(
+    {chr(c) for c in range(0x20)} | set('"#%\'*/:=?\\{[]^') | {chr(0x7F)}
+)
+
+
+def escape_partition_value(v: str) -> str:
+    """Replicate Spark's partition-path escaping so the paths fan_out returns
+    match the directories the dynamic-partitioned write actually creates —
+    for exotic sink names (':' in dated indices, '/' in tenant prefixes) the
+    raw f-string path would silently point at a nonexistent directory."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _PARTITION_ESCAPE_CHARS else c for c in str(v)
+    )
 
 
 def multi_receiver(df: DataFrame, receivers: list[str], sink_col: str = "sink") -> DataFrame:

@@ -1708,3 +1708,59 @@ def _js_regex_to_py(raw) -> str:
             pat = "(?i)" + pat
         return pat
     return s
+
+
+class RulesetWatcher:
+    """Hot-reloadable ruleset source (mergePatternFiles.js:57-71 fs.watch +
+    the 5-min cache purge in parser.js:64-88, restated for micro-batch
+    streaming): `current()` re-stats the pattern files and rebuilds the
+    RuleSet when any mtime/size changed (or a file appeared/vanished from a
+    glob), else returns the cached one.
+
+    Streaming wiring: `start_stream_pipeline(pattern_files=...)` calls
+    `current()` at every foreachBatch epoch — the rebuild happens on the
+    DRIVER (cheap: yaml parse), and the new ruleset ships to executors in
+    that batch's UDF closure, so a long-running stream picks up pattern
+    edits without a restart. Batch runs need no watcher (they reload per
+    job)."""
+
+    def __init__(
+        self,
+        paths: str | list[str],
+        include_defaults: bool = True,
+        whitelist: str | None = None,
+        blacklist: str | None = None,
+    ) -> None:
+        import glob as _glob
+
+        self._raw_paths = [paths] if isinstance(paths, str) else list(paths)
+        self._glob = _glob
+        self._kwargs = dict(
+            include_defaults=include_defaults, whitelist=whitelist, blacklist=blacklist
+        )
+        self._stamp: tuple | None = None
+        self._cached: RuleSet | None = None
+
+    def _resolve(self) -> list[str]:
+        import os
+
+        out: list[str] = []
+        for p in self._raw_paths:
+            hits = sorted(self._glob.glob(p)) if self._glob.has_magic(p) else [p]
+            out.extend(h for h in hits if os.path.exists(h))
+        return out
+
+    def _stat_stamp(self, files: list[str]) -> tuple:
+        import os
+
+        return tuple((f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files)
+
+    def current(self) -> RuleSet:
+        files = self._resolve()
+        stamp = self._stat_stamp(files)
+        if self._cached is None or stamp != self._stamp:
+            self._cached = (
+                load_yaml_rules(files, **self._kwargs) if files else DEFAULT_RULESET
+            )
+            self._stamp = stamp
+        return self._cached

@@ -284,6 +284,7 @@ def start_stream_pipeline(
     pipe: TranscriptPipeline | None = None,
     available_now: bool = True,
     fmt: str = "parquet",
+    pattern_files: str | list[str] | None = None,
 ):
     """readStream → parse/mask/enrich/route (batch stage functions, unchanged)
     → foreachBatch fan-out + per-batch metrics.
@@ -296,12 +297,26 @@ def start_stream_pipeline(
     reference's disk-buffer/retransmit loop, elasticsearch.js:156-163, minus
     the duplication). Readers see `batch_id` and `sink` as partition columns.
     Returns the StreamingQuery; availableNow drains existing files then
-    stops."""
+    stops.
+
+    `pattern_files`: paths/globs of patterns.yml files to HOT-RELOAD
+    (mergePatternFiles.js:57-71 fs.watch): the route plan is then built
+    INSIDE foreachBatch against a per-epoch `RulesetWatcher.current()`, so a
+    pattern edit lands in the next micro-batch without restarting the query.
+    Without it the ruleset is pinned in the stream plan for the query's
+    lifetime (cheaper — no per-batch plan rebuild)."""
+    from dataclasses import replace as _dc_replace
+
+    from .rules import RulesetWatcher
+
     pipe = pipe or TranscriptPipeline()
     stream = read_transcript_stream(spark, input_path, fmt=fmt)
-    routed = pipe.routed(stream)
+    watcher = RulesetWatcher(pattern_files) if pattern_files is not None else None
+    routed = stream if watcher is not None else pipe.routed(stream)
 
     def _write_batch(batch_df: DataFrame, batch_id: int):
+        if watcher is not None:
+            batch_df = _dc_replace(pipe, ruleset=watcher.current()).routed(batch_df)
         df = batch_df.withColumn("fields", F.to_json("fields"))
         (
             df.write.mode("overwrite")

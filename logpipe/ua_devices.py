@@ -1,0 +1,141 @@
+"""A shipped device-class user-agent regex table for `enrich.ua_enrich_dim`.
+
+The reference's device detection (httpDeviceDetector.js:4-21) loads the
+device-detector-js regex database at runtime; this module ships an
+equivalent-shape table built from public knowledge of UA token conventions
+(the same conventions the public uap-core / device-detector databases match
+on: bot product tokens, console platform strings, vendor model prefixes like
+Samsung's `SM-`, Amazon's `KF`, TV platform markers).
+
+Shape contract = the dim contract of `ua_enrich_dim`:
+  priority int      — ascending; first match wins, most-specific first
+                      (bots < consoles < TVs < wearables < e-readers <
+                      tablets < phones < generic fallbacks)
+  pattern  string   — RE2-compatible regex (also valid for Python `re` and
+                      DuckDB, so SQL oracles can replay the cascade)
+  device_type string, device_brand string — payload columns
+
+This is intentionally a CLASS-level database (~90 rules), not a model-level
+one (device-detector carries ~10k model rules); the cascade machinery is the
+same either way and is benchmarked at 1k+ patterns in bench/ua_bench.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# (pattern, device_type, device_brand) — priority = list position
+_DEVICE_RULES: list[tuple[str, str, str]] = [
+    # --- bots & automation (device-detector checks bots before devices) ---
+    (r"(?i)googlebot|adsbot-google|mediapartners-google|apis-google", "bot", "Google"),
+    (r"(?i)bingbot|bingpreview|msnbot", "bot", "Microsoft"),
+    (r"(?i)yandex(bot|images|metrika)", "bot", "Yandex"),
+    (r"(?i)baiduspider", "bot", "Baidu"),
+    (r"(?i)duckduck(bot|go-favicons)", "bot", "DuckDuckGo"),
+    (r"(?i)slurp", "bot", "Yahoo"),
+    (r"(?i)facebookexternalhit|facebot", "bot", "Meta"),
+    (r"(?i)twitterbot", "bot", "Twitter"),
+    (r"(?i)linkedinbot", "bot", "LinkedIn"),
+    (r"(?i)applebot", "bot", "Apple"),
+    (r"(?i)gptbot|oai-searchbot|chatgpt-user", "bot", "OpenAI"),
+    (r"(?i)claudebot|anthropic-ai", "bot", "Anthropic"),
+    (r"(?i)ccbot", "bot", "Common Crawl"),
+    (r"(?i)bytespider", "bot", "ByteDance"),
+    (r"(?i)petalbot", "bot", "Huawei"),
+    (r"(?i)semrushbot", "bot", "Semrush"),
+    (r"(?i)ahrefsbot", "bot", "Ahrefs"),
+    (r"(?i)mj12bot", "bot", "Majestic"),
+    (r"(?i)dotbot", "bot", "Moz"),
+    (r"(?i)uptimerobot", "bot", "UptimeRobot"),
+    (r"(?i)pingdom", "bot", "Pingdom"),
+    (r"(?i)headlesschrome", "bot", "Headless Chrome"),
+    (r"(?i)phantomjs", "bot", "PhantomJS"),
+    (r"(?i)chrome-lighthouse", "bot", "Lighthouse"),
+    (r"(?i)curl/", "bot", "curl"),
+    (r"(?i)wget/", "bot", "wget"),
+    (r"(?i)python-requests|python-urllib|aiohttp", "bot", "Python"),
+    (r"(?i)go-http-client", "bot", "Go"),
+    (r"(?i)okhttp", "bot", "okhttp"),
+    (r"(?i)axios/", "bot", "axios"),
+    (r"(?i)java/|apache-httpclient", "bot", "Java"),
+    (r"(?i)\b(bot|crawler|spider|scraper)\b", "bot", "Generic Bot"),
+    # --- game consoles ---
+    (r"(?i)playstation 5", "console", "Sony"),
+    (r"(?i)playstation 4", "console", "Sony"),
+    (r"(?i)playstation (3|vita)", "console", "Sony"),
+    (r"(?i)xbox (series )?[xs]|xbox one|\bxbox\b", "console", "Microsoft"),
+    (r"(?i)nintendo switch", "console", "Nintendo"),
+    (r"(?i)nintendo (wiiu|wii|3ds)", "console", "Nintendo"),
+    # --- TVs & streaming boxes ---
+    (r"(?i)crkey", "tv", "Google Chromecast"),
+    (r"(?i)apple ?tv", "tv", "Apple"),
+    (r"(?i)\baft[a-z]\b", "tv", "Amazon Fire TV"),
+    (r"(?i)roku", "tv", "Roku"),
+    (r"(?i)bravia", "tv", "Sony"),
+    (r"(?i)tizen.+tv|smart-tv", "tv", "Samsung"),
+    (r"(?i)web0s|webos.+tv|netcast", "tv", "LG"),
+    (r"(?i)googletv|android tv", "tv", "Google"),
+    (r"(?i)hbbtv|smarttv|viera|aquos", "tv", "Generic TV"),
+    # --- wearables ---
+    (r"(?i)watch ?os|apple ?watch", "wearable", "Apple"),
+    (r"(?i)galaxy watch", "wearable", "Samsung"),
+    (r"(?i)wear ?os", "wearable", "Google"),
+    # --- e-readers (Kindle Fire tablets carry KF model codes + Silk) ---
+    (r"(?i)\bkf[a-z]{2,}\b|silk/", "tablet", "Amazon"),
+    (r"(?i)kindle", "ereader", "Amazon"),
+    (r"(?i)kobo", "ereader", "Kobo"),
+    # --- tablets (before phones: 'SM-T' must beat generic 'SM-') ---
+    (r"(?i)ipad", "tablet", "Apple"),
+    (r"(?i)sm-[tx]\d", "tablet", "Samsung"),
+    (r"(?i)nexus (7|9|10)\b", "tablet", "Google"),
+    (r"(?i)lenovo tb", "tablet", "Lenovo"),
+    (r"(?i)mediapad", "tablet", "Huawei"),
+    (r"(?i)mi pad|redmi pad", "tablet", "Xiaomi"),
+    # RE2-safe (no lookaround): the android-mobile-vs-tablet split is handled
+    # by the ordered generic fallbacks below
+    (r"(?i)android.+tablet|tablet.+android", "tablet", "Generic Android"),
+    # --- phones: vendor model tokens (specific before generic) ---
+    (r"(?i)iphone|ipod touch", "smartphone", "Apple"),
+    (r"(?i)sm-[agjnfsme]\d", "smartphone", "Samsung"),
+    (r"(?i)galaxy (s\d|note)", "smartphone", "Samsung"),
+    (r"(?i)pixel \d", "smartphone", "Google"),
+    (r"(?i)nexus [456]\b", "smartphone", "Google"),
+    (r"(?i)huawei|honor|\b(ane|ele|vog|mar|pot|yal)-l\w\d\b", "smartphone", "Huawei"),
+    (r"(?i)\bmi \d|redmi|xiaomi|poco", "smartphone", "Xiaomi"),
+    (r"(?i)oneplus|\b(kb2003|le2113|ne2213)\b", "smartphone", "OnePlus"),
+    (r"(?i)\boppo\b|cph\d{4}", "smartphone", "Oppo"),
+    (r"(?i)\bvivo\b|v\d{4}[a-z]{1,2}\b", "smartphone", "Vivo"),
+    (r"(?i)\brmx\d{4}\b|realme", "smartphone", "Realme"),
+    (r"(?i)motorola|moto [gez]", "smartphone", "Motorola"),
+    (r"(?i)nokia", "smartphone", "Nokia"),
+    (r"(?i)xperia", "smartphone", "Sony"),
+    (r"(?i)\blg-\w+", "smartphone", "LG"),
+    (r"(?i)\bhtc\b", "smartphone", "HTC"),
+    (r"(?i)\bzte\b", "smartphone", "ZTE"),
+    (r"(?i)asus.*phone|zenfone", "smartphone", "Asus"),
+    (r"(?i)windows phone|iemobile", "smartphone", "Microsoft"),
+    (r"(?i)blackberry|\bbb10\b", "smartphone", "BlackBerry"),
+    # --- generic fallbacks (device-detector's last resort classes) ---
+    (r"(?i)android.+mobile", "smartphone", "Generic Android"),
+    (r"(?i)android", "tablet", "Generic Android"),
+    (r"(?i)\bmobile\b", "smartphone", "Generic Mobile"),
+    (r"(?i)macintosh|mac os x", "desktop", "Apple"),
+    (r"(?i)windows nt", "desktop", "PC"),
+    (r"(?i)\bcros\b", "desktop", "Google"),
+    (r"(?i)x11.*linux|linux x86", "desktop", "PC"),
+]
+
+
+def default_ua_device_dim(spark: SparkSession) -> DataFrame:
+    """The shipped device-class dim as a DataFrame in the `ua_enrich_dim`
+    contract (priority, pattern, device_type, device_brand)."""
+    rows = [(i, p, t, b) for i, (p, t, b) in enumerate(_DEVICE_RULES)]
+    return spark.createDataFrame(
+        rows, "priority int, pattern string, device_type string, device_brand string"
+    )
+
+
+def device_rules() -> list[tuple[str, str, str]]:
+    """The raw (pattern, device_type, device_brand) table, priority order —
+    exposed so SQL oracles can replay the exact first-match cascade."""
+    return list(_DEVICE_RULES)

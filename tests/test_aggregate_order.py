@@ -54,6 +54,30 @@ def test_sql_filter_subquery_group_by(spark):
     assert len(out) == 1 and out[0]["biggest"] == 100
 
 
+def test_sql_filter_literal_with_paren_still_injected(spark):
+    # a '(' inside a string literal must not skew the depth count — the
+    # window grouping still applies (regression: _top_level counted quoted
+    # parens and silently ran the query verbatim, one row per path across
+    # ALL intervals instead of per-interval)
+    rows = [
+        (T0, "s", 100, "("),
+        (T0 + datetime.timedelta(seconds=61), "s", 50, "("),
+        (T0, "s", 10, "/x"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, log_source string, size int, path string")
+    q = "SELECT SUM(size) AS size, path FROM buffer WHERE path = '(' GROUP BY path"
+    out = interval_sql(spark, df, q, 60).collect()
+    assert len(out) == 2  # the two '(' rows land in separate interval windows
+    assert sorted(r["size"] for r in out) == [50, 100]
+    # doubled-quote escape with 'group by' INSIDE the literal: not a keyword
+    q2 = (
+        "SELECT SUM(size) AS size, path FROM buffer "
+        "WHERE path <> 'it''s a group by (' GROUP BY path"
+    )
+    out2 = interval_sql(spark, df, q2, 60).collect()
+    assert len(out2) == 3  # ('(', w0), ('(', w1), ('/x', w0)
+
+
 def test_sql_filter_invalid_query_raises(spark):
     # sql-filter-test.js:42-65: error surfaced, no crash
     df = spark.createDataFrame([(T0, "s", 1, "/")], "ts timestamp, log_source string, size int, path string")

@@ -134,8 +134,40 @@ def test_multimodal_plumbing(spark):
     assert len(rows) == 10
     assert len(rows[0]["feature"]) == 16
     assert all(r["sha"] is not None and r["n_bytes"] > 0 for r in rows)
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        extract_image_features(media, fake=False).collect()
+    assert all(r["decode_error"] is False for r in rows)
+    # fake=False on unrecognized payloads: drop-nothing — N null-feature rows
+    # with decode_error=true, NOT a task-killing raise
+    rows2 = extract_image_features(media, fake=False).collect()
+    assert len(rows2) == 10
+    assert all(r["decode_error"] and r["feature"] is None for r in rows2)
+
+
+def test_multimodal_drop_nothing_fuzz(spark):
+    # truncated real payloads + unknown codec + null through fake=False:
+    # every input row comes back, errors counted, good rows still decode
+    import numpy as np
+
+    from logpipe.multimodal import encode_jpeg_gray_dc, encode_png
+
+    png = encode_png(np.full((3, 3, 3), 100, dtype=np.uint8))
+    jpg = encode_jpeg_gray_dc(np.full((8, 8), 64, dtype=np.uint8))
+    rows_in = [
+        (0, png),            # valid PNG
+        (1, jpg),            # valid JPEG
+        (2, png[: len(png) // 2]),  # truncated PNG
+        (3, jpg[:10]),       # truncated JPEG
+        (4, b"\x89PNG\r\n\x1a\n"),  # magic only
+        (5, b"GIF89a not supported"),  # unknown codec
+        (6, None),           # null payload
+        (7, b""),            # empty
+    ]
+    media = spark.createDataFrame(rows_in, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in extract_image_features(media, fake=False).collect()}
+    assert len(out) == len(rows_in)
+    assert not out[0]["decode_error"] and len(out[0]["feature"]) == 16
+    assert not out[1]["decode_error"] and len(out[1]["feature"]) == 16
+    for bad in (2, 3, 4, 5, 6, 7):
+        assert out[bad]["decode_error"] and out[bad]["feature"] is None
 
 
 def test_duplicate_clusters(spark):

@@ -94,6 +94,30 @@ def test_fan_out_partitioned(spark, tmp_path):
     assert s1.count() == 2
 
 
+def test_fan_out_exotic_sink_names(spark, tmp_path):
+    # sink names with ':', '/', space, '%': the returned paths must match the
+    # percent-escaped directories Spark actually writes (and a '/' must not
+    # escape base_dir in the per-sink-write branch)
+    import os
+
+    df = spark.createDataFrame(
+        [("logs:2025.08.17", 1), ("tenant/a", 2), ("my sink", 3), ("p%cent", 4)],
+        "sink string, v int",
+    )
+    for by_partition in (True, False):
+        base = str(tmp_path / f"routed_{by_partition}")
+        paths = fan_out(df, base, partition_by_sink=by_partition, mode="overwrite")
+        assert set(paths) == {"logs:2025.08.17", "tenant/a", "my sink", "p%cent"}
+        for sink, path in paths.items():
+            assert os.path.isdir(path), f"missing dir for {sink!r}: {path}"
+            assert os.path.realpath(path).startswith(os.path.realpath(base))
+    # the dynamic-partition read round-trips the raw (unescaped) sink values
+    back = spark.read.parquet(str(tmp_path / "routed_True"))
+    assert {r["sink"] for r in back.select("sink").distinct().collect()} == {
+        "logs:2025.08.17", "tenant/a", "my sink", "p%cent"
+    }
+
+
 def test_geoip_range_join(spark):
     # geoip.js:20-53 as broadcast range join
     dim = spark.createDataFrame(

@@ -63,6 +63,41 @@ def test_syslog_pri_decode(spark):
     assert rows[1]["facility"] == "user" and rows[1]["severity"] == "err"
 
 
+def test_webhook_signature_validation(spark):
+    """Mirror of test/vercel/vercelSignature.spec.js: HMAC-sha1 of the raw
+    body vs the x-zeit-signature header, ANY of N clientSecrets may match."""
+    import hashlib
+    import hmac as hmac_mod
+    import json
+
+    sample_secret = "idmnMEd7Yx4QmgzZpZ4axXoe"  # spec's sampleClientSecret
+    body = json.dumps({"id": 1, "message": "1"}, separators=(",", ":"))
+    good_sig = hmac_mod.new(sample_secret.encode(), body.encode(), hashlib.sha1).hexdigest()
+
+    df = spark.createDataFrame(
+        [
+            (body, good_sig),
+            (body, "deadbeef"),  # wrong signature
+            ('{"id":2}', good_sig),  # signature of a different body
+            (None, good_sig),
+            (body, None),
+        ],
+        "text string, signature string",
+    )
+    # spec cases: [secret, secret], [secret], [secret, junk, junk] all verify
+    for secrets in (
+        [sample_secret, sample_secret],
+        [sample_secret],
+        [sample_secret, "kjsdfakslf", "aslsadslkjdkld"],
+    ):
+        rows = filters.validate_webhook_signature(df, secrets).collect()
+        assert [r["sig_valid"] for r in rows] == [True, False, False, False, False]
+        assert len(rows) == 5  # drop-nothing: gate adds a column, drops no rows
+    # no valid secret configured
+    rows = filters.validate_webhook_signature(df, ["junk"]).collect()
+    assert all(not r["sig_valid"] for r in rows)
+
+
 def test_cri_split(spark):
     df = spark.createDataFrame(
         [("2020-01-01T00:00:00.000Z stdout F hello world",)], "text string"
@@ -209,6 +244,68 @@ def test_stream_checkpoint_incremental(spark, tmp_path):
     want_total = pipe.routed(spark.read.parquet(src)).count()
     assert n2 == want_total  # everything exactly once
     assert n2 > n1  # the increment actually processed
+
+
+def test_stream_pattern_hot_reload(spark, tmp_path):
+    """A LONG-RUNNING stream picks up pattern-file edits without restart
+    (mergePatternFiles.js:57-71 fs.watch + parser.js:64-88 cache purge):
+    batches after the edit parse with the new rule."""
+    import datetime
+    import time
+
+    from logpipe.streaming import start_stream_pipeline
+
+    pat = tmp_path / "patterns.yml"
+
+    def write_patterns(type_name):
+        pat.write_text(
+            "patterns:\n"
+            " - sourceName: hotreload\n   match:\n"
+            f"    - type: {type_name}\n"
+            "      regex: ^EVT (\\d+) (.*)\n"
+            "      fields: [code:number, message]\n"
+        )
+
+    def rows_df(start):
+        data = [
+            (f"c{i}", i, "user", f"EVT {i} hello", "hotreload",
+             datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i))
+            for i in range(start, start + 50)
+        ]
+        return spark.createDataFrame(
+            data, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        )
+
+    write_patterns("hot_v1")
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    rows_df(0).write.parquet(src)
+    q = start_stream_pipeline(
+        spark, src, out, ckpt, available_now=False, pattern_files=str(pat)
+    )
+
+    def wait_types(want, timeout=120):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            try:
+                types = {
+                    r["log_type"]
+                    for r in spark.read.parquet(f"{out}/routed").select("log_type").distinct().collect()
+                }
+                if want <= types:
+                    return types
+            except Exception:
+                pass  # no batch output yet
+            time.sleep(1)
+        raise AssertionError(f"timed out waiting for log_types {want}")
+
+    try:
+        assert "hot_v1" in wait_types({"hot_v1"})
+        write_patterns("hot_v2")  # EDIT the live pattern file
+        rows_df(100).write.mode("append").parquet(src)  # new data → next batch
+        types = wait_types({"hot_v2"})
+        assert "hot_v1" in types  # earlier batches keep their ruleset's output
+    finally:
+        q.stop()
 
 
 def test_stream_session_counts_matches_batch(spark, tmp_path):

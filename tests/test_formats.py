@@ -273,3 +273,4 @@ def test_gelf_format(spark):
     assert f["host"] == "shadow"  # stripped _host wins last over envelope drop
     assert f["full_message"] == "boom\nstack"
     assert "version" not in f and "short_message" not in f and "level" not in f
+    assert "timestamp" not in f  # envelope key: consumed into event_ts, stripped

@@ -492,6 +492,19 @@ def test_es_slow_log(spark):
     assert r["fields"]["index_name"] == "idx"
 
 
+def test_es_slow_log_case_variant_prefilter(spark):
+    # the rule regex carries (?i): the literal prefilter containment must be
+    # case-insensitive too, or this TOOK_MILLIS line is silently skipped
+    line = (
+        "[2021-01-01T10:00:00,123][WARN ][index.search.slowlog.query] [node1] "
+        "[idx][0] TOOK[10ms], TOOK_MILLIS[10], TYPES[doc], STATS[], "
+        "SEARCH_TYPE[QUERY_THEN_FETCH], TOTAL_SHARDS[5], SOURCE[{\"query\":1}],"
+    )
+    r = _parse_one(spark, line, "elasticsearch")
+    assert r["log_type"] == "elasticsearch_slow_log"
+    assert r["fields"]["took_millis"] == "10"
+
+
 def test_zookeeper_session(spark):
     r = _parse_one(
         spark,

@@ -89,6 +89,54 @@ def test_ua_enrich_dim(spark):
     assert rows[None]["device_type"] is None
 
 
+def test_ua_enrich_dim_non_re2_fallback_and_blocks(spark):
+    # a backreference pattern RE2 rejects becomes a singleton pandas-matched
+    # block; first-match priority must hold ACROSS the re2/fallback boundary,
+    # and a dim wider than one block (>64 rules) must match in late blocks
+    from logpipe.enrich import ua_enrich_dim
+
+    rules = [(0, r"(?i)(tok)-\1", "echo", "Backref")]  # non-RE2 (backref)
+    rules += [(i + 1, rf"(?i)\bfiller{i:03d}\b", "filler", f"F{i}") for i in range(70)]
+    rules.append((71, r"(?i)tok-tok|lastblock", "late", "LateBlock"))
+    dim = spark.createDataFrame(
+        rules, "priority int, pattern string, device_type string, device_name string"
+    )
+    df = spark.createDataFrame(
+        [("agent tok-tok/1.0",), ("agent lastblock/2.0",), ("agent filler042 x",), ("nothing",)],
+        "user_agent string",
+    )
+    rows = {r["user_agent"]: r for r in ua_enrich_dim(df, dim).collect()}
+    # the priority-0 backref rule beats the priority-71 alternation
+    assert rows["agent tok-tok/1.0"]["device_name"] == "Backref"
+    assert rows["agent lastblock/2.0"]["device_name"] == "LateBlock"  # 2nd block
+    assert rows["agent filler042 x"]["device_name"] == "F42"
+    assert rows["nothing"]["device_type"] is None
+
+
+def test_default_ua_device_dim(spark):
+    from logpipe.enrich import ua_enrich_dim
+    from logpipe.ua_devices import default_ua_device_dim, device_rules
+
+    assert len(device_rules()) >= 80
+    df = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 (Linux; Android 13; SM-S911B) Chrome/110 Mobile",),
+            ("Mozilla/5.0 (Linux; Android 12; SM-T870) Chrome/99",),  # tablet SM-T
+            ("Googlebot/2.1 (+http://www.google.com/bot.html)",),
+            ("Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit",),
+            ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120",),
+        ],
+        "user_agent string",
+    )
+    out = [r for r in ua_enrich_dim(df, default_ua_device_dim(spark)).collect()]
+    got = {r["user_agent"][:30]: (r["device_type"], r["device_brand"]) for r in out}
+    assert got["Mozilla/5.0 (Linux; Android 13"] == ("smartphone", "Samsung")
+    assert got["Mozilla/5.0 (Linux; Android 12"] == ("tablet", "Samsung")
+    assert got["Googlebot/2.1 (+http://www.goo"] == ("bot", "Google")
+    assert got["Mozilla/5.0 (PlayStation 5/Sma"] == ("console", "Sony")
+    assert got["Mozilla/5.0 (Windows NT 10.0; "] == ("desktop", "PC")
+
+
 def test_kafka_stream_builds_unbound(spark):
     # the reader itself is lazy — wiring constructs without a broker; load()
     # would need the kafka package, so we only assert the projection builds
@@ -126,6 +174,14 @@ def test_rename_map_fields_collision_last_wins(spark):
     )
     r2 = rename_map_fields(df2, {"a": "c", "b": "c"}).collect()[0]["fields"]
     assert r2 == {"c": "vb"}
+    # chained renames apply sequentially against the EVOLVING map (JS
+    # config-order setValue/unset): {'a':'b','b':'c'} moves old-a → c and
+    # removes b entirely — not b=old-a,c=old-b from a frozen snapshot
+    df3 = spark.createDataFrame([(1,)], "id int").withColumn(
+        "fields", F.create_map(F.lit("a"), F.lit("va"), F.lit("b"), F.lit("vb"))
+    )
+    r3 = rename_map_fields(df3, {"a": "b", "b": "c"}).collect()[0]["fields"]
+    assert r3 == {"c": "va"}
 
 
 def test_rate_transcript_stream_matches_batch(spark, tmp_path):
