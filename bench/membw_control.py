@@ -11,6 +11,11 @@ pipeline's memory profile:
     socket's read bandwidth. If the socket saturates between 8 and 32
     cores, this control's 8->32 efficiency is the CEILING any
     memory-traffic-heavy job can reach on this box.
+  * `copy`    — read + write-allocate bound: each worker block-copies a
+    256 MiB array into a second one (dst[:] = src), the closest analog of
+    the pipeline's Arrow serialize/deserialize traffic (every byte is read
+    AND written). Write-allocate doubles pressure per useful byte, so this
+    control's ceiling is lower than `stream`'s.
   * `cache`   — compute-bound/cache-resident: each worker sums a 128 KiB
     array (fits L2) repeatedly. No shared-resource contention, so this
     control shows what the box can do when memory traffic is NOT the
@@ -36,40 +41,51 @@ _WORKER = r"""
 import sys, time
 import numpy as np
 mode = sys.argv[1]; seconds = float(sys.argv[2])
-n = (256 * 2**20 // 8) if mode == "stream" else (128 * 2**10 // 8)
+n = (256 * 2**20 // 8) if mode in ("stream", "copy") else (128 * 2**10 // 8)
 arr = np.ones(n, dtype=np.float64)
+dst = np.empty_like(arr) if mode == "copy" else None
 arr.sum()  # touch/fault pages before timing
+if dst is not None:
+    dst[:] = arr
 t0 = time.perf_counter(); deadline = t0 + seconds
 passes = 0
 while time.perf_counter() < deadline:
-    arr.sum()
+    if mode == "copy":
+        dst[:] = arr  # read + write-allocate: the Arrow-serialization shape
+    else:
+        arr.sum()
     passes += 1
 dt = time.perf_counter() - t0
-print(passes * n * 8 / dt)  # bytes/sec this worker
+bytes_per_pass = n * 8 * (2 if mode == "copy" else 1)
+print(passes * bytes_per_pass / dt)  # bytes/sec this worker
 """
 
 
-def run_level(mode: str, cores: int, seconds: float) -> float:
-    """Aggregate bytes/sec across `cores` workers, each pinned to its own
-    core (same pinning discipline as bench/scaling.py)."""
-    procs = []
-    for c in range(cores):
-        cmd = [sys.executable, "-c", _WORKER, mode, str(seconds)]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["taskset", "-c", str(c)] + cmd
-        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
-    total = 0.0
-    for p in procs:
-        out, _ = p.communicate(timeout=seconds * 20 + 120)
-        total += float(out.strip().splitlines()[-1])
-    return total
+def run_level(mode: str, cores: int, seconds: float, repeats: int = 3) -> float:
+    """Best-of-`repeats` aggregate bytes/sec across `cores` workers, each
+    pinned to its own core (same pinning + best-of discipline as
+    bench/scaling.py — single shots on this shared box read up to 2x low)."""
+    best = 0.0
+    for _ in range(repeats):
+        procs = []
+        for c in range(cores):
+            cmd = [sys.executable, "-c", _WORKER, mode, str(seconds)]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["taskset", "-c", str(c)] + cmd
+            procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+        total = 0.0
+        for p in procs:
+            out, _ = p.communicate(timeout=seconds * 20 + 120)
+            total += float(out.strip().splitlines()[-1])
+        best = max(best, total)
+    return best
 
 
 def main() -> None:
     levels = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "8,16,32").split(",")]
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
     results: dict[str, dict[int, float]] = {}
-    for mode in ("stream", "cache"):
+    for mode in ("stream", "copy", "cache"):
         per = {}
         for lv in levels:
             bps = run_level(mode, lv, seconds)

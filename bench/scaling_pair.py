@@ -1,0 +1,61 @@
+"""Interleaved N<->4N scaling pairs for a host with DRIFTING contention.
+
+bench/scaling.py runs each level once (best-of-3 inside one JVM), but levels
+are minutes apart — on a shared host whose background load drifts, the 4N
+level can sample a 25% slower machine than the N level did and the ratio is
+then noise, not scaling. This runner alternates fresh-JVM runs N, 4N, N, 4N,
+... so each ROUND's pair sees (nearly) the same host conditions, and reports
+the per-round efficiencies plus the best round.
+
+Usage: python bench/scaling_pair.py [n_turns] [N] [rounds]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling import run_level  # noqa: E402
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    m = 4 * n
+    per_round = []
+    for r in range(rounds):
+        lo = run_level(n, n_turns)
+        hi = run_level(m, n_turns)
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4
+        per_round.append(
+            {
+                "round": r,
+                f"tps_{n}": round(lo["turns_per_sec"], 1),
+                f"tps_{m}": round(hi["turns_per_sec"], 1),
+                "efficiency": round(eff, 3),
+            }
+        )
+        print(json.dumps(per_round[-1]), flush=True)
+    best = max(per_round, key=lambda d: d["efficiency"])
+    print(
+        json.dumps(
+            {
+                "n_turns": n_turns,
+                "pair": f"{n}->{m}",
+                "rounds": per_round,
+                "best_efficiency": best["efficiency"],
+                "median_efficiency": sorted(d["efficiency"] for d in per_round)[
+                    len(per_round) // 2
+                ],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

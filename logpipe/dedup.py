@@ -103,7 +103,15 @@ def ngram_jaccard_pairs(
     sh = raw.filter(F.size("_sh") > 0).withColumn(
         "_pfx", F.size("_sh") - F.ceil(F.lit(threshold) * F.size("_sh")) + 1
     )
-    exploded = sh.select("_id", F.explode(F.slice("_sh", F.lit(1), F.col("_pfx"))).alias("_g"))
+    # _sz rides the explode so the candidate join can apply the SSJoin LENGTH
+    # filter: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) —
+    # docs of incompatible sizes never become candidates (lossless, pruned
+    # INSIDE the join before the distinct/verify stages)
+    exploded = sh.select(
+        "_id",
+        F.size("_sh").alias("_sz"),
+        F.explode(F.slice("_sh", F.lit(1), F.col("_pfx"))).alias("_g"),
+    )
     if max_bucket is not None:
         # opt-in skew guard for pathological corpora (cap drops candidates —
         # only set it when a prefix bucket would otherwise explode; prefix
@@ -113,7 +121,15 @@ def ngram_jaccard_pairs(
     a = exploded.alias("a")
     b = exploded.alias("b")
     cand = (
-        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (
+                F.least(F.col("a._sz"), F.col("b._sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a._sz"), F.col("b._sz"))
+            ),
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
@@ -168,8 +184,7 @@ def minhash_signatures(
     b_u = b_params.astype(np.uint64)[:, None]
     n_words = n
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _sig(texts: pd.Series) -> pd.Series:
+    def _sig_fn(texts: pd.Series) -> pd.Series:
         out = []
         with np.errstate(over="ignore"):
             for t in texts:
@@ -191,6 +206,13 @@ def minhash_signatures(
                 out.append(sig.astype(np.int64).tolist())
         return pd.Series(out)
 
+    # asNondeterministic (parse.py precedent): the UDF IS deterministic, but
+    # this stops Catalyst from re-evaluating it when downstream filters on
+    # `signature` (the null-sig filter in minhash_lsh_pairs) are pushed into
+    # both a Filter condition AND the Project — that duplication doubled the
+    # signature cost on each side of the band self-join (2 → 4
+    # ArrowEvalPython nodes, +50% wall observed at sf0.1).
+    _sig = F.pandas_udf(_sig_fn, T.ArrayType(T.LongType())).asNondeterministic()
     return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("signature"))
 
 

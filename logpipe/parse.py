@@ -516,13 +516,13 @@ def make_parse_udf(ruleset: RuleSet = DEFAULT_RULESET):
                         break
                     hit = _apply_rule(rule, text, ts_np, live, ruleset, res)
                     live = live[~hit]
-        # fallback (parser.js:556-564): message = line, ts = row ts
-        fb = np.flatnonzero(~res["matched"])
-        if fb.size:
-            res["message"][fb] = text.to_numpy()[fb]
-            res["event_ts"][fb] = ts_np[fb]
-            for p in fb:
-                res["fields"][p] = {}
+        # fallback rows (parser.js:556-564: message = line, ts = row ts) are
+        # NOT materialized here — they stay null/NaT and parse_text
+        # reconstructs them JVM-side (when(~matched, text/ts/empty-map)).
+        # On a dirty corpus fallback is the MAJORITY of rows; skipping the
+        # re-serialization of the full raw line + an empty map through Arrow
+        # for every one of them is the single biggest Python→JVM traffic cut
+        # in the pipeline.
         return pd.DataFrame(res)
 
     # asNondeterministic: the parser IS deterministic, but this stops Catalyst
@@ -556,6 +556,24 @@ def parse_text(
     if keep_orig:
         out = out.withColumn("original_line", F.col(text_col))  # parser.js:511-513
     out = out.select("*", "_p.*").drop("_p")
+    # fallback materialization (parser.js:556-564) happens HERE, JVM-side:
+    # the UDF leaves unmatched rows null so the raw line and an empty map are
+    # not serialized back through Arrow for the (often majority) fallback
+    # rows. Matched-row values pass through untouched — a matched row with a
+    # legitimately-null message or unparseable date keeps its null/NaT.
+    matched = F.col("matched")
+    out = (
+        out.withColumn("message", F.when(matched, F.col("message")).otherwise(F.col(text_col)))
+        .withColumn("event_ts", F.when(matched, F.col("event_ts")).otherwise(F.col(ts_col)))
+        .withColumn(
+            "fields",
+            F.when(matched, F.col("fields")).otherwise(
+                F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<string>")
+                )
+            ),
+        )
+    )
     if "log_source" not in df.columns:
         out = out.withColumn("log_source", src)
     if drop_marked:

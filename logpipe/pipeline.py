@@ -49,6 +49,12 @@ class TranscriptPipeline:
     role_dim: Optional[DataFrame] = None
     tool_dim: Optional[DataFrame] = None
     extra_stages: tuple[Callable[[DataFrame], DataFrame], ...] = ()
+    # carry the raw `text` column past the parse stage. Default False — the
+    # reference drops the original line unless originalLine is configured
+    # (parser.js:511-513; use ruleset.original_line for that), and at 100 TB
+    # the raw line is the widest column in the frame: not dragging it through
+    # mask/enrich/route/fan-out roughly halves written bytes per routed row.
+    carry_text: bool = False
 
     def parsed(self, transcripts: DataFrame) -> DataFrame:
         if self.multiline:
@@ -62,6 +68,8 @@ class TranscriptPipeline:
 
     def routed(self, transcripts: DataFrame) -> DataFrame:
         df = self.parsed(transcripts)
+        if not self.carry_text and "text" in df.columns:
+            df = df.drop("text")
         # masking precedes enrichment like the shipped config order
         # (bin/logagent.js:612-623 runs output-filters sequentially).
         if self.mask_text:

@@ -159,6 +159,30 @@ def main() -> int:
                      ["single MapInPandas stage — decode runs where the bytes are",
                       "ZERO exchanges: payload binaries are never shuffled"]))
 
+    # 4d. minhash LSH: the signature UDF must evaluate ONCE per join side
+    # (2 ArrowEvalPython total). The null-signature filter ahead of the band
+    # explode previously pushed the UDF into both a Filter condition and the
+    # Project → 4 nodes, doubling signature cost (+50% wall at sf0.1);
+    # asNondeterministic on the UDF pins the fix.
+    from logpipe import dedup as dedup_mod
+
+    docs_small = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    pairs = dedup_mod.minhash_lsh_pairs(
+        dedup_mod.minhash_signatures(docs_small, num_hashes=64), bands=16, num_hashes=64
+    )
+    p = plan_of(pairs)
+    # formatted explain lists each node twice (tree + "(n) Node" detail):
+    # count the detail headers only
+    n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.MULTILINE))
+    if n_arrow != 2:
+        problems.append(
+            f"minhash_lsh: expected exactly 2 ArrowEvalPython (one signature eval "
+            f"per join side), found {n_arrow} — UDF re-evaluation regression"
+        )
+    sections.append(("MinHash LSH signature evaluation", p,
+                     ["exactly 2 ArrowEvalPython nodes: one signature pass per side of the band self-join",
+                      "the null-signature filter does NOT duplicate the UDF into Filter+Project"]))
+
     # 5. whole-stage codegen present around the masking/routing exprs (AQE
     # display defers codegen ids, so inspect the static plan with AQE off)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
