@@ -1667,6 +1667,185 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# training-data curation operators (logpipe/curation.py, textstats round 3)
+# ---------------------------------------------------------------------------
+
+
+def _syn_multiline(df: DataFrame) -> DataFrame:
+    """documents.text with deterministic duplicate lines appended (the base
+    corpus is single-line, so repetition signals need synthesized structure;
+    the oracle mirrors the construction arithmetically)."""
+    t = F.col("text")
+    t2 = F.concat(
+        t, F.lit("\n"), F.substring(t, 1, 40), F.lit("\n"),
+        F.when(F.col("doc_id") % 4 == 0, F.substring(t, 1, 40)).otherwise(F.substring(t, 1, 20)),
+    )
+    return df.withColumn("t2", t2)
+
+
+def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition stats (dup-line fraction, dup-line char
+    fraction, top-bigram fraction) — pure array-HOF exprs, no UDF."""
+    from logpipe.textstats import repetition_stats
+
+    docs = _syn_multiline(_t(spark, sf_dir, "documents"))
+    return repetition_stats(docs, text_col="t2").select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "top_bigram_frac"
+    )
+
+
+_CURATION_REPETITION_SQL = r"""
+WITH syn AS (
+  SELECT doc_id, text || chr(10) || substr(text, 1, 40) || chr(10) ||
+         CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 40) ELSE substr(text, 1, 20) END AS t2
+  FROM documents
+),
+l AS (
+  SELECT doc_id, [x FOR x IN string_split(t2, chr(10)) IF len(trim(x)) > 0] AS lines,
+         string_split(regexp_replace(lower(trim(t2)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM syn
+),
+m AS (
+  SELECT doc_id, lines, list_distinct(lines) AS dl,
+         [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))] AS g2
+  FROM l
+)
+SELECT doc_id,
+  round(1 - len(dl) / CAST(len(lines) AS DOUBLE), 6) AS dup_line_frac,
+  round((list_sum([len(x) FOR x IN lines]) - list_sum([len(x) FOR x IN dl]))
+        / CAST(list_sum([len(x) FOR x IN lines]) AS DOUBLE), 6) AS dup_line_char_frac,
+  round(list_max([len([y FOR y IN g2 IF y = d]) FOR d IN list_distinct(g2)])
+        / CAST(len(g2) AS DOUBLE), 6) AS top_bigram_frac
+FROM m
+"""
+
+
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: docs sharing ≥1 word-8-gram with the
+    benchmark slice (doc_id % 37 == 0 stands in for an eval set) are flagged.
+    Broadcast benchmark gram set; no corpus shuffle."""
+    from logpipe.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    return decontaminate(docs, bench, n=8).select("doc_id", "bench_hits", "contaminated")
+
+
+_CURATION_DECONTAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_distinct([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)]) AS grams
+  FROM w WHERE len(ws) >= 8
+),
+bg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 37 = 0),
+dg AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+h AS (SELECT doc_id, count(*) AS bench_hits FROM dg JOIN bg USING (gr) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(h.bench_hits, 0) AS INT) AS bench_hits,
+       coalesce(h.bench_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+"""
+
+
+def q_curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII density scoring over deterministically salted text (emails /
+    IPs / phones / SSNs / API keys injected by doc_id residue) — pure
+    regexp_count exprs; the oracle re-counts with RE2."""
+    from logpipe.curation import pii_density
+
+    i = F.col("doc_id")
+    t = F.col("text")
+    t2 = F.concat(
+        t,
+        F.when(i % 3 == 0, F.concat(F.lit(" mail u"), i.cast("string"), F.lit("@ex.com"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(" ip 10.1.2.3 call 555-123-4567")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" ssn 123-45-6789 key sk-abcdef0123456789abcd")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn("t2", t2)
+    return pii_density(docs, text_col="t2").select(
+        "doc_id", "emails", "ipv4s", "phones", "ssns", "api_keys", "pii_total", "pii_per_kchar"
+    )
+
+
+_CURATION_PII_SQL = r"""
+WITH syn AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.com' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' ip 10.1.2.3 call 555-123-4567' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789 key sk-abcdef0123456789abcd' ELSE '' END AS t2
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t2,
+    CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS emails,
+    CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS ipv4s,
+    CAST(len(regexp_extract_all(t2, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS phones,
+    CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS ssns,
+    CAST(len(regexp_extract_all(t2, '\b(sk|pk|key)-[A-Za-z0-9]{16,}\b')) AS INT) AS api_keys
+  FROM syn
+)
+SELECT doc_id, emails, ipv4s, phones, ssns, api_keys,
+       CAST(emails + ipv4s + phones + ssns + api_keys AS INT) AS pii_total,
+       round((emails + ipv4s + phones + ssns + api_keys) * 1000.0 / greatest(len(t2), 1), 6) AS pii_per_kchar
+FROM c
+"""
+
+
+def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates via an
+    md5-hash threshold on doc_id — membership depends only on the key, so
+    runs/partitions/engines agree exactly (the oracle replays the identical
+    hash arithmetic)."""
+    from logpipe.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 0.2, "fr": 1.0}, "doc_id", default_rate=0.08
+    )
+    return out.select("doc_id", "lang")
+
+
+_CURATION_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 WHEN 'fr' THEN 1.0 ELSE 0.08 END
+"""
+
+
+def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk at 256 tokens): global token
+    prefix-sum via deterministic key-range buckets + broadcast offsets —
+    never a single global ordered window; the oracle IS that single global
+    window (fine at oracle scale), proving the two layouts agree exactly."""
+    from logpipe.curation import pack_sequences
+    from logpipe.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, max_tokens=256, n_buckets=8)
+
+
+_CURATION_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS nt
+  FROM documents
+),
+c AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS en FROM t),
+s AS (SELECT doc_id, nt, en - nt AS st, en FROM c),
+x AS (SELECT doc_id, CAST(unnest(range(st // 256, (en - 1) // 256 + 1)) AS BIGINT) AS pack_id, st, en
+      FROM s WHERE nt > 0)
+SELECT doc_id, pack_id,
+       CAST(greatest(st, pack_id * 256) - pack_id * 256 AS BIGINT) AS pack_start,
+       CAST(least(en, (pack_id + 1) * 256) - pack_id * 256 AS BIGINT) AS pack_end,
+       CAST(greatest(st, pack_id * 256) - st AS BIGINT) AS doc_offset
+FROM x
+"""
+
+
 def q_format_github(spark: SparkSession, sf_dir: str) -> DataFrame:
     """github-events mapper over synthesized webhook payloads; 'watch'
     events exercise the unhandled-drop path."""
@@ -2009,6 +2188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats": q_dedup_stats,
         "dedup_exact_keep": q_dedup_exact_keep,
         "fingerprint_rolling": q_fingerprint_rolling,
+        "curation_repetition": q_curation_repetition,
+        "curation_decontaminate": q_curation_decontaminate,
+        "curation_pii": q_curation_pii,
+        "curation_sample": q_curation_sample,
+        "curation_pack": q_curation_pack,
         "format_github": q_format_github,
         "format_journald": q_format_journald,
         "format_gelf": q_format_gelf,
@@ -2076,6 +2260,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stats": _DEDUP_STATS_SQL,
         "dedup_exact_keep": _DEDUP_KEEP_SQL,
         "fingerprint_rolling": _FP_ROLLING_SQL,
+        "curation_repetition": _CURATION_REPETITION_SQL,
+        "curation_decontaminate": _CURATION_DECONTAM_SQL,
+        "curation_pii": _CURATION_PII_SQL,
+        "curation_sample": _CURATION_SAMPLE_SQL,
+        "curation_pack": _CURATION_PACK_SQL,
         "format_github": _FORMAT_GITHUB_SQL,
         "format_journald": _journald_sql(),
         "format_gelf": _FORMAT_GELF_SQL,

@@ -1,0 +1,230 @@
+"""Training-data curation operators: benchmark decontamination, PII density,
+deterministic stratified sampling, and sequence packing.
+
+These are the corpus-preparation steps a large-scale LLM training pipeline
+runs between raw ingestion (the parse/mask/route pipeline) and tokenized
+shards — expressed Spark-first:
+
+  * decontamination is an n-gram containment join against a BROADCAST
+    benchmark dim (benchmarks are small; the corpus side never shuffles);
+  * PII density is pure `regexp_count` expressions (JVM, codegen);
+  * stratified sampling is a deterministic md5-hash threshold per stratum —
+    reproducible across runs/partitions, and exactly replicable in a SQL
+    oracle (no Bernoulli RNG, no seed-order dependence);
+  * sequence packing (concat-then-chunk, the GPT-style pretraining layout)
+    is a GLOBAL prefix-sum done scalably: deterministic key-range buckets,
+    per-bucket window cumsum, and a tiny bucket-offset dim joined back by
+    broadcast — never a single global ordered window (which would funnel
+    10^12 rows through one reducer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_set(col: Column, n: int = 13) -> Column:
+    """Distinct lowercase word n-grams of `col` (pure exprs; [] when the doc
+    has fewer than n words)."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1), lambda s: F.array_join(F.slice(words, s + 1, n), " ")
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training docs that overlap an evaluation benchmark: a doc is
+    contaminated when ≥ `min_hits` of its word `n`-grams appear anywhere in
+    the benchmark corpus (the standard n-gram decontamination recipe;
+    13-grams are the common choice for web corpora, lower n for short
+    benchmark prompts).
+
+    Returns docs + (bench_hits int, contaminated bool). Scale shape: the
+    benchmark n-gram set is tiny (evaluation sets are KBs-MBs) → built once,
+    deduped, and BROADCAST; the corpus side explodes its n-grams and
+    broadcast-joins — no corpus shuffle, no benchmark-side skew. Drop-nothing:
+    every input doc comes back, flagged."""
+    bench_grams = (
+        benchmark.select(F.explode(ngram_set(F.col(bench_text_col), n)).alias("_g"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("_did"), F.explode(ngram_set(F.col(text_col), n)).alias("_g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy("_did")
+        .agg(F.count("*").alias("bench_hits"))
+    )
+    out = docs.join(hits, docs[id_col] == hits["_did"], "left").drop("_did")
+    return out.withColumn("bench_hits", F.coalesce(F.col("bench_hits"), F.lit(0)).cast("int")) \
+              .withColumn("contaminated", F.col("bench_hits") >= min_hits)
+
+
+# ---------------------------------------------------------------------------
+# PII density
+# ---------------------------------------------------------------------------
+
+# deliberately simple patterns with IDENTICAL semantics in Java regex (Spark)
+# and RE2 (DuckDB oracle): no backrefs, no lookaround
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4s": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phones": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ssns": r"\b\d{3}-\d{2}-\d{4}\b",
+    "api_keys": r"\b(sk|pk|key)-[A-Za-z0-9]{16,}\b",
+}
+
+
+def pii_density(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII counts + a per-1k-chars density — the filter signal a
+    curation pipeline thresholds on before masking/dropping. Pure
+    `regexp_count` column exprs (JVM, codegen, pushdown-compatible)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    total = None
+    for name, pat in PII_PATTERNS.items():
+        cnt = F.regexp_count(c, F.lit(pat)).cast("int")
+        out = out.withColumn(name, cnt)
+        total = cnt if total is None else total + cnt
+    out = out.withColumn("pii_total", total.cast("int"))
+    return out.withColumn(
+        "pii_per_kchar",
+        F.round(F.col("pii_total") * 1000.0 / F.greatest(F.length(c), F.lit(1)), 6),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _hash_unit(key: Column) -> Column:
+    """Deterministic uniform [0,1) from a key: first 8 hex chars of md5 as a
+    32-bit integer / 2^32. Stable across runs, partitions, and engines —
+    DuckDB replica: ('0x' || substr(md5(k),1,8))::UBIGINT / 4294967296.0."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff hash_unit(key) < rate(stratum) — per-language /
+    per-source rebalancing with REPRODUCIBLE membership (a doc's fate depends
+    only on its key, never on partitioning, order, or a seed's consumption
+    order; re-runs and incremental runs agree). Strata absent from `rates`
+    get `default_rate`. No shuffle — a pure filter."""
+    rate = None
+    for stratum, r in rates.items():
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
+    return df.filter(_hash_unit(F.col(key_col)) < rate)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """GPT-style pretraining packing: documents are laid out end-to-end in
+    `id_col` order and cut into fixed `max_tokens` chunks; a doc spanning a
+    chunk boundary is split. Returns one row per (doc × pack it occupies):
+      (doc_id, pack_id, pack_start, pack_end, doc_offset)
+    where [pack_start, pack_end) is the doc's token slice inside that pack
+    and doc_offset is where that slice begins inside the doc.
+
+    Scale shape — a global prefix-sum WITHOUT a global ordered window:
+    1. one cheap agg finds max(id); ids are cut into `n_buckets`
+       deterministic key ranges (no sampled range partitioner — re-runs
+       produce identical buckets);
+    2. each bucket computes its LOCAL token cumsum in a bucket-partitioned
+       window (n_buckets-way parallel sort of disjoint ranges);
+    3. per-bucket totals (n_buckets rows) become running offsets on the
+       driver and broadcast-join back: global_start = local + offset.
+    4. a doc spanning packs explodes into one row per pack it touches
+       (sequence() over its pack span — bounded by doc length / max_tokens).
+    The only shuffle is the bucket-partitioned window sort; the offset join
+    is a broadcast of n_buckets rows."""
+    bounds = df.agg(F.max(F.col(id_col)).alias("mx")).collect()[0]
+    if bounds["mx"] is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, pack_id long, pack_start long, pack_end long, doc_offset long"
+        )
+    span = int(bounds["mx"]) + 1
+    width = max((span + n_buckets - 1) // n_buckets, 1)
+    b = (F.col(id_col) / width).cast("long").alias("_b")
+    toks = F.col(tokens_col).cast("long")
+    local = df.select(F.col(id_col), toks.alias("_t"), b).withColumn(
+        "_local_end",
+        F.sum("_t").over(Window.partitionBy("_b").orderBy(id_col)),
+    )
+    totals = {
+        r["_b"]: r["_s"]
+        for r in local.groupBy("_b").agg(F.sum("_t").alias("_s")).collect()
+    }
+    offsets, run = [], 0
+    for bk in sorted(totals):
+        offsets.append((bk, run))
+        run += int(totals[bk])
+    off_df = df.sparkSession.createDataFrame(offsets, "_b long, _off long")
+    g = (
+        local.join(F.broadcast(off_df), "_b")
+        .withColumn("_end", F.col("_local_end") + F.col("_off"))
+        .withColumn("_start", F.col("_end") - F.col("_t"))
+    )
+    # docs with 0 tokens occupy no pack — emit nothing for them but keep the
+    # row with a null pack (drop-nothing)
+    first_pack = (F.col("_start") / max_tokens).cast("long")
+    last_pack = ((F.col("_end") - 1) / max_tokens).cast("long")
+    packs = g.withColumn(
+        "pack_id",
+        F.explode(
+            F.when(F.col("_t") > 0, F.sequence(first_pack, last_pack)).otherwise(
+                F.array(F.lit(None).cast("long"))
+            )
+        ),
+    )
+    pstart = F.greatest(F.col("_start"), F.col("pack_id") * max_tokens)
+    pend = F.least(F.col("_end"), (F.col("pack_id") + 1) * max_tokens)
+    return packs.select(
+        F.col(id_col),
+        "pack_id",
+        F.when(F.col("pack_id").isNotNull(), pstart - F.col("pack_id") * max_tokens)
+        .cast("long")
+        .alias("pack_start"),
+        F.when(F.col("pack_id").isNotNull(), pend - F.col("pack_id") * max_tokens)
+        .cast("long")
+        .alias("pack_end"),
+        F.when(F.col("pack_id").isNotNull(), pstart - F.col("_start"))
+        .cast("long")
+        .alias("doc_offset"),
+    )

@@ -104,3 +104,66 @@ def rolling_fingerprints(col: Column, window: int = 8) -> Column:
             lambda s: F.xxhash64(F.array_join(F.slice(words, s + 1, window), " ")),
         ),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule repetition signals (the public C4/Gopher quality recipe),
+    pure column exprs over array HOFs — no UDF:
+
+      dup_line_frac      — 1 - distinct_lines/lines (empty lines ignored)
+      dup_line_char_frac — fraction of line characters carried by repeats
+                           beyond each line's first occurrence
+      top_bigram_frac    — occurrences of the most frequent word 2-gram /
+                           total 2-grams (1-gram docs → 0.0)
+
+    Filters threshold these (e.g. drop dup_line_frac > 0.3); kept as columns
+    so the thresholds stay policy, not code."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    dline_chars = F.aggregate(dlines, F.lit(0), lambda acc, l: acc + F.length(l))
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    k2 = F.greatest(F.size(words) - 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k2 - 1), lambda s: F.array_join(F.slice(words, s + 1, 2), " ")
+    )
+    # most-frequent-gram count via sort + longest equal run — O(g log g) per
+    # doc (the distinct×filter formulation is O(g²): quadratic in doc length
+    # is exactly what a 100 TB corpus with long docs cannot afford)
+    top_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        df.withColumn(
+            "dup_line_frac",
+            F.when(
+                n_lines > 0,
+                F.round(1.0 - F.size(dlines) / n_lines.cast("double"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_line_char_frac",
+            F.when(
+                line_chars > 0,
+                F.round((line_chars - dline_chars) / line_chars.cast("double"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(k2 > 0, F.round(top_count / k2.cast("double"), 6)).otherwise(F.lit(0.0)),
+        )
+    )

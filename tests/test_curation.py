@@ -1,0 +1,102 @@
+"""Curation operators: decontamination, PII density, stratified sampling,
+sequence packing, repetition stats."""
+
+from pyspark.sql import functions as F
+
+from logpipe import curation
+from logpipe.textstats import repetition_stats
+
+
+def test_decontaminate(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "totally different words with no benchmark overlap here at all"),
+            (3, None),  # drop-nothing: null text comes back flagged clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",),  # 8-gram of doc 0
+         ("one two three four five six seven eight innocuous tail",)],
+        "text string",
+    )
+    rows = {r["doc_id"]: r for r in curation.decontaminate(docs, bench, n=8).collect()}
+    assert len(rows) == 4
+    assert rows[0]["contaminated"] and rows[0]["bench_hits"] >= 1
+    assert rows[1]["contaminated"]  # shares 'one..eight' 8-gram
+    assert not rows[2]["contaminated"] and rows[2]["bench_hits"] == 0
+    assert not rows[3]["contaminated"]
+
+
+def test_pii_density(spark):
+    df = spark.createDataFrame(
+        [(0, "reach me at bob@example.com or 10.0.0.1, tel 555-123-4567, "
+             "ssn 123-45-6789, key sk-abcdefabcdef12345678"),
+         (1, "perfectly clean text"),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curation.pii_density(df).collect()}
+    r0 = rows[0]
+    assert (r0["emails"], r0["ipv4s"], r0["phones"], r0["ssns"], r0["api_keys"]) == (1, 1, 1, 1, 1)
+    assert r0["pii_total"] == 5 and r0["pii_per_kchar"] > 0
+    assert rows[1]["pii_total"] == 0
+    assert rows[2]["pii_total"] == 0  # null text → zero counts, row kept
+
+
+def test_stratified_sample_deterministic(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    keep_all = curation.stratified_sample(docs, "lang", {"en": 1.0}, "doc_id")
+    assert keep_all.count() == 500  # en kept fully, zh default 0.0 dropped
+    s1 = set(r["doc_id"] for r in curation.stratified_sample(
+        docs, "lang", {"en": 0.3, "zh": 0.7}, "doc_id").collect())
+    # identical membership at different parallelism — key-determined, not
+    # partition/order-determined
+    s2 = set(r["doc_id"] for r in curation.stratified_sample(
+        docs.repartition(7), "lang", {"en": 0.3, "zh": 0.7}, "doc_id").collect())
+    assert s1 == s2 and 0 < len(s1) < 1000
+
+
+def test_pack_sequences_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(0, 100), (1, 200), (2, 30), (3, 0)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_start"], r["pack_end"], r["doc_offset"])
+        for r in curation.pack_sequences(docs, max_tokens=128, n_buckets=2).collect()
+    )
+    # layout: d0 [0,100) | d1 [100,300) | d2 [300,330); chunks of 128
+    assert rows == [
+        (0, 0, 0, 100, 0),       # doc0 fully in pack 0
+        (1, 0, 100, 128, 0),     # doc1 head fills pack 0
+        (1, 1, 0, 128, 28),      # doc1 middle is all of pack 1
+        (1, 2, 0, 44, 156),      # doc1 tail opens pack 2
+        (2, 2, 44, 74, 0),       # doc2 follows in pack 2
+        (3, None, None, None, None),  # 0-token doc: kept, no pack
+    ]
+    # bucket count must not change the layout (global prefix-sum correctness)
+    rows1 = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_start"], r["pack_end"], r["doc_offset"])
+        for r in curation.pack_sequences(docs, max_tokens=128, n_buckets=1).collect()
+    )
+    assert rows1 == rows
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(0, "aa bb\naa bb\ncc dd"),  # 1 dup line of 2 distinct
+         (1, "x y z w"),              # no newlines, no repeats
+         (2, "t t t t")],             # top bigram 't t' = 3 of 3
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert abs(rows[0]["dup_line_frac"] - (1 - 2 / 3)) < 1e-6
+    assert abs(rows[0]["dup_line_char_frac"] - (5 / 15)) < 1e-6
+    assert rows[1]["dup_line_frac"] == 0.0 and rows[1]["dup_line_char_frac"] == 0.0
+    assert abs(rows[2]["top_bigram_frac"] - 1.0) < 1e-6
+    assert abs(rows[0]["top_bigram_frac"] - 0.4) < 1e-6  # 'aa bb' 2x of 5 bigrams
