@@ -16,8 +16,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from logpipe import dedup, filters, mask, similarity, textstats
 from logpipe.aggregate import (
@@ -1222,6 +1224,43 @@ FROM range(200) t(i)
 """
 
 
+def q_multimodal_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode end-to-end: genuine SOF2 streams with
+    six scans (DC first at Al=1 + refinement, two AC spectral bands first +
+    refinement — the AC bands of these constant images are all-zero, so the
+    scan data is pure cross-block EOB-run arithmetic), decoded through the
+    multi-scan successive-approximation path; constant fill with even gray
+    makes brightness analytic for the oracle, exactly like the baseline
+    JPEG query."""
+    import numpy as np
+
+    from logpipe.multimodal import decode_image_stats, encode_jpeg_gray_progressive
+
+    @F.pandas_udf(T.BinaryType())
+    def _pj(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 13 + 4, i % 11 + 4
+            g = (i * 7 % 128) * 2
+            out.append(encode_jpeg_gray_progressive(np.full((h, w), g, dtype=np.uint8)))
+        return pd.Series(out)
+
+    media = spark.range(150).select(F.col("id").alias("media_id"), _pj(F.col("id")).alias("payload"))
+    return decode_image_stats(media).select(
+        "media_id", "width", "height", F.round("brightness", 6).alias("brightness")
+    )
+
+
+_MULTIMODAL_PROGRESSIVE_SQL = """
+SELECT i AS media_id,
+       CAST(i % 13 + 4 AS INT) AS width,
+       CAST(i % 11 + 4 AS INT) AS height,
+       round((i*7 % 128) * 2 / 255.0, 6) AS brightness
+FROM range(150) t(i)
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: synthetic_wav_media writes genuine
     RIFF/WAVE PCM16 bytes, decode_audio_stats walks the chunk list and
@@ -2171,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_progressive": q_multimodal_progressive,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "multimodal_frames": q_multimodal_frames,
@@ -2243,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
         "multimodal_png": _MULTIMODAL_PNG_SQL,
         "multimodal_jpeg": _MULTIMODAL_JPEG_SQL,
+        "multimodal_progressive": _MULTIMODAL_PROGRESSIVE_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "multimodal_video": _MULTIMODAL_VIDEO_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,

@@ -313,7 +313,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     DQT/DHT parse (arbitrary canonical tables, not just Annex K), Huffman
     entropy decode with byte-stuffing, dequantize through the zigzag,
     orthonormal IDCT, level shift + clamp, crop to the declared size.
-    Progressive streams raise ValueError (stubbed pending PIL)."""
+    Progressive (SOF2) streams delegate to decode_jpeg_progressive."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -361,8 +361,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for c in range(ncomp):
                 samp = seg[7 + 3 * c]
                 comps.append((seg[6 + 3 * c], seg[8 + 3 * c], samp >> 4, samp & 0xF))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC2:  # SOF2: hand the whole stream to the
+            return decode_jpeg_progressive(buf)  # multi-scan decoder
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline SOF0 / progressive SOF2 supported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -457,6 +459,274 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 
 # grayscale-era alias kept for call sites / external users
 decode_jpeg_gray = decode_jpeg
+
+
+def _find_marker(buf: bytes, pos: int) -> int:
+    """First real marker at/after pos: 0xFF followed by neither 0x00 (stuffed
+    data byte) nor RSTn (in-scan restart)."""
+    while pos < len(buf) - 1:
+        if buf[pos] == 0xFF and buf[pos + 1] != 0x00 and not (0xD0 <= buf[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(buf)
+
+
+def decode_jpeg_progressive(buf: bytes) -> np.ndarray:
+    """Progressive (SOF2) JPEG decode in pure numpy — ITU T.81 §G.2 for
+    real: spectral selection bands, successive approximation (DC and AC
+    first + refinement scans, point-transform reconstruction), EOB runs,
+    interleaved DC scans over sampled MCUs, per-scan DHT updates, and
+    restart intervals (DC predictor + EOB-run reset). Coefficients
+    accumulate across scans in per-component zigzag arrays; dequant + batch
+    IDCT + (for color) chroma upsample and the JFIF transform run once at
+    the end. Shares the bit reader, canonical-Huffman tables, quant walk,
+    and color path invariants with the baseline decoder above."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    restart_interval = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, qid, sh, sv)
+    coeff: dict[int, np.ndarray] = {}  # cid → (pad_bh, pad_bw, 64) zigzag int32
+    frame_order: list[int] = []
+    max_h = max_v = 1
+    mcus_x = mcus_y = 0
+    actual_blocks: dict[int, tuple[int, int]] = {}  # cid → (cbh, cbw)
+
+    def _alloc() -> None:
+        nonlocal max_h, max_v, mcus_x, mcus_y
+        max_h = max(c[2] for c in comps)
+        max_v = max(c[3] for c in comps)
+        if max_h > 2 or max_v > 2 or any(max_h % c[2] or max_v % c[3] for c in comps):
+            raise ValueError("unsupported sampling layout (1x1 / 2x2 grids only)")
+        mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+        mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+        for cid, _q, sh, sv in comps:
+            coeff[cid] = np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int32)
+            cw = (w * sh + max_h - 1) // max_h
+            ch = (h * sv + max_v - 1) // max_v
+            actual_blocks[cid] = ((ch + 7) // 8, (cw + 7) // 8)
+
+    def _decode_scan(reader: _BitReader, scan: list[tuple[int, int, int]],
+                     ss: int, se: int, ah: int, al: int) -> None:
+        eobrun = 0
+        preds = {cid: 0 for cid, _dc, _ac in scan}
+        samp = {c[0]: (c[2], c[3]) for c in comps}
+
+        def dc_unit(cid: int, by: int, bx: int, dc_tab) -> None:
+            blk = coeff[cid][by, bx]
+            if ah == 0:
+                size = _huff_decode(reader, dc_tab)
+                preds[cid] += _extend(reader.read(size), size)
+                blk[0] = preds[cid] << al
+            elif reader.read(1):
+                blk[0] |= 1 << al
+
+        def ac_first(blk, ac_tab) -> None:
+            nonlocal eobrun
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = _huff_decode(reader, ac_tab)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read(r)
+                    return
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = _extend(reader.read(s), s) << al
+                k += 1
+
+        def _refine_nz(blk, k: int, bit: int) -> None:
+            # correction bit for an already-nonzero coefficient: magnitude
+            # grows by `bit` when the bit reads 1 and isn't already set
+            if reader.read(1) and (int(blk[k]) & bit) == 0:
+                blk[k] += bit if blk[k] >= 0 else -bit
+
+        def ac_refine(blk, ac_tab) -> None:
+            nonlocal eobrun
+            bit = 1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _huff_decode(reader, ac_tab)
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read(r)
+                            break  # EOB path below refines the tail
+                        val = 0  # ZRL: 16 zero-history slots, no new coef
+                    elif s == 1:
+                        val = bit if reader.read(1) else -bit
+                    else:
+                        raise ValueError("refinement scan size > 1")
+                    while k <= se:
+                        if blk[k] != 0:
+                            _refine_nz(blk, k, bit)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if k <= se and val:
+                        blk[k] = val
+                    k += 1
+                else:
+                    return  # band completed without EOB
+            # EOB run covers this block (possibly mid-band): correction bits
+            # still arrive for every nonzero coefficient through `se`
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nz(blk, k, bit)
+                k += 1
+            eobrun -= 1
+
+        def maybe_restart(count: int) -> None:
+            nonlocal eobrun
+            if restart_interval and count and count % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+                for cid in preds:
+                    preds[cid] = 0
+
+        if ss == 0:  # DC scan: interleaved over MCUs when ns > 1
+            if len(scan) > 1:
+                n = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        maybe_restart(n)
+                        n += 1
+                        for cid, dc_t, _ac in scan:
+                            sh, sv = samp[cid]
+                            for vy in range(sv):
+                                for vx in range(sh):
+                                    dc_unit(cid, my * sv + vy, mx * sh + vx, huff.get((0, dc_t)))
+            else:
+                cid, dc_t, _ac = scan[0]
+                cbh, cbw = actual_blocks[cid]
+                n = 0
+                for by in range(cbh):
+                    for bx in range(cbw):
+                        maybe_restart(n)
+                        n += 1
+                        dc_unit(cid, by, bx, huff.get((0, dc_t)))
+        else:  # AC scan: always one component (T.81 G.1.1.1.1)
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            cid, _dc, ac_t = scan[0]
+            ac_tab = huff[(1, ac_t)]
+            cbh, cbw = actual_blocks[cid]
+            n = 0
+            for by in range(cbh):
+                for bx in range(cbw):
+                    maybe_restart(n)
+                    n += 1
+                    if ah == 0:
+                        ac_first(coeff[cid][by, bx], ac_tab)
+                    else:
+                        ac_refine(coeff[cid][by, bx], ac_tab)
+
+    while pos < len(buf) - 1:
+        if buf[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(buf[pos : pos + 2], "big")
+        seg = buf[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            sp = 0
+            while sp < len(seg):
+                prec, tid = seg[sp] >> 4, seg[sp] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tid] = np.frombuffer(seg, np.uint8, 64, sp + 1).astype(np.int32)
+                sp += 65
+        elif marker == 0xC4:
+            sp = 0
+            while sp < len(seg):
+                cls, tid = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                n = sum(bits)
+                huff[(cls, tid)] = _huff_table(bits, list(seg[sp + 17 : sp + 17 + n]))
+                sp += 17 + n
+        elif marker == 0xC2:
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision")
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise ValueError("only 1 (gray) or 3 (YCbCr) components")
+            for c in range(ncomp):
+                samp_byte = seg[7 + 3 * c]
+                comps.append((seg[6 + 3 * c], seg[8 + 3 * c], samp_byte >> 4, samp_byte & 0xF))
+                frame_order.append(seg[6 + 3 * c])
+            _alloc()
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF0 inside progressive path")
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:
+            if w is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            reader = _BitReader(buf, pos + ln)
+            _decode_scan(reader, scan, ss, se, ah, al)
+            pos = _find_marker(buf, reader.pos)
+            continue
+        pos += ln
+    if w is None or not coeff:
+        raise ValueError("missing SOF2/SOS")
+
+    qt_by_cid = {c[0]: c[1] for c in comps}
+    samp_by_cid = {c[0]: (c[2], c[3]) for c in comps}
+    planes: dict[int, np.ndarray] = {}
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[_ZIGZAG] = np.arange(64)
+    for cid, zzc in coeff.items():
+        bh_, bw_ = zzc.shape[:2]
+        deq = (zzc * qt[qt_by_cid[cid]][None, None, :]).astype(np.float64)
+        nat = deq[:, :, inv_zz].reshape(bh_, bw_, 8, 8)
+        spatial = np.einsum("ku,yxuv,vl->yxkl", _DCT_C.T, nat, _DCT_C)
+        plane = np.clip(np.round(spatial + 128), 0, 255).astype(np.uint8)
+        planes[cid] = plane.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+    if len(frame_order) == 1:
+        return planes[frame_order[0]][:h, :w, None]
+
+    def full_res(cid: int) -> np.ndarray:
+        sh, sv = samp_by_cid[cid]
+        p = planes[cid]
+        if (sh, sv) != (max_h, max_v):
+            p = np.repeat(np.repeat(p, max_v // sv, axis=0), max_h // sh, axis=1)
+        return p[:h, :w].astype(np.float64)
+
+    y, cb, cr = (full_res(cid) for cid in frame_order)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
 def encode_jpeg_gray_dc(img: np.ndarray, quant: int = 16, restart_interval: int = 0) -> bytes:
@@ -666,6 +936,207 @@ def encode_jpeg_420_dc(ycbcr: np.ndarray, quant: int = 16) -> bytes:
     )
 
 
+def jpeg_quant_coeffs(img: np.ndarray, quant: int = 16) -> np.ndarray:
+    """Quantized zigzag DCT coefficients of a grayscale image, (bh, bw, 64)
+    int32 — the shared ground truth between the progressive test encoder and
+    its oracle (expected pixels = IDCT(dequant(these)), computed in numpy,
+    independent of any bitstream)."""
+    h, w = img.shape[:2]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(img.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    freq = np.einsum("uk,yxkl,lv->yxuv", _DCT_C, blocks, _DCT_C.T)
+    zz = np.round(freq.reshape(bh, bw, 64)[:, :, _ZIGZAG] / quant).astype(np.int32)
+    return zz
+
+
+class _BitWriter:
+    """MSB-first bit packer with 0xFF byte-stuffing and 1-padding flush."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nacc = 0
+        self.out = bytearray()
+
+    def put(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nacc += n
+        while self.nacc >= 8:
+            self.nacc -= 8
+            b = (self.acc >> self.nacc) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> bytes:
+        if self.nacc:
+            self.put((1 << (8 - self.nacc)) - 1, 8 - self.nacc)
+        out, self.out = bytes(self.out), bytearray()
+        return out
+
+
+def _enc_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (length, code) for a canonical table (encoder mirror of
+    _huff_table)."""
+    enc, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+def encode_jpeg_gray_progressive(img: np.ndarray, quant: int = 16) -> bytes:
+    """Test-grade PROGRESSIVE (SOF2) grayscale writer exercising every scan
+    type the decoder implements: DC first with successive approximation
+    (Al=1), DC refinement, AC first scans over two spectral bands at Al=1
+    (with cross-block EOB runs), and AC refinement scans at Al=0 (ZRL over
+    zero-history runs, interleaved correction bits, per-block EOB). AC
+    symbols use a flat canonical table of all 256 (run,size) bytes — 128 at
+    length 8 + 128 at length 9 (DHT per-length counts are bytes; Kraft sum
+    0.75 leaves the all-ones code unused as T.81 requires); DC uses the
+    Annex-K-shaped category table. Arbitrary grayscale content — full AC coefficients, not
+    the DC-only constant-block shortcut of the baseline test writers."""
+    h, w = img.shape[:2]
+    zz = jpeg_quant_coeffs(img, quant)
+    bh, bw = zz.shape[:2]
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    dc_enc = _enc_table(dc_bits, dc_vals)
+    ac_bits = [0] * 7 + [128, 128] + [0] * 7
+    ac_vals = list(range(256))
+    ac_enc = _enc_table(ac_bits, ac_vals)
+
+    def put_sym(wr: _BitWriter, enc: dict, sym: int) -> None:
+        length, code = enc[sym]
+        wr.put(code, length)
+
+    def put_signed(wr: _BitWriter, x: int, size: int) -> None:
+        wr.put(x if x >= 0 else x + (1 << size) - 1, size)
+
+    def scan_dc_first(al: int) -> bytes:
+        wr, pred = _BitWriter(), 0
+        for by in range(bh):
+            for bx in range(bw):
+                v = int(zz[by, bx, 0]) >> al  # arithmetic shift = DC point transform
+                diff, pred = v - pred, v
+                size = abs(diff).bit_length()
+                put_sym(wr, dc_enc, size)
+                put_signed(wr, diff, size)
+        return wr.flush()
+
+    def scan_dc_refine(al: int) -> bytes:
+        wr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                wr.put((int(zz[by, bx, 0]) >> al) & 1, 1)
+        return wr.flush()
+
+    def scan_ac_first(ss: int, se: int, al: int) -> bytes:
+        wr = _BitWriter()
+        eob_pending = 0
+
+        def flush_eob() -> None:
+            nonlocal eob_pending
+            while eob_pending:
+                n = min(eob_pending.bit_length() - 1, 14)
+                count = min(eob_pending, (1 << (n + 1)) - 1)
+                put_sym(wr, ac_enc, n << 4)
+                wr.put(count - (1 << n), n)
+                eob_pending -= count
+
+        for by in range(bh):
+            for bx in range(bw):
+                band = zz[by, bx, ss : se + 1]
+                run, wrote = 0, False
+                for off in range(len(band)):
+                    c = int(band[off])
+                    t = abs(c) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        put_sym(wr, ac_enc, 0xF0)
+                        run -= 16
+                    size = t.bit_length()
+                    put_sym(wr, ac_enc, (run << 4) | size)
+                    put_signed(wr, t if c > 0 else -t, size)
+                    run, wrote = 0, True
+                if run or not wrote:
+                    eob_pending += 1
+                    if eob_pending == (1 << 14):
+                        flush_eob()
+        flush_eob()
+        return wr.flush()
+
+    def scan_ac_refine(ss: int, se: int, al: int) -> bytes:
+        # history = magnitude known after the Al+1 scan; this scan sends one
+        # more magnitude bit per coefficient (T.81 G.1.2.3 encoder dual of
+        # the decoder's correction walk). Per-block EOB0, no cross-block runs.
+        wr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                band = [int(v) for v in zz[by, bx, ss : se + 1]]
+                hist = [abs(v) >> (al + 1) for v in band]
+                nbit = [(abs(v) >> al) & 1 for v in band]
+                new_sig = [i for i in range(len(band)) if hist[i] == 0 and nbit[i]]
+                j = 0  # first unconsumed band position
+                for target in new_sig:
+                    # zero-history slots between j and the target (non-target
+                    # zero-history positions always have correction bit 0)
+                    zpos = [i for i in range(j, target) if hist[i] == 0]
+                    while len(zpos) > 15:
+                        # ZRL: the decoder walks up TO the 16th zero-history
+                        # slot (no bit read there), reading correction bits
+                        # for history positions passed on the way
+                        upto = zpos[15]
+                        put_sym(wr, ac_enc, 0xF0)
+                        for i in range(j, upto):
+                            if hist[i] != 0:
+                                wr.put(nbit[i], 1)
+                        j = upto + 1
+                        zpos = zpos[16:]
+                    put_sym(wr, ac_enc, (len(zpos) << 4) | 1)
+                    wr.put(1 if band[target] > 0 else 0, 1)  # sign precedes walk bits
+                    for i in range(j, target):
+                        if hist[i] != 0:
+                            wr.put(nbit[i], 1)
+                    j = target + 1
+                if j < len(band):
+                    bits = [nbit[i] for i in range(j, len(band)) if hist[i] != 0]
+                    put_sym(wr, ac_enc, 0x00)  # EOB0: run of exactly this block
+                    for b in bits:
+                        wr.put(b, 1)
+        return wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(scan_bytes: bytes, ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + scan_bytes
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([quant] * 64))
+        + seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        + sos(scan_dc_first(1), 0, 0, 0, 1)
+        + sos(scan_ac_first(1, 5, 1), 1, 5, 0, 1)
+        + sos(scan_ac_first(6, 63, 1), 6, 63, 0, 1)
+        + sos(scan_dc_refine(0), 0, 0, 1, 0)
+        + sos(scan_ac_refine(1, 5, 0), 1, 5, 1, 0)
+        + sos(scan_ac_refine(6, 63, 0), 6, 63, 1, 0)
+        + b"\xff\xd9"
+    )
+
+
 def _resize_area(gray: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Area-average resample to (th, tw) — the mean-pool 'thumbnail'."""
     H, W = gray.shape
@@ -704,8 +1175,10 @@ def _decode_image_bytes(payload: bytes, fake: bool, target: tuple[int, int] = (4
         return np.frombuffer(h[:16], dtype=np.uint8).reshape(4, 4).astype(np.float32)
     else:
         raise NotImplementedError(
-            "JPEG/other codec decode requires PIL/opencv (not in this "
-            "container); pass fake=True for the deterministic stub"
+            "unrecognized codec (PPM/BMP/PNG/JPEG incl. progressive are "
+            "decoded natively); pass fake=True for the deterministic stub — "
+            "extract_image_features counts this as decode_error, it never "
+            "kills the task"
         )
     return _resize_area(_gray(rgb), target[0], target[1]).astype(np.float32)
 

@@ -588,3 +588,60 @@ def test_decode_jpeg_restart_and_png_palette(spark):
     img2 = decode_png(buf)
     assert img2.shape == (2, 3, 3)
     assert img2[0, 0].tolist() == [255, 0, 0] and img2[1, 0].tolist() == [0, 0, 255]
+
+
+def test_decode_jpeg_progressive(spark):
+    """Progressive (SOF2) decode for real: DC successive approximation
+    (first Al=1 + refinement), AC spectral-selection first scans with
+    cross-block EOB runs, AC refinement with ZRL/correction bits. Oracle =
+    direct IDCT of the encoder's quantized coefficients (no bitstream in
+    common), so encoder and decoder validate each other bit-exactly."""
+    import numpy as np
+
+    from logpipe.multimodal import (
+        _DCT_C,
+        _ZIGZAG,
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+        jpeg_quant_coeffs,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(8, 8), (17, 23), (64, 48)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = (
+            128 + 60 * np.sin(xx / 5.0) + 50 * np.cos(yy / 7.0) + rng.randint(-20, 20, (h, w))
+        ).clip(0, 255).astype(np.uint8)
+        buf = encode_jpeg_gray_progressive(img, quant=16)
+        assert buf.count(b"\xff\xda") == 6  # 6 scans: DC f/r, 2 AC bands f/r
+        zz = jpeg_quant_coeffs(img, 16)
+        bh, bw = zz.shape[:2]
+        inv = np.empty(64, dtype=np.int64)
+        inv[_ZIGZAG] = np.arange(64)
+        nat = (zz * 16)[:, :, inv].reshape(bh, bw, 8, 8).astype(np.float64)
+        sp = np.einsum("ku,yxuv,vl->yxkl", _DCT_C.T, nat, _DCT_C)
+        exp = (
+            np.clip(np.round(sp + 128), 0, 255)
+            .astype(np.uint8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)[:h, :w]
+        )
+        got = decode_jpeg(buf)  # SOF2 auto-delegates to the progressive path
+        assert got.shape == (h, w, 1)
+        assert np.array_equal(got[:, :, 0], exp)
+
+
+def test_progressive_jpeg_through_feature_path(spark):
+    """A progressive JPEG flows through extract_image_features with
+    fake=False — decoded for real, not a counted null."""
+    import numpy as np
+
+    from logpipe.multimodal import encode_jpeg_gray_progressive, extract_image_features
+
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    img[4:12, 4:12] = 200
+    buf = encode_jpeg_gray_progressive(img)
+    media = spark.createDataFrame([(1, buf), (2, buf[:40])], "media_id long, payload binary")
+    out = {r["media_id"]: r for r in extract_image_features(media, fake=False).collect()}
+    assert not out[1]["decode_error"] and len(out[1]["feature"]) == 16
+    assert out[2]["decode_error"]  # truncated progressive → counted null
