@@ -1854,6 +1854,51 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296
 """
 
 
+def q_curation_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics as flag columns over deterministically
+    synthesized multi-line docs (terminal-punctuation lines, short lines,
+    lorem-ipsum / code-brace / enable-javascript boilerplate by doc_id
+    residue) — pure split/filter/contains exprs, oracle mirrors the
+    construction and the heuristics in SQL."""
+    from logpipe.curation import c4_flags
+
+    i = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit("\nOk line one."),
+        F.when(i % 3 == 0, F.lit("\nhas lorem ipsum inside.")).otherwise(F.lit("\ntiny line")),
+        F.when(i % 7 == 0, F.lit(" please enable JavaScript {")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn("t2", t2)
+    return c4_flags(docs, text_col="t2").select(
+        "doc_id", "n_lines", "n_terminal_lines", "frac_terminal", "n_short_lines",
+        "has_lorem", "has_curly", "has_js_warning",
+    )
+
+
+_CURATION_C4_SQL = r"""
+WITH syn AS (
+  SELECT doc_id, text || chr(10) || 'Ok line one.' ||
+    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'has lorem ipsum inside.' ELSE chr(10) || 'tiny line' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' please enable JavaScript {' ELSE '' END AS t2
+  FROM documents
+),
+l AS (
+  SELECT doc_id, t2, [x FOR x IN string_split(t2, chr(10)) IF len(trim(x)) > 0] AS lines
+  FROM syn
+)
+SELECT doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(len([x FOR x IN lines IF regexp_matches(trim(x), '[.!?"]$')]) AS INT) AS n_terminal_lines,
+  round(len([x FOR x IN lines IF regexp_matches(trim(x), '[.!?"]$')]) / CAST(len(lines) AS DOUBLE), 6) AS frac_terminal,
+  CAST(len([x FOR x IN lines IF len(string_split(regexp_replace(trim(x), '\s+', ' ', 'g'), ' ')) < 5]) AS INT) AS n_short_lines,
+  contains(lower(t2), 'lorem ipsum') AS has_lorem,
+  contains(t2, '{') AS has_curly,
+  contains(lower(t2), 'enable javascript') AS has_js_warning
+FROM l
+"""
+
+
 def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-then-chunk at 256 tokens): global token
     prefix-sum via deterministic key-range buckets + broadcast offsets —
@@ -2233,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pii": q_curation_pii,
         "curation_sample": q_curation_sample,
         "curation_pack": q_curation_pack,
+        "curation_c4": q_curation_c4,
         "format_github": q_format_github,
         "format_journald": q_format_journald,
         "format_gelf": q_format_gelf,
@@ -2306,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pii": _CURATION_PII_SQL,
         "curation_sample": _CURATION_SAMPLE_SQL,
         "curation_pack": _CURATION_PACK_SQL,
+        "curation_c4": _CURATION_C4_SQL,
         "format_github": _FORMAT_GITHUB_SQL,
         "format_journald": _journald_sql(),
         "format_gelf": _FORMAT_GELF_SQL,

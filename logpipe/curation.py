@@ -228,3 +228,47 @@ def pack_sequences(
         .cast("long")
         .alias("doc_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic flags
+# ---------------------------------------------------------------------------
+
+
+def c4_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The public C4 cleaning heuristics as boolean/metric columns (flags,
+    not drops — thresholds stay policy): per doc,
+
+      n_lines            — non-empty lines
+      n_terminal_lines   — lines ending in terminal punctuation (. ! ? ")
+      frac_terminal      — ratio of the two (C4 keeps only terminal lines)
+      n_short_lines      — non-empty lines with < 5 words (C4's word floor)
+      has_lorem          — 'lorem ipsum' placeholder text
+      has_curly          — '{' (C4 drops pages with code braces)
+      has_js_warning     — 'enable javascript' boilerplate
+
+    Pure column expressions (split + filter/aggregate HOFs + contains), so
+    the flags ride the scan at 100 TB with no UDF and no shuffle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    terminal = F.filter(
+        lines, lambda l: F.trim(l).rlike('[.!?"]$')
+    )
+    short = F.filter(
+        lines, lambda l: F.size(F.split(F.trim(l), r"\s+")) < 5
+    )
+    lc = F.lower(c)
+    n_lines = F.size(lines)
+    return (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("n_terminal_lines", F.size(terminal))
+        .withColumn(
+            "frac_terminal",
+            F.when(n_lines > 0, F.round(F.size(terminal) / n_lines.cast("double"), 6))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn("n_short_lines", F.size(short))
+        .withColumn("has_lorem", lc.contains("lorem ipsum"))
+        .withColumn("has_curly", c.contains("{"))
+        .withColumn("has_js_warning", lc.contains("enable javascript"))
+    )

@@ -100,3 +100,24 @@ def test_repetition_stats(spark):
     assert rows[1]["dup_line_frac"] == 0.0 and rows[1]["dup_line_char_frac"] == 0.0
     assert abs(rows[2]["top_bigram_frac"] - 1.0) < 1e-6
     assert abs(rows[0]["top_bigram_frac"] - 0.4) < 1e-6  # 'aa bb' 2x of 5 bigrams
+
+
+def test_c4_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 'Good sentence here today.\nShort one\nAnother proper line!\n'),
+            (1, "text with lorem ipsum filler and { braces } inside"),
+            (2, "Please enable JavaScript to view this page"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curation.c4_flags(df).collect()}
+    r0 = rows[0]
+    assert r0["n_lines"] == 3 and r0["n_terminal_lines"] == 2
+    assert abs(r0["frac_terminal"] - 2 / 3) < 1e-6
+    assert r0["n_short_lines"] == 3  # all three lines are under 5 words
+    assert not r0["has_lorem"] and not r0["has_curly"]
+    assert rows[1]["has_lorem"] and rows[1]["has_curly"]
+    assert rows[2]["has_js_warning"]
+    assert rows[3]["n_lines"] == 0 and rows[3]["frac_terminal"] == 0.0
