@@ -183,6 +183,44 @@ def main() -> int:
                      ["exactly 2 ArrowEvalPython nodes: one signature pass per side of the band self-join",
                       "the null-signature filter does NOT duplicate the UDF into Filter+Project"]))
 
+    # 4e. curation: decontamination joins the benchmark gram set by
+    # BROADCAST (corpus side never shuffles for the join), and sequence
+    # packing never degenerates into a single-partition global window —
+    # the prefix-sum runs in _b-partitioned windows plus a broadcast
+    # offset join.
+    from logpipe import curation
+
+    docs_c = spark.createDataFrame(
+        [(i, "w%d x y z a b c d e f" % i) for i in range(20)], "doc_id long, text string"
+    )
+    dec = curation.decontaminate(docs_c, docs_c.limit(3).select("text"), n=3)
+    p = plan_of(dec)
+    # the GRAM join must broadcast (the corpus side never shuffles to meet
+    # the benchmark); the hits-back join on doc_id is corpus×corpus-sized at
+    # scale, so a shuffle join THERE is the correct plan, not a violation
+    problems += check(
+        "decontaminate",
+        p,
+        want=[r"BroadcastHashJoin Inner BuildRight", r"\n\(\d+\) Generate"],
+        forbid=[],
+    )
+    sections.append(("Curation: benchmark decontamination", p,
+                     ["benchmark gram set joins by BroadcastHashJoin on _g — the exploded corpus side never shuffles for the membership test",
+                      "the per-doc hits re-join on doc_id may shuffle (both sides corpus-sized at scale — correct)"]))
+
+    toks = docs_c.select("doc_id", F.lit(10).alias("n_tokens"))
+    packed = curation.pack_sequences(toks, max_tokens=16, n_buckets=4)
+    p = plan_of(packed)
+    problems += check(
+        "pack_sequences",
+        p,
+        want=[r"hashpartitioning\(_b#", r"BroadcastHashJoin"],
+        forbid=[r"Exchange SinglePartition"],
+    )
+    sections.append(("Curation: sequence packing prefix-sum", p,
+                     ["window cumsum partitions by the deterministic key-range bucket (_b) — no single-partition global window",
+                      "bucket offsets join back by broadcast (n_buckets rows)"]))
+
     # 5. whole-stage codegen present around the masking/routing exprs (AQE
     # display defers codegen ids, so inspect the static plan with AQE off)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
