@@ -1137,6 +1137,81 @@ def encode_jpeg_gray_progressive(img: np.ndarray, quant: int = 16) -> bytes:
     )
 
 
+def encode_jpeg_color_dc_progressive(ycbcr: np.ndarray, quant: int = 16) -> bytes:
+    """Test-grade progressive COLOR writer (per-block-constant 4:4:4 YCbCr):
+    one INTERLEAVED DC-first scan over 3-component MCUs at Al=1, a DC
+    refinement scan, then one AC-first scan per component whose all-zero
+    bands compress to a single cross-block EOB run — exercising the
+    decoder's interleaved-DC and per-component-AC progressive paths that the
+    grayscale encoder cannot reach."""
+    h, w = ycbcr.shape[:2]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    dc_enc = _enc_table(dc_bits, dc_vals)
+    ac_bits = [0] * 7 + [128, 128] + [0] * 7
+    ac_vals = list(range(256))
+    ac_enc = _enc_table(ac_bits, ac_vals)
+
+    def dc_of(by: int, bx: int, ci: int) -> int:
+        g = int(ycbcr[min(by * 8, h - 1), min(bx * 8, w - 1), ci])
+        return ((g - 128) * 8) // quant
+
+    def scan_dc_first(al: int) -> bytes:
+        wr, preds = _BitWriter(), [0, 0, 0]
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    v = dc_of(by, bx, ci) >> al
+                    diff, preds[ci] = v - preds[ci], v
+                    size = abs(diff).bit_length()
+                    length, code = dc_enc[size]
+                    wr.put(code, length)
+                    if size:
+                        wr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        return wr.flush()
+
+    def scan_dc_refine(al: int) -> bytes:
+        wr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    wr.put((dc_of(by, bx, ci) >> al) & 1, 1)
+        return wr.flush()
+
+    def scan_ac_empty() -> bytes:
+        # whole component's 1..63 band is zero → one EOB run over all blocks
+        wr, pending = _BitWriter(), bh * bw
+        while pending:
+            n = min(pending.bit_length() - 1, 14)
+            count = min(pending, (1 << (n + 1)) - 1)
+            length, code = ac_enc[n << 4]
+            wr.put(code, length)
+            wr.put(count - (1 << n), n)
+            pending -= count
+        return wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    sof_comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+    out = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([quant] * 64))
+        + seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3]) + sof_comps)
+        + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3)) + bytes([0, 0, 0x01]))
+        + scan_dc_first(1)
+    )
+    for cid in (1, 2, 3):
+        out += seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x01])) + scan_ac_empty()
+    out += seg(0xDA, bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3)) + bytes([0, 0, 0x10])) + scan_dc_refine(0)
+    for cid in (1, 2, 3):
+        out += seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x10])) + scan_ac_empty()
+    return out + b"\xff\xd9"
+
+
 def _resize_area(gray: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Area-average resample to (th, tw) — the mean-pool 'thumbnail'."""
     H, W = gray.shape

@@ -645,3 +645,32 @@ def test_progressive_jpeg_through_feature_path(spark):
     out = {r["media_id"]: r for r in extract_image_features(media, fake=False).collect()}
     assert not out[1]["decode_error"] and len(out[1]["feature"]) == 16
     assert out[2]["decode_error"]  # truncated progressive → counted null
+
+
+def test_decode_jpeg_progressive_color(spark):
+    """Interleaved-DC progressive color: 3-component MCU scans with DC
+    successive approximation + per-component all-zero AC scans compressed to
+    cross-block EOB runs (eobrun > 1 through the refinement path, which the
+    grayscale encoder can't produce)."""
+    import numpy as np
+
+    from logpipe.multimodal import decode_jpeg, encode_jpeg_color_dc_progressive
+
+    ycbcr = np.zeros((8, 24, 3), dtype=np.uint8)
+    ycbcr[:, :8] = (120, 128, 128)
+    ycbcr[:, 8:16] = (82, 90, 240)
+    ycbcr[:, 16:] = (144, 54, 34)
+    buf = encode_jpeg_color_dc_progressive(ycbcr)
+    assert buf[3] == 0xDB and b"\xff\xc2" in buf  # SOF2 stream
+    assert buf.count(b"\xff\xda") == 8  # 2 DC scans + 3+3 per-comp AC scans
+    out = decode_jpeg(buf)
+    assert out.shape == (8, 24, 3)
+    for bx in range(3):
+        y, cb, cr = (float(v) for v in ycbcr[0, bx * 8])
+        want = (
+            int(np.clip(round(y + 1.402 * (cr - 128.0)), 0, 255)),
+            int(np.clip(round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255)),
+            int(np.clip(round(y + 1.772 * (cb - 128.0)), 0, 255)),
+        )
+        assert tuple(out[4, bx * 8 + 3]) == want
+    assert tuple(out[0, 0]) == (120, 120, 120)
