@@ -178,3 +178,87 @@ def test_heavy_hitters_match_exact_counter(spark, keys):
         key=lambda t: (-t[1], t[0]),
     )[:5]
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    st.integers(min_value=16, max_value=257),
+)
+def test_pack_sequences_layout_invariants(spark, token_counts, max_tokens):
+    """Packing invariants for arbitrary token-count sequences:
+    per-doc slice lengths sum to n_tokens; slices stay inside [0, max);
+    global layout is contiguous (concat-then-chunk); and the bucketed
+    prefix-sum equals the single-bucket (serial) layout."""
+    from logpipe.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        list(enumerate(token_counts)), "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences(docs, max_tokens=max_tokens, n_buckets=5).collect()
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        if r["pack_id"] is None:
+            assert token_counts[r["doc_id"]] == 0
+            continue
+        assert 0 <= r["pack_start"] < r["pack_end"] <= max_tokens
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + (r["pack_end"] - r["pack_start"])
+    for did, n in enumerate(token_counts):
+        assert per_doc.get(did, 0) == n
+    # global token conservation: occupied slots == total tokens, and every
+    # pack before the last is filled exactly to max_tokens
+    total = sum(token_counts)
+    assert sum(per_doc.values()) == total
+    by_pack: dict[int, int] = {}
+    for r in rows:
+        if r["pack_id"] is not None:
+            by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + (r["pack_end"] - r["pack_start"])
+    if by_pack:
+        last = max(by_pack)
+        assert set(by_pack) == set(range(last + 1))  # contiguous pack ids
+        for pid, fill in by_pack.items():
+            assert fill == (max_tokens if pid < last else total - last * max_tokens)
+    serial = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_start"], r["pack_end"], r["doc_offset"])
+        for r in pack_sequences(docs, max_tokens=max_tokens, n_buckets=1).collect()
+    )
+    bucketed = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_start"], r["pack_end"], r["doc_offset"])
+        for r in rows
+    )
+    assert serial == bucketed
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_progressive_jpeg_random_roundtrip(spark, seed):
+    """Any random image round-trips the progressive encoder/decoder to the
+    exact IDCT of its quantized coefficients — the full successive
+    approximation + spectral selection path, adversarial content."""
+    import numpy as np
+
+    from logpipe.multimodal import (
+        _DCT_C,
+        _ZIGZAG,
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+        jpeg_quant_coeffs,
+    )
+
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(1, 41)), int(rng.randint(1, 41))
+    img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    buf = encode_jpeg_gray_progressive(img, quant=16)
+    zz = jpeg_quant_coeffs(img, 16)
+    bh, bw = zz.shape[:2]
+    inv = np.empty(64, dtype=np.int64)
+    inv[_ZIGZAG] = np.arange(64)
+    nat = (zz * 16)[:, :, inv].reshape(bh, bw, 8, 8).astype(np.float64)
+    sp = np.einsum("ku,yxuv,vl->yxkl", _DCT_C.T, nat, _DCT_C)
+    exp = (
+        np.clip(np.round(sp + 128), 0, 255)
+        .astype(np.uint8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)[:h, :w]
+    )
+    assert np.array_equal(decode_jpeg(buf)[:, :, 0], exp)
