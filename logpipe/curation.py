@@ -117,10 +117,11 @@ def pii_density(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _hash_unit(key: Column) -> Column:
     """Deterministic uniform [0,1) from a key: first 8 hex chars of md5 as a
     32-bit integer / 2^32. Stable across runs, partitions, and engines —
-    DuckDB replica: ('0x' || substr(md5(k),1,8))::UBIGINT / 4294967296.0."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double") / F.lit(
-        float(1 << 32)
-    )
+    DuckDB replica: ('0x' || substr(md5(k),1,8))::UBIGINT / 4294967296.0.
+    A null key hashes as the empty string (md5(NULL) is NULL, which would
+    silently drop the row from every sample regardless of rate)."""
+    s = F.coalesce(key.cast("string"), F.lit(""))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("double") / F.lit(float(1 << 32))
 
 
 def stratified_sample(

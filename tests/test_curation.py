@@ -60,6 +60,10 @@ def test_stratified_sample_deterministic(spark):
     s2 = set(r["doc_id"] for r in curation.stratified_sample(
         docs.repartition(7), "lang", {"en": 0.3, "zh": 0.7}, "doc_id").collect())
     assert s1 == s2 and 0 < len(s1) < 1000
+    # null keys hash deterministically as "" — a rate-1.0 stratum keeps them
+    # (md5(NULL) would otherwise silently drop the row at ANY rate)
+    nulls = spark.createDataFrame([(None, "en")], "doc_id long, lang string")
+    assert curation.stratified_sample(nulls, "lang", {"en": 1.0}, "doc_id").count() == 1
 
 
 def test_pack_sequences_hand_case(spark):
