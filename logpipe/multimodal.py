@@ -991,7 +991,9 @@ def _enc_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return enc
 
 
-def encode_jpeg_gray_progressive(img: np.ndarray, quant: int = 16) -> bytes:
+def encode_jpeg_gray_progressive(
+    img: np.ndarray, quant: int = 16, restart_interval: int = 0
+) -> bytes:
     """Test-grade PROGRESSIVE (SOF2) grayscale writer exercising every scan
     type the decoder implements: DC first with successive approximation
     (Al=1), DC refinement, AC first scans over two spectral bands at Al=1
@@ -1019,39 +1021,59 @@ def encode_jpeg_gray_progressive(img: np.ndarray, quant: int = 16) -> bytes:
     def put_signed(wr: _BitWriter, x: int, size: int) -> None:
         wr.put(x if x >= 0 else x + (1 << size) - 1, size)
 
+    blist = [(by, bx) for by in range(bh) for bx in range(bw)]
+
+    def _with_restarts(encode_segment) -> bytes:
+        """Entropy payload for one scan: whole-image when restart_interval
+        is 0, else per-interval segments joined with RSTn markers. Predictor
+        and EOB-run state live inside each segment (the decoder resets both
+        at every RSTn)."""
+        if not restart_interval:
+            return encode_segment(blist)
+        out = bytearray()
+        for si in range(0, len(blist), restart_interval):
+            if si:
+                out += bytes([0xFF, 0xD0 + (si // restart_interval - 1) % 8])
+            out += encode_segment(blist[si : si + restart_interval])
+        return bytes(out)
+
     def scan_dc_first(al: int) -> bytes:
-        wr, pred = _BitWriter(), 0
-        for by in range(bh):
-            for bx in range(bw):
+        def segment(blocks) -> bytes:
+            wr, pred = _BitWriter(), 0
+            for by, bx in blocks:
                 v = int(zz[by, bx, 0]) >> al  # arithmetic shift = DC point transform
                 diff, pred = v - pred, v
                 size = abs(diff).bit_length()
                 put_sym(wr, dc_enc, size)
                 put_signed(wr, diff, size)
-        return wr.flush()
+            return wr.flush()
+
+        return _with_restarts(segment)
 
     def scan_dc_refine(al: int) -> bytes:
-        wr = _BitWriter()
-        for by in range(bh):
-            for bx in range(bw):
+        def segment(blocks) -> bytes:
+            wr = _BitWriter()
+            for by, bx in blocks:
                 wr.put((int(zz[by, bx, 0]) >> al) & 1, 1)
-        return wr.flush()
+            return wr.flush()
+
+        return _with_restarts(segment)
 
     def scan_ac_first(ss: int, se: int, al: int) -> bytes:
-        wr = _BitWriter()
-        eob_pending = 0
+        def segment(blocks) -> bytes:
+            wr = _BitWriter()
+            eob_pending = 0
 
-        def flush_eob() -> None:
-            nonlocal eob_pending
-            while eob_pending:
-                n = min(eob_pending.bit_length() - 1, 14)
-                count = min(eob_pending, (1 << (n + 1)) - 1)
-                put_sym(wr, ac_enc, n << 4)
-                wr.put(count - (1 << n), n)
-                eob_pending -= count
+            def flush_eob() -> None:
+                nonlocal eob_pending
+                while eob_pending:
+                    n = min(eob_pending.bit_length() - 1, 14)
+                    count = min(eob_pending, (1 << (n + 1)) - 1)
+                    put_sym(wr, ac_enc, n << 4)
+                    wr.put(count - (1 << n), n)
+                    eob_pending -= count
 
-        for by in range(bh):
-            for bx in range(bw):
+            for by, bx in blocks:
                 band = zz[by, bx, ss : se + 1]
                 run, wrote = 0, False
                 for off in range(len(band)):
@@ -1072,16 +1094,18 @@ def encode_jpeg_gray_progressive(img: np.ndarray, quant: int = 16) -> bytes:
                     eob_pending += 1
                     if eob_pending == (1 << 14):
                         flush_eob()
-        flush_eob()
-        return wr.flush()
+            flush_eob()  # an EOB run never crosses a restart boundary
+            return wr.flush()
+
+        return _with_restarts(segment)
 
     def scan_ac_refine(ss: int, se: int, al: int) -> bytes:
         # history = magnitude known after the Al+1 scan; this scan sends one
         # more magnitude bit per coefficient (T.81 G.1.2.3 encoder dual of
         # the decoder's correction walk). Per-block EOB0, no cross-block runs.
-        wr = _BitWriter()
-        for by in range(bh):
-            for bx in range(bw):
+        def segment(blocks) -> bytes:
+            wr = _BitWriter()
+            for by, bx in blocks:
                 band = [int(v) for v in zz[by, bx, ss : se + 1]]
                 hist = [abs(v) >> (al + 1) for v in band]
                 nbit = [(abs(v) >> al) & 1 for v in band]
@@ -1113,7 +1137,9 @@ def encode_jpeg_gray_progressive(img: np.ndarray, quant: int = 16) -> bytes:
                     put_sym(wr, ac_enc, 0x00)  # EOB0: run of exactly this block
                     for b in bits:
                         wr.put(b, 1)
-        return wr.flush()
+            return wr.flush()
+
+        return _with_restarts(segment)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -1127,6 +1153,7 @@ def encode_jpeg_gray_progressive(img: np.ndarray, quant: int = 16) -> bytes:
         + seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
         + seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
         + seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        + (seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b"")
         + sos(scan_dc_first(1), 0, 0, 0, 1)
         + sos(scan_ac_first(1, 5, 1), 1, 5, 0, 1)
         + sos(scan_ac_first(6, 63, 1), 6, 63, 0, 1)

@@ -629,6 +629,13 @@ def test_decode_jpeg_progressive(spark):
         got = decode_jpeg(buf)  # SOF2 auto-delegates to the progressive path
         assert got.shape == (h, w, 1)
         assert np.array_equal(got[:, :, 0], exp)
+        # restart intervals: every scan's entropy data splits at RSTn with
+        # DC-predictor + EOB-run resets — same exact pixels
+        buf_ri = encode_jpeg_gray_progressive(img, quant=16, restart_interval=2)
+        assert b"\xff\xdd" in buf_ri  # DRI segment present
+        if bh * bw > 2:  # >1 restart segment → RSTn markers in the data
+            assert buf_ri.count(b"\xff\xd0") >= 1
+        assert np.array_equal(decode_jpeg(buf_ri)[:, :, 0], exp)
 
 
 def test_progressive_jpeg_through_feature_path(spark):
