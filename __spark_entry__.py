@@ -1899,6 +1899,69 @@ FROM l
 """
 
 
+def q_curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop policy end-to-end: token bounds + repetition +
+    C4 boilerplate + PII in one projection, first-failing-rule reason.
+    Outcomes synthesized by doc_id residue (lorem append / too-short
+    replacement); the oracle mirrors the rule CASCADE in the same order."""
+    from logpipe.curation import quality_filter
+
+    i = F.col("doc_id")
+    t2 = (
+        F.when(i % 11 == 0, F.concat(F.col("text"), F.lit(" and lorem ipsum text")))
+        .when(i % 13 == 0, F.lit("tiny doc here"))
+        .otherwise(F.col("text"))
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn("t2", t2)
+    return quality_filter(docs, text_col="t2").select("doc_id", "n_words", "reason", "keep")
+
+
+_CURATION_QUALITY_SQL = r"""
+WITH syn AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' and lorem ipsum text'
+              WHEN doc_id % 13 = 0 THEN 'tiny doc here'
+              ELSE text END AS t2
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, t2,
+    len(string_split(regexp_replace(lower(trim(t2)), '\s+', ' ', 'g'), ' ')) AS n_words,
+    contains(lower(t2), 'lorem ipsum') AS has_lorem,
+    contains(lower(t2), 'enable javascript') AS has_js,
+    [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))] AS g2
+  FROM (SELECT *, string_split(regexp_replace(lower(trim(t2)), '\s+', ' ', 'g'), ' ') AS ws FROM syn)
+),
+m AS (
+  SELECT doc_id, n_words, has_lorem, has_js,
+    round(CASE WHEN len(g2) > 0
+          THEN list_max([len([y FOR y IN g2 IF y = d]) FOR d IN list_distinct(g2)]) / CAST(len(g2) AS DOUBLE)
+          ELSE 0 END, 6) AS top_bigram,
+    round((len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+         + len(regexp_extract_all(t2, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+         + len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b'))
+         + len(regexp_extract_all(t2, '\b(sk|pk|key)-[A-Za-z0-9]{16,}\b'))) * 1000.0
+         / greatest(len(t2), 1), 6) AS pii_kc
+  FROM sig
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+  CASE WHEN n_words < 10 THEN 'too_short'
+       WHEN n_words > 100000 THEN 'too_long'
+       WHEN has_lorem THEN 'lorem_ipsum'
+       WHEN has_js THEN 'js_boilerplate'
+       -- single-line corpus: dup_line_frac is identically 0, rule can't fire
+       WHEN top_bigram > 0.2 THEN 'repetitive'
+       WHEN pii_kc > 5.0 THEN 'pii_dense'
+  END AS reason,
+  CASE WHEN n_words < 10 THEN FALSE WHEN n_words > 100000 THEN FALSE
+       WHEN has_lorem THEN FALSE WHEN has_js THEN FALSE
+       WHEN top_bigram > 0.2 THEN FALSE WHEN pii_kc > 5.0 THEN FALSE
+       ELSE TRUE END AS keep
+FROM m
+"""
+
+
 def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-then-chunk at 256 tokens): global token
     prefix-sum via deterministic key-range buckets + broadcast offsets —
@@ -2279,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample": q_curation_sample,
         "curation_pack": q_curation_pack,
         "curation_c4": q_curation_c4,
+        "curation_quality_filter": q_curation_quality_filter,
         "format_github": q_format_github,
         "format_journald": q_format_journald,
         "format_gelf": q_format_gelf,
@@ -2353,6 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_sample": _CURATION_SAMPLE_SQL,
         "curation_pack": _CURATION_PACK_SQL,
         "curation_c4": _CURATION_C4_SQL,
+        "curation_quality_filter": _CURATION_QUALITY_SQL,
         "format_github": _FORMAT_GITHUB_SQL,
         "format_journald": _journald_sql(),
         "format_gelf": _FORMAT_GELF_SQL,

@@ -273,3 +273,49 @@ def c4_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("has_curly", c.contains("{"))
         .withColumn("has_js_warning", lc.contains("enable javascript"))
     )
+
+
+# ---------------------------------------------------------------------------
+# composed quality filter
+# ---------------------------------------------------------------------------
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    max_pii_per_kchar: float = 5.0,
+) -> DataFrame:
+    """The composed keep/drop decision a curation pipeline actually runs:
+    token bounds + Gopher repetition + C4 boilerplate + PII density in ONE
+    pass, with a `reason` column naming the FIRST failing rule (rule order
+    is the documented policy) and `keep = reason IS NULL`. Flags, not drops
+    — callers `.filter("keep")` when they mean it (drop-nothing audit trail
+    for the rows that fail).
+
+    Still pure column expressions end-to-end: all component signals are
+    exprs, so one projection computes the verdict at scan speed."""
+    from .textstats import repetition_stats, token_count
+
+    out = repetition_stats(df, text_col)
+    out = c4_flags(out, text_col)
+    out = pii_density(out, text_col)
+    words = token_count(F.col(text_col))
+    reason = (
+        F.when(words < min_words, F.lit("too_short"))
+        .when(words > max_words, F.lit("too_long"))
+        .when(F.col("has_lorem"), F.lit("lorem_ipsum"))
+        .when(F.col("has_js_warning"), F.lit("js_boilerplate"))
+        .when(F.col("dup_line_frac") > max_dup_line_frac, F.lit("dup_lines"))
+        .when(F.col("top_bigram_frac") > max_top_bigram_frac, F.lit("repetitive"))
+        .when(F.col("pii_per_kchar") > max_pii_per_kchar, F.lit("pii_dense"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        out.withColumn("n_words", words.cast("int"))
+        .withColumn("reason", reason)
+        .withColumn("keep", reason.isNull())
+    )

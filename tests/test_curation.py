@@ -125,3 +125,24 @@ def test_c4_flags(spark):
     assert rows[1]["has_lorem"] and rows[1]["has_curly"]
     assert rows[2]["has_js_warning"]
     assert rows[3]["n_lines"] == 0 and rows[3]["frac_terminal"] == 0.0
+
+
+def test_quality_filter_policy_order(spark):
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(f"word{i}" for i in range(30)) + " final line."),  # clean
+            (1, "too short"),
+            (2, " ".join(f"w{i}" for i in range(20)) + " with lorem ipsum inside"),
+            (3, "spam " * 40),  # top bigram 'spam spam' dominates
+            (4, "a b c d e f g h i j k bob@x.com sue@y.org 10.0.0.1 k2@z.io"),  # PII-dense
+            (5, "too short with lorem ipsum"),  # first failing rule wins: too_short
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["keep"], r["reason"]) for r in curation.quality_filter(df).collect()}
+    assert rows[0] == (True, None)
+    assert rows[1] == (False, "too_short")
+    assert rows[2] == (False, "lorem_ipsum")
+    assert rows[3] == (False, "repetitive")
+    assert rows[4] == (False, "pii_dense")
+    assert rows[5] == (False, "too_short")  # policy order: length before lorem
