@@ -2143,7 +2143,7 @@ _UA_DB_SAMPLES = [
 
 
 def q_enrich_ua_devicedb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SHIPPED device-class regex database (logpipe.ua_devices, 87
+    """The SHIPPED device-class regex database (logpipe.ua_devices, 86
     priority-ordered RE2-clean rules) through the vectorized first-match
     cascade — the full device-detector-js shape end-to-end; the oracle
     replays the identical cascade as a generated CASE chain in DuckDB (both

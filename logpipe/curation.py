@@ -16,6 +16,18 @@ shards — expressed Spark-first:
     per-bucket window cumsum, and a tiny bucket-offset dim joined back by
     broadcast — never a single global ordered window (which would funnel
     10^12 rows through one reducer).
+
+RESERVED OUTPUT COLUMNS — these operators add fixed-name columns via
+withColumn, which OVERWRITES a same-named column already on the input:
+  decontaminate    → bench_hits, contaminated
+  pii_density      → emails, ipv4s, phones, ssns, api_keys, pii_total,
+                     pii_per_kchar
+  c4_flags         → n_lines, n_terminal_lines, frac_terminal,
+                     n_short_lines, has_lorem, has_curly, has_js_warning
+  quality_filter   → all of the above plus repetition_stats' columns
+                     (dup_line_frac, top_bigram_frac, …), n_words, reason,
+                     keep
+Callers with colliding column names should rename before calling.
 """
 
 from __future__ import annotations
@@ -47,6 +59,7 @@ def decontaminate(
     bench_text_col: str = "text",
     n: int = 8,
     min_hits: int = 1,
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """Flag training docs that overlap an evaluation benchmark: a doc is
     contaminated when ≥ `min_hits` of its word `n`-grams appear anywhere in
@@ -58,7 +71,16 @@ def decontaminate(
     benchmark n-gram set is tiny (evaluation sets are KBs-MBs) → built once,
     deduped, and BROADCAST; the corpus side explodes its n-grams and
     broadcast-joins — no corpus shuffle, no benchmark-side skew. Drop-nothing:
-    every input doc comes back, flagged."""
+    every input doc comes back, flagged.
+
+    The flag-back join of per-doc hit counts is ALSO broadcast by default
+    (`broadcast_hits=True`): hits carries one row per doc sharing ≥1 gram
+    with the benchmark — for a real benchmark (KBs of eval prompts) that is
+    a small fraction of the corpus, and hinting it keeps the corpus side
+    shuffle-free even with AQE disabled. For an adversarial corpus where
+    most docs are contaminated, pass broadcast_hits=False and let the hits
+    join shuffle (it degrades to a normal left join; the corpus still never
+    shuffles on the gram explode)."""
     bench_grams = (
         benchmark.select(F.explode(ngram_set(F.col(bench_text_col), n)).alias("_g"))
         .distinct()
@@ -71,6 +93,8 @@ def decontaminate(
         .groupBy("_did")
         .agg(F.count("*").alias("bench_hits"))
     )
+    if broadcast_hits:
+        hits = F.broadcast(hits)
     out = docs.join(hits, docs[id_col] == hits["_did"], "left").drop("_did")
     return out.withColumn("bench_hits", F.coalesce(F.col("bench_hits"), F.lit(0)).cast("int")) \
               .withColumn("contaminated", F.col("bench_hits") >= min_hits)
@@ -149,12 +173,22 @@ def stratified_sample(
 # ---------------------------------------------------------------------------
 
 
+def _derive_n_buckets(n_rows: int, rows_per_bucket: int = 10_000_000) -> int:
+    """Bucket count sized from the data: each bucket's cumsum is ONE window
+    partition (one task sorting one key range), so cap it at
+    `rows_per_bucket` rows — floor of 64 keeps small corpora parallel, and
+    a 10^12-row corpus gets ~100k buckets of ≤10M rows instead of 64
+    buckets of 15B rows each."""
+    return max(64, -(-int(n_rows) // int(rows_per_bucket)))
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    rows_per_bucket: int = 10_000_000,
 ) -> DataFrame:
     """GPT-style pretraining packing: documents are laid out end-to-end in
     `id_col` order and cut into fixed `max_tokens` chunks; a doc spanning a
@@ -163,10 +197,16 @@ def pack_sequences(
     where [pack_start, pack_end) is the doc's token slice inside that pack
     and doc_offset is where that slice begins inside the doc.
 
+    Requires non-null `id_col` (the layout is defined by id order; a null id
+    has no position in it) — raises ValueError naming the contract rather
+    than failing opaquely downstream.
+
     Scale shape — a global prefix-sum WITHOUT a global ordered window:
-    1. one cheap agg finds max(id); ids are cut into `n_buckets`
+    1. one cheap agg finds max(id) and count(*); ids are cut into
        deterministic key ranges (no sampled range partitioner — re-runs
-       produce identical buckets);
+       produce identical buckets). `n_buckets` defaults to
+       `_derive_n_buckets(count, rows_per_bucket)` so no single window
+       partition exceeds ~`rows_per_bucket` rows at any corpus size;
     2. each bucket computes its LOCAL token cumsum in a bucket-partitioned
        window (n_buckets-way parallel sort of disjoint ranges);
     3. per-bucket totals (n_buckets rows) become running offsets on the
@@ -175,11 +215,22 @@ def pack_sequences(
        (sequence() over its pack span — bounded by doc length / max_tokens).
     The only shuffle is the bucket-partitioned window sort; the offset join
     is a broadcast of n_buckets rows."""
-    bounds = df.agg(F.max(F.col(id_col)).alias("mx")).collect()[0]
+    bounds = df.agg(
+        F.max(F.col(id_col)).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(id_col)).alias("n_nonnull"),
+    ).collect()[0]
+    if bounds["n"] > bounds["n_nonnull"]:
+        raise ValueError(
+            f"pack_sequences requires non-null {id_col!r} (layout is defined "
+            f"by id order); found {bounds['n'] - bounds['n_nonnull']} null id rows"
+        )
     if bounds["mx"] is None:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, pack_id long, pack_start long, pack_end long, doc_offset long"
         )
+    if n_buckets is None:
+        n_buckets = _derive_n_buckets(bounds["n"], rows_per_bucket)
     span = int(bounds["mx"]) + 1
     width = max((span + n_buckets - 1) // n_buckets, 1)
     b = (F.col(id_col) / width).cast("long").alias("_b")

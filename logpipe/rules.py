@@ -1753,14 +1753,32 @@ class RulesetWatcher:
     def _stat_stamp(self, files: list[str]) -> tuple:
         import os
 
-        return tuple((f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files)
+        out = []
+        for f in files:
+            st = os.stat(f)  # single stat: mtime+size from the same version
+            out.append((f, st.st_mtime_ns, st.st_size))
+        return tuple(out)
 
     def current(self) -> RuleSet:
-        files = self._resolve()
-        stamp = self._stat_stamp(files)
-        if self._cached is None or stamp != self._stamp:
-            self._cached = (
-                load_yaml_rules(files, **self._kwargs) if files else DEFAULT_RULESET
-            )
-            self._stamp = stamp
+        """Return the freshest loadable ruleset.
+
+        Failure-tolerant by contract: a file vanishing between glob-resolve
+        and stat, or a half-written YAML from a non-atomic editor save, must
+        NOT kill the long-running stream this watcher exists to keep alive —
+        on any stat/parse error we keep serving the last-good cached ruleset
+        and retry on the next micro-batch."""
+        import warnings
+
+        try:
+            files = self._resolve()
+            stamp = self._stat_stamp(files)
+            if self._cached is None or stamp != self._stamp:
+                self._cached = (
+                    load_yaml_rules(files, **self._kwargs) if files else DEFAULT_RULESET
+                )
+                self._stamp = stamp
+        except Exception as exc:  # noqa: BLE001 — survive partial saves/races
+            if self._cached is None:
+                raise  # first load has no fallback; surface the real error
+            warnings.warn(f"pattern reload failed, keeping last-good ruleset: {exc}")
         return self._cached

@@ -38,7 +38,6 @@ _DEVICE_RULES: list[tuple[str, str, str]] = [
     (r"(?i)linkedinbot", "bot", "LinkedIn"),
     (r"(?i)applebot", "bot", "Apple"),
     (r"(?i)gptbot|oai-searchbot|chatgpt-user", "bot", "OpenAI"),
-    (r"(?i)claudebot|anthropic-ai", "bot", "Anthropic"),
     (r"(?i)ccbot", "bot", "Common Crawl"),
     (r"(?i)bytespider", "bot", "ByteDance"),
     (r"(?i)petalbot", "bot", "Huawei"),

@@ -91,6 +91,79 @@ def test_pack_sequences_hand_case(spark):
     assert rows1 == rows
 
 
+def test_pack_sequences_null_id_raises(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, 10), (None, 20)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="non-null 'doc_id'"):
+        curation.pack_sequences(docs, max_tokens=128, n_buckets=2)
+
+
+def test_pack_sequences_bucket_sizing():
+    # bucket count scales with row count: never fewer than 64, and never a
+    # window partition wider than rows_per_bucket
+    d = curation._derive_n_buckets
+    assert d(0) == 64
+    assert d(5_000) == 64
+    assert d(640_000_000) == 64
+    assert d(1_000_000_000) == 100
+    assert d(10**12) == 100_000
+    assert d(10**12, rows_per_bucket=1_000_000) == 1_000_000
+
+
+def test_pack_sequences_derived_buckets_layout(spark):
+    # derived-bucket path (n_buckets=None) must produce the identical layout
+    # as an explicit bucket count, including when rows_per_bucket forces
+    # many buckets
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    expect = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_start"], r["pack_end"], r["doc_offset"])
+        for r in curation.pack_sequences(docs, max_tokens=16, n_buckets=1).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_start"], r["pack_end"], r["doc_offset"])
+        for r in curation.pack_sequences(
+            docs, max_tokens=16, rows_per_bucket=10
+        ).collect()
+    )
+    assert got == expect
+
+
+def test_decontaminate_contaminated_corpus(spark):
+    # adversarial shape: EVERY doc overlaps the benchmark; broadcast_hits
+    # on and off must agree row-for-row, and the default plan must broadcast
+    # the flag-back join (no corpus shuffle even with AQE off)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, f"{base} doc{i} tail words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(base,)], "text string")
+    hinted = curation.decontaminate(docs, bench, n=8)
+    plain = curation.decontaminate(docs, bench, n=8, broadcast_hits=False)
+    rows_h = sorted((r["doc_id"], r["bench_hits"], r["contaminated"])
+                    for r in hinted.collect())
+    rows_p = sorted((r["doc_id"], r["bench_hits"], r["contaminated"])
+                    for r in plain.collect())
+    assert rows_h == rows_p
+    assert all(c for _, _, c in rows_h) and len(rows_h) == 20
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # fresh plan under AQE-off (the collected one may have cached its
+        # query execution under AQE)
+        fresh = curation.decontaminate(docs, bench, n=8)
+        p = spark._jvm.PythonSQLUtils.explainString(
+            fresh._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastHashJoin LeftOuter BuildRight" in p
+
+
 def test_repetition_stats(spark):
     df = spark.createDataFrame(
         [(0, "aa bb\naa bb\ncc dd"),  # 1 dup line of 2 distinct
