@@ -2271,6 +2271,342 @@ SELECT event_id, event_type AS meta_type, user_id AS meta_user_id FROM events
 
 
 # ---------------------------------------------------------------------------
+# round-4 composite driver queries.
+#
+# The driver snapshot records the FIRST 50 entries of queries() — rounds 2
+# and 3 proved that a registry larger than 50 leaves real operators without
+# driver evidence (20/70 unrecorded in CORRECTNESS_r03). Fix: consolidate
+# proven same-shape families into composite queries (schema-aligned UNIONs /
+# same-key joins of the EXACT single-operator queries, so the driver hash
+# still covers every operator's full output) and keep the registry at
+# exactly 50. The single-operator queries remain below, exported via
+# bench_queries() for stable cross-round bench names and for targeted
+# check_oracle runs.
+# ---------------------------------------------------------------------------
+
+
+def q_mask_field_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of mask_hash_fields + mask_ip_truncate + mask_remove_rename
+    (same events input, joined on event_id into one wide row — every value
+    of all three singles is still hash-checked)."""
+    h = q_mask_hash_fields(spark, sf_dir).select(
+        "event_id", F.col("user").alias("hashed_user"), F.col("message").alias("hash_message")
+    )
+    ip = q_mask_ip_truncate(spark, sf_dir)
+    rr = q_mask_remove_rename(spark, sf_dir).select(
+        "event_id", F.col("message").alias("masked_note")
+    )
+    return h.join(ip, "event_id").join(rr, "event_id")
+
+
+_MASK_FIELD_OPS_SQL = """
+SELECT event_id,
+       sha256(CAST(user_id AS VARCHAR)) AS hashed_user,
+       replace('user ' || user_id || ' did ' || event_type,
+               CAST(user_id AS VARCHAR), sha256(CAST(user_id AS VARCHAR))) AS hash_message,
+       '10.' || (user_id % 200) || '.' || (event_id % 200) || '.0' AS client_ip,
+       replace('secret is ' || user_id || ' ok', CAST(user_id AS VARCHAR), '!REMOVED!') AS masked_note
+FROM events
+"""
+
+
+def q_enrich_ua_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of enrich_ua_device (coarse heuristic) + enrich_ua_dim
+    (priority regex dim) + enrich_ua_devicedb (shipped 86-rule DB) — three
+    aggregates unioned under a src tag."""
+    a = q_enrich_ua_device(spark, sf_dir).select(
+        F.lit("coarse").alias("src"), "device_type", F.col("browser").alias("name"), "events"
+    )
+    b = q_enrich_ua_dim(spark, sf_dir).select(
+        F.lit("dim").alias("src"), "device_type", F.col("device_name").alias("name"), "events"
+    )
+    c = q_enrich_ua_devicedb(spark, sf_dir).select(
+        F.lit("devicedb").alias("src"), "device_type", F.col("device_brand").alias("name"), "events"
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def _ua_all_sql() -> str:
+    return f"""
+SELECT 'coarse' AS src, device_type, browser AS name, events FROM ({_UA_SQL}) t1
+UNION ALL
+SELECT 'dim', device_type, device_name, events FROM ({_UA_DIM_SQL}) t2
+UNION ALL
+SELECT 'devicedb', device_type, device_brand, events FROM ({_ua_devicedb_sql()}) t3
+"""
+
+
+def q_dedup_exact_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of dedup_exact (per-lang distinct counts) + dedup_exact_keep
+    (keep-min winner rows) + dedup_stats (corpus counters), aligned to
+    (part, k, n1, n2, n3)."""
+    nl = F.lit(None).cast("long")
+    a = q_dedup_exact(spark, sf_dir).select(
+        F.lit("by_lang").alias("part"), F.col("lang").alias("k"),
+        F.col("docs").alias("n1"), F.col("distinct_docs").alias("n2"), nl.alias("n3"),
+    )
+    b = q_dedup_exact_keep(spark, sf_dir).select(
+        F.lit("keep").alias("part"), F.col("text").alias("k"),
+        F.col("event_id").alias("n1"), nl.alias("n2"), nl.alias("n3"),
+    )
+    c = q_dedup_stats(spark, sf_dir).select(
+        F.lit("stats").alias("part"), F.lit(None).cast("string").alias("k"),
+        F.col("rows").alias("n1"), F.col("distinct_rows").alias("n2"),
+        F.col("duplicates").alias("n3"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def _dedup_family_sql() -> str:
+    return f"""
+SELECT 'by_lang' AS part, lang AS k, CAST(docs AS BIGINT) AS n1,
+       CAST(distinct_docs AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3
+FROM ({_DEDUP_EXACT_SQL}) t1
+UNION ALL
+SELECT 'keep', text, event_id, NULL, NULL FROM ({_DEDUP_KEEP_SQL}) t2
+UNION ALL
+SELECT 'stats', NULL, CAST(rows AS BIGINT), CAST(distinct_rows AS BIGINT),
+       CAST(duplicates AS BIGINT)
+FROM ({_DEDUP_STATS_SQL}) t3
+"""
+
+
+def q_similarity_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of similarity_topk_cosine (brute force) + similarity_lsh_topk
+    (sign-LSH buckets) + similarity_ivf_topk (IVF probe) under a method tag."""
+    a = q_similarity_topk(spark, sf_dir).select(F.lit("brute").alias("method"), "*")
+    b = q_similarity_lsh_topk(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
+    c = q_similarity_ivf_topk(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
+    return a.unionByName(b).unionByName(c)
+
+
+def _similarity_all_sql() -> str:
+    return f"""
+SELECT 'brute' AS method, * FROM ({_SIM_TOPK_SQL}) t1
+UNION ALL
+SELECT 'lsh', * FROM ({_lsh_topk_sql()}) t2
+UNION ALL
+SELECT 'ivf', * FROM ({_ivf_topk_sql()}) t3
+"""
+
+
+def q_multimodal_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of the four REAL image decoders (PPM, PNG, baseline JPEG,
+    progressive JPEG) — identical (media_id, width, height, brightness)
+    shape, unioned under a fmt tag; every decoded dimension and brightness
+    value of all four singles remains hash-checked."""
+    a = q_multimodal_decode(spark, sf_dir).select(F.lit("ppm").alias("fmt"), "*")
+    b = q_multimodal_png(spark, sf_dir).select(F.lit("png").alias("fmt"), "*")
+    c = q_multimodal_jpeg(spark, sf_dir).select(F.lit("jpeg").alias("fmt"), "*")
+    d = q_multimodal_progressive(spark, sf_dir).select(F.lit("jpeg_prog").alias("fmt"), "*")
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+def _multimodal_images_sql() -> str:
+    return f"""
+SELECT 'ppm' AS fmt, * FROM ({_MULTIMODAL_DECODE_SQL}) t1
+UNION ALL
+SELECT 'png', * FROM ({_MULTIMODAL_PNG_SQL}) t2
+UNION ALL
+SELECT 'jpeg', * FROM ({_MULTIMODAL_JPEG_SQL}) t3
+UNION ALL
+SELECT 'jpeg_prog', * FROM ({_MULTIMODAL_PROGRESSIVE_SQL}) t4
+"""
+
+
+def q_multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of WAV audio stats + Y4M video stats + frame sampling +
+    mapInPandas feature plumbing, aligned to (fmt, media_id, i1, i2, i3,
+    metric, sha)."""
+    ni = F.lit(None).cast("int")
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+    a = q_multimodal_audio(spark, sf_dir).select(
+        F.lit("audio").alias("fmt"), "media_id",
+        F.col("sample_rate").alias("i1"), F.col("n_samples").alias("i2"),
+        F.col("duration_ms").alias("i3"), F.col("rms").alias("metric"), ns.alias("sha"),
+    )
+    b = q_multimodal_video(spark, sf_dir).select(
+        F.lit("video").alias("fmt"), "media_id",
+        F.col("width").alias("i1"), F.col("height").alias("i2"),
+        F.col("n_frames").alias("i3"), F.col("mean_luma").alias("metric"), ns.alias("sha"),
+    )
+    c = q_multimodal_frames(spark, sf_dir).select(
+        F.lit("frames").alias("fmt"), "media_id",
+        F.col("sample_ms").alias("i1"), F.col("frame_idx").alias("i2"),
+        ni.alias("i3"), F.col("luma").alias("metric"), ns.alias("sha"),
+    )
+    d = q_multimodal_features(spark, sf_dir).select(
+        F.lit("features").alias("fmt"), "media_id",
+        F.col("n_bytes").alias("i1"), ni.alias("i2"), ni.alias("i3"),
+        nd.alias("metric"), F.col("sha").alias("sha"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+def _multimodal_av_sql() -> str:
+    return f"""
+SELECT 'audio' AS fmt, media_id, sample_rate AS i1, n_samples AS i2,
+       duration_ms AS i3, rms AS metric, CAST(NULL AS VARCHAR) AS sha
+FROM ({_MULTIMODAL_AUDIO_SQL}) t1
+UNION ALL
+SELECT 'video', media_id, width, height, n_frames, mean_luma, NULL
+FROM ({_MULTIMODAL_VIDEO_SQL}) t2
+UNION ALL
+SELECT 'frames', media_id, sample_ms, frame_idx, CAST(NULL AS INT), luma, NULL
+FROM ({_MULTIMODAL_FRAMES_SQL}) t3
+UNION ALL
+SELECT 'features', media_id, n_bytes, CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS DOUBLE), sha
+FROM ({_MULTIMODAL_SQL}) t4
+"""
+
+
+def q_textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of textstats_quality + token_counts + fingerprint_docs +
+    fingerprint_rolling — all per-doc_id metrics on documents, joined into
+    one wide row."""
+    q = q_textstats_quality(spark, sf_dir)
+    t = q_token_counts(spark, sf_dir)
+    fp = q_fingerprint(spark, sf_dir)
+    r = q_fingerprint_rolling(spark, sf_dir)
+    return q.join(t, "doc_id").join(fp, "doc_id").join(r, "doc_id")
+
+
+def _textstats_docs_sql() -> str:
+    return f"""
+SELECT a.*, b.tokens_ws, b.tokens_bpe, c.fp, d.n_fp, d.n_distinct_fp
+FROM ({_QUALITY_SQL}) a
+JOIN ({_TOKEN_COUNTS_SQL}) b ON a.doc_id = b.doc_id
+JOIN ({_FINGERPRINT_SQL}) c ON a.doc_id = c.doc_id
+JOIN ({_FP_ROLLING_SQL}) d ON a.doc_id = d.doc_id
+"""
+
+
+def q_format_mappers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of the github / journald / gelf format mappers, aligned to
+    (fmt, event_id, c1, c2, c3, n, ts)."""
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+    a = q_format_github(spark, sf_dir).select(
+        F.lit("github").alias("fmt"), "event_id",
+        F.col("title").alias("c1"), F.col("message").alias("c2"), ns.alias("c3"),
+        nl.alias("n"), F.lit(None).cast("timestamp").alias("ts"),
+    )
+    b = q_format_journald(spark, sf_dir).select(
+        F.lit("journald").alias("fmt"), "event_id",
+        F.col("os_host").alias("c1"), F.col("severity").alias("c2"),
+        F.col("facility").alias("c3"), nl.alias("n"), F.col("event_ts").alias("ts"),
+    )
+    c = q_format_gelf(spark, sf_dir).select(
+        F.lit("gelf").alias("fmt"), nl.alias("event_id"),
+        F.col("severity").alias("c1"), F.col("os_host").alias("c2"),
+        F.col("max_app").alias("c3"), F.col("events").alias("n"),
+        F.col("max_ts").alias("ts"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def _format_mappers_sql() -> str:
+    return f"""
+SELECT 'github' AS fmt, event_id, title AS c1, message AS c2,
+       CAST(NULL AS VARCHAR) AS c3, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS TIMESTAMP) AS ts
+FROM ({_FORMAT_GITHUB_SQL}) t1
+UNION ALL
+SELECT 'journald', event_id, os_host, severity, facility, NULL, event_ts
+FROM ({_journald_sql()}) t2
+UNION ALL
+SELECT 'gelf', NULL, severity, os_host, max_app, CAST(events AS BIGINT), max_ts
+FROM ({_FORMAT_GELF_SQL}) t3
+"""
+
+
+def q_sink_serializers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of the per-event sink serializations: ldjson (files.js),
+    influx line protocol (influxdb.js:209-241 + json-influx render), and
+    the slack-webhook templated payload (slack-webhook.js:22-46) — one
+    (fmt, event_id, value) row per event per serializer."""
+    from logpipe.sinks import influx_line, slack_payload, to_ldjson
+
+    ev = _t(spark, sf_dir, "events")
+    a = to_ldjson(ev.select("event_id", "event_type", "user_id"), exclude=["user_id"]).select(
+        F.lit("ldjson").alias("fmt"), F.lit(None).cast("long").alias("event_id"), "value"
+    )
+    b = influx_line(
+        ev.select("event_id", "event_type", "ts"), measurement="events", ts_col="ts"
+    ).select(F.lit("influx").alias("fmt"), "event_id", F.col("line").alias("value"))
+    c = slack_payload(
+        ev.select("event_id", "event_type"), template="event #{event_id}: {event_type}"
+    ).select(F.lit("slack").alias("fmt"), "event_id", F.col("payload").alias("value"))
+    return a.unionByName(b).unionByName(c)
+
+
+_SINK_SERIALIZERS_SQL = """
+SELECT 'ldjson' AS fmt, CAST(NULL AS BIGINT) AS event_id,
+       '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS value
+FROM events
+UNION ALL
+SELECT 'influx', event_id,
+       'events,event_type=' || event_type || ' event_id=' || event_id
+         || ' ' || CAST(epoch_ms(ts) * 1000000 AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'slack', event_id,
+       '{"text":"event #' || event_id || ': ' || event_type || '"}'
+FROM events
+"""
+
+
+def q_sink_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of the structural sink shapes: clickhouse ordered column
+    map (clickhouse.js:43-59), influx struct flattening (influxdb.js:4),
+    and the prometheus-alertmanager templated alert
+    (prometheus-alertmanager.js:38-64) — joined on event id into one wide
+    row."""
+    from logpipe.sinks import flatten_structs, prometheus_alert
+
+    ev = _t(spark, sf_dir, "events")
+    ch = q_sink_clickhouse(spark, sf_dir)
+    fl = flatten_structs(
+        ev.select(
+            "event_id",
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.struct(F.col("user_id").alias("id")).alias("user"),
+            ).alias("meta"),
+        )
+    )
+    pa = prometheus_alert(
+        ev.select("event_id", "event_type"),
+        {
+            "generatorURL": "http://gen/{event_id}",
+            "labels": {"sev": "evt-{event_type}"},
+            "annotations": {"summary": "event {event_id} of {event_type}"},
+        },
+    ).select(
+        "event_id",
+        F.col("alert.generatorURL").alias("gen_url"),
+        F.element_at(F.col("alert.labels"), F.lit("sev")).alias("label_sev"),
+        F.element_at(F.col("alert.annotations"), F.lit("summary")).alias("ann_summary"),
+    )
+    return (
+        ch.join(fl, ch.eid == fl.event_id).drop("event_id")
+        .join(pa, F.col("eid") == pa.event_id).drop("event_id")
+    )
+
+
+_SINK_SHAPES_SQL = """
+SELECT epoch_ms(ts) AS at_ms, event_type AS etype, event_id AS eid,
+       event_type AS meta_type, user_id AS meta_user_id,
+       'http://gen/' || event_id AS gen_url,
+       'evt-' || event_type AS label_sev,
+       'event ' || event_id || ' of ' || event_type AS ann_summary
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2281,14 +2617,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver registry — EXACTLY 50 entries (the driver snapshot records
+    the first 50; see the composite section above). Never-recorded material
+    (curation family, format/sink mappers, UA dims, round-4 serializers)
+    leads; consolidated families ride in composites whose unions/joins keep
+    every single operator's full output inside the driver hash."""
     return {
+        # --- never driver-recorded before round 4, first in line
+        "curation_repetition": q_curation_repetition,
+        "curation_decontaminate": q_curation_decontaminate,
+        "curation_pii": q_curation_pii,
+        "curation_sample": q_curation_sample,
+        "curation_pack": q_curation_pack,
+        "curation_c4": q_curation_c4,
+        "curation_quality_filter": q_curation_quality_filter,
+        "format_mappers": q_format_mappers,
+        "sink_serializers": q_sink_serializers,
+        "sink_shapes": q_sink_shapes,
+        "enrich_ua_all": q_enrich_ua_all,
+        "mask_map_rename": q_mask_map_rename,
+        "dedup_exact_family": q_dedup_exact_family,
+        "textstats_docs": q_textstats_docs,
+        "filter_cri_split": q_filter_cri_split,
+        "multimodal_images": q_multimodal_images,
+        "multimodal_av": q_multimodal_av,
+        "similarity_all": q_similarity_all,
+        "mask_field_ops": q_mask_field_ops,
+        # --- driver-proven in r01-r03, re-verified each round
         "flagship_parse_route_agg": q_flagship,
         "parse_props_json": q_parse_props_json,
         "parse_grok_status": q_parse_grok_status,
-        "mask_hash_fields": q_mask_hash_fields,
-        "mask_ip_truncate": q_mask_ip_truncate,
         "mask_content_redact": q_mask_content_redact,
-        "mask_remove_rename": q_mask_remove_rename,
         "filter_grep_drop": q_filter_grep_drop,
         "parse_syslog_pri": q_parse_syslog_pri,
         "enrich_geo_range": q_enrich_geo_range,
@@ -2296,7 +2655,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_turn_rank": q_order_turn_rank,
         "route_date_partitioned": q_route_date_partitioned,
         "route_multi_receiver": q_route_multi_receiver,
-        "enrich_ua_device": q_enrich_ua_device,
         "agg_interval_window": q_agg_interval_window,
         "sessionize_blocks": q_sessionize,
         "session_window_gap": q_session_window_gap,
@@ -2305,12 +2663,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_heavy_hitters": q_agg_heavy_hitters,
         "enrich_broadcast_join": q_enrich_broadcast_join,
         "tpch_q1_pricing": q_tpch_q1,
-        "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "textstats_langid": q_textstats_langid,
+        "transcript_pipeline": q_transcript_pipeline,
+        "transcript_multiline": q_transcript_multiline,
+        "transcript_stream": q_transcript_stream,
+        "lineage_resume": q_lineage_resume,
+        "filter_truncate_ansi": q_filter_truncate_ansi,
+        "enrich_image_k8s": q_enrich_image_k8s,
+    }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ALL queries — the 50 driver entries plus the single-operator queries
+    the composites consolidate. bench.py resolves from here so per-query
+    bench names stay stable across rounds; tools/check_oracle.py can target
+    any of them by name."""
+    singles = {
+        "mask_hash_fields": q_mask_hash_fields,
+        "mask_ip_truncate": q_mask_ip_truncate,
+        "mask_remove_rename": q_mask_remove_rename,
+        "enrich_ua_device": q_enrich_ua_device,
+        "enrich_ua_dim": q_enrich_ua_dim,
+        "enrich_ua_devicedb": q_enrich_ua_devicedb,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_stats": q_dedup_stats,
         "similarity_topk_cosine": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -2322,48 +2704,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "multimodal_frames": q_multimodal_frames,
-        "textstats_langid": q_textstats_langid,
         "textstats_quality": q_textstats_quality,
         "token_counts": q_token_counts,
         "fingerprint_docs": q_fingerprint,
-        "transcript_pipeline": q_transcript_pipeline,
-        "transcript_multiline": q_transcript_multiline,
-        "transcript_stream": q_transcript_stream,
-        "lineage_resume": q_lineage_resume,
-        "filter_truncate_ansi": q_filter_truncate_ansi,
-        "enrich_image_k8s": q_enrich_image_k8s,
-        "mask_map_rename": q_mask_map_rename,
-        "dedup_stats": q_dedup_stats,
-        "dedup_exact_keep": q_dedup_exact_keep,
         "fingerprint_rolling": q_fingerprint_rolling,
-        "curation_repetition": q_curation_repetition,
-        "curation_decontaminate": q_curation_decontaminate,
-        "curation_pii": q_curation_pii,
-        "curation_sample": q_curation_sample,
-        "curation_pack": q_curation_pack,
-        "curation_c4": q_curation_c4,
-        "curation_quality_filter": q_curation_quality_filter,
         "format_github": q_format_github,
         "format_journald": q_format_journald,
         "format_gelf": q_format_gelf,
-        "enrich_ua_dim": q_enrich_ua_dim,
-        "enrich_ua_devicedb": q_enrich_ua_devicedb,
         "sink_clickhouse": q_sink_clickhouse,
         "sink_ldjson": q_sink_ldjson,
         "sink_flatten": q_sink_flatten,
-        "filter_cri_split": q_filter_cri_split,
     }
+    return {**queries(), **singles}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "curation_repetition": _CURATION_REPETITION_SQL,
+        "curation_decontaminate": _CURATION_DECONTAM_SQL,
+        "curation_pii": _CURATION_PII_SQL,
+        "curation_sample": _CURATION_SAMPLE_SQL,
+        "curation_pack": _CURATION_PACK_SQL,
+        "curation_c4": _CURATION_C4_SQL,
+        "curation_quality_filter": _CURATION_QUALITY_SQL,
+        "format_mappers": _format_mappers_sql(),
+        "sink_serializers": _SINK_SERIALIZERS_SQL,
+        "sink_shapes": _SINK_SHAPES_SQL,
+        "enrich_ua_all": _ua_all_sql(),
+        "mask_map_rename": _MAP_RENAME_SQL,
+        "dedup_exact_family": _dedup_family_sql(),
+        "textstats_docs": _textstats_docs_sql(),
+        "filter_cri_split": _CRI_SPLIT_SQL,
+        "multimodal_images": _multimodal_images_sql(),
+        "multimodal_av": _multimodal_av_sql(),
+        "similarity_all": _similarity_all_sql(),
+        "mask_field_ops": _MASK_FIELD_OPS_SQL,
         "flagship_parse_route_agg": _FLAGSHIP_SQL,
         "parse_props_json": _PARSE_PROPS_SQL,
         "parse_grok_status": _PARSE_GROK_SQL,
-        "mask_hash_fields": _MASK_HASH_SQL,
-        "mask_ip_truncate": _MASK_IP_SQL,
         "mask_content_redact": _MASK_CONTENT_SQL,
-        "mask_remove_rename": _MASK_REMOVE_SQL,
         "filter_grep_drop": _FILTER_GREP_SQL,
         "parse_syslog_pri": _pri_sql(),
         "enrich_geo_range": _GEO_RANGE_SQL,
@@ -2371,7 +2750,6 @@ def oracle_sql() -> dict[str, str]:
         "order_turn_rank": _ORDER_RANK_SQL,
         "route_date_partitioned": _ROUTE_DATE_SQL,
         "route_multi_receiver": _MULTI_RECEIVER_SQL,
-        "enrich_ua_device": _UA_SQL,
         "agg_interval_window": _AGG_WINDOW_SQL,
         "sessionize_blocks": _SESSIONIZE_SQL,
         "session_window_gap": _SESSION_WINDOW_SQL,
@@ -2380,12 +2758,34 @@ def oracle_sql() -> dict[str, str]:
         "agg_heavy_hitters": _HEAVY_HITTERS_SQL,
         "enrich_broadcast_join": _ENRICH_JOIN_SQL,
         "tpch_q1_pricing": _TPCH_Q1_SQL,
-        "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding": _embedding_dedup_sql(),
+        "textstats_langid": _LANGID_SQL,
+        "transcript_pipeline": _TRANSCRIPT_PIPELINE_SQL,
+        "transcript_stream": _TRANSCRIPT_STREAM_SQL,
+        "transcript_multiline": _TRANSCRIPT_MULTILINE_SQL,
+        "lineage_resume": _LINEAGE_RESUME_SQL,
+        "filter_truncate_ansi": _TRUNCATE_ANSI_SQL,
+        "enrich_image_k8s": _IMAGE_K8S_SQL,
+    }
+
+
+def bench_oracle_sql() -> dict[str, str]:
+    """Oracle SQL for every bench_queries() entry (driver set + singles) —
+    lets tools/check_oracle.py verify consolidated singles individually."""
+    singles = {
+        "mask_hash_fields": _MASK_HASH_SQL,
+        "mask_ip_truncate": _MASK_IP_SQL,
+        "mask_remove_rename": _MASK_REMOVE_SQL,
+        "enrich_ua_device": _UA_SQL,
+        "enrich_ua_dim": _UA_DIM_SQL,
+        "enrich_ua_devicedb": _ua_devicedb_sql(),
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_exact_keep": _DEDUP_KEEP_SQL,
+        "dedup_stats": _DEDUP_STATS_SQL,
         "similarity_topk_cosine": _SIM_TOPK_SQL,
         "similarity_lsh_topk": _lsh_topk_sql(),
         "similarity_ivf_topk": _ivf_topk_sql(),
@@ -2397,34 +2797,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "multimodal_video": _MULTIMODAL_VIDEO_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
-        "textstats_langid": _LANGID_SQL,
         "textstats_quality": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint_docs": _FINGERPRINT_SQL,
-        "transcript_pipeline": _TRANSCRIPT_PIPELINE_SQL,
-        "transcript_stream": _TRANSCRIPT_STREAM_SQL,
-        "transcript_multiline": _TRANSCRIPT_MULTILINE_SQL,
-        "lineage_resume": _LINEAGE_RESUME_SQL,
-        "filter_truncate_ansi": _TRUNCATE_ANSI_SQL,
-        "enrich_image_k8s": _IMAGE_K8S_SQL,
-        "mask_map_rename": _MAP_RENAME_SQL,
-        "dedup_stats": _DEDUP_STATS_SQL,
-        "dedup_exact_keep": _DEDUP_KEEP_SQL,
         "fingerprint_rolling": _FP_ROLLING_SQL,
-        "curation_repetition": _CURATION_REPETITION_SQL,
-        "curation_decontaminate": _CURATION_DECONTAM_SQL,
-        "curation_pii": _CURATION_PII_SQL,
-        "curation_sample": _CURATION_SAMPLE_SQL,
-        "curation_pack": _CURATION_PACK_SQL,
-        "curation_c4": _CURATION_C4_SQL,
-        "curation_quality_filter": _CURATION_QUALITY_SQL,
         "format_github": _FORMAT_GITHUB_SQL,
         "format_journald": _journald_sql(),
         "format_gelf": _FORMAT_GELF_SQL,
-        "enrich_ua_dim": _UA_DIM_SQL,
-        "enrich_ua_devicedb": _ua_devicedb_sql(),
         "sink_clickhouse": _SINK_CLICKHOUSE_SQL,
         "sink_ldjson": _SINK_LDJSON_SQL,
         "sink_flatten": _SINK_FLATTEN_SQL,
-        "filter_cri_split": _CRI_SPLIT_SQL,
     }
+    return {**oracle_sql(), **singles}

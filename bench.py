@@ -77,7 +77,9 @@ def main():
 
     spark = get_spark("logpipe-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_mod.queries()
+    # bench_queries() = driver registry + consolidated single-operator
+    # queries, so per-query bench names stay comparable across rounds
+    qs = entry_mod.bench_queries()
     times: dict[str, float] = {}
 
     # warmup: JVM + python workers

@@ -8,12 +8,20 @@ shape*:
   * clickhouse: explicit ordered column mapping + epoch-ms timestamps
     (lib/plugins/output/clickhouse.js:43-59)
   * influxdb: nested-struct flattening before write (influxdb.js:4,20-76)
+    + full line-protocol serialization (influxdb.js:209-241 convert +
+    json-influx render)
+  * prometheus-alertmanager: templated alert payloads
+    (prometheus-alertmanager.js:38-64 buildAlert)
+  * slack-webhook: templated message → webhook payload
+    (slack-webhook.js:22-46)
   * output-http: buffered ldjson POST → foreachBatch hook (output-http.js:19-80)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re as _re
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -72,6 +80,191 @@ def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
             else:
                 cols.append(F.col(f.name))
         df = df.select(*cols)
+
+
+def _lp_escape(col: Column, measurement: bool = False) -> Column:
+    """Influx line-protocol escaping: backslash-escape comma/space (and `=`
+    for tag keys/values; measurements escape only comma/space)."""
+    chars = "([, ])" if measurement else "([,= ])"
+    return F.regexp_replace(col, chars, r"\\$1")
+
+
+def influx_line(
+    df: DataFrame,
+    measurement: str | Column = "unknown",
+    ts_col: str | None = "event_ts",
+    config_tags: dict[str, str] | None = None,
+    ignore_fields: list[str] | None = None,
+    sep: str = "_",
+) -> DataFrame:
+    """Influx line-protocol serialization — the full shape the reference
+    builds in `convertToInfluxFormat` (influxdb.js:209-241) and renders via
+    json-influx before the buffered `/write?db=` POST (influxdb.js:162-207):
+    nested data is flattened, then every NUMBER becomes a field and every
+    STRING becomes a tag, `@timestamp` becomes an epoch-nanosecond suffix,
+    and a doc with no numeric fields gets `value=0` (influxdb.js:232-234).
+
+    Spark-native restatement: the reference inspects each VALUE's runtime
+    type because JS objects are schemaless; on a schema'd table the
+    number/string split is static — decided from the column dtype at plan
+    time, so the whole serialization is one codegen projection. Adds a
+    `line` column:
+
+        measurement[,tag=v...] field=v[,field=v...] <ts_ns>
+
+    Determinism contract (so oracles and re-runs agree byte-for-byte): tag
+    and field keys are emitted in sorted order, null tag/field values are
+    omitted (line protocol has no null), and numeric rendering is Spark's
+    CAST(x AS STRING). `ignore_fields` mirrors the reference's config
+    (influxdb.js:31-36). `config_tags` are static tags merged under the
+    row's own (influxdb.js:53-58 `config.tags`)."""
+    flat = flatten_structs(df, sep=sep)
+    skip = set(ignore_fields or [])
+    num_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    tag_cols: dict[str, Column] = {
+        k: F.lit(v).cast("string") for k, v in (config_tags or {}).items()
+    }
+    field_cols: dict[str, Column] = {}
+    for fld in flat.schema.fields:
+        if fld.name in skip or fld.name == ts_col:
+            continue
+        if isinstance(fld.dataType, T.StringType):
+            tag_cols[fld.name] = F.col(fld.name)
+        elif isinstance(fld.dataType, num_types):
+            field_cols[fld.name] = F.col(fld.name).cast("string")
+
+    m = measurement if isinstance(measurement, Column) else F.lit(str(measurement))
+    parts: list[Column] = [_lp_escape(m, measurement=True)]
+    for k in sorted(tag_cols):
+        v = tag_cols[k]
+        parts.append(
+            F.when(
+                v.isNotNull(),
+                F.concat(F.lit("," + _lp_key(k) + "="), _lp_escape(v)),
+            ).otherwise(F.lit(""))
+        )
+    # fields render as k=v comma-joined (null values dropped by concat_ws);
+    # all-null/none → 'value=0' (influxdb.js:232-234)
+    kv = [
+        F.when(
+            field_cols[k].isNotNull(), F.concat(F.lit(_lp_key(k) + "="), field_cols[k])
+        )
+        for k in sorted(field_cols)
+    ]
+    fields_joined = F.concat_ws(",", *kv) if kv else F.lit("")
+    fields_final = F.when(fields_joined == "", F.lit("value=0")).otherwise(fields_joined)
+    parts.append(F.lit(" "))
+    parts.append(fields_final)
+    if ts_col is not None and ts_col in flat.columns:
+        # epoch ns (influxdb.js:216-221: getTime() * 1e6); NTZ-safe epoch
+        # arithmetic as in clickhouse_shape
+        ns = (
+            F.expr(
+                "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', "
+                f"cast({ts_col} as timestamp_ntz))"
+            )
+            * F.lit(1000000)
+        ).cast("string")
+        # null ts → no timestamp suffix (the reference substitutes
+        # Date.now(), which a deterministic table engine must not)
+        parts.append(
+            F.when(ns.isNotNull(), F.concat(F.lit(" "), ns)).otherwise(F.lit(""))
+        )
+    return flat.withColumn("line", F.concat(*parts))
+
+
+def _lp_key(k: str) -> str:
+    """Escape a STATIC tag/field key (plan-time python, not a Column)."""
+    return _re.sub(r"([,= ])", r"\\\1", k)
+
+
+def _template_column(template: str, columns: list[str]) -> Column:
+    """string-template semantics (prometheus-alertmanager.js:2 /
+    slack-webhook.js:4 `format(...)`): `{name}` interpolates the row field;
+    a `{name}` that names NO column stays literal (string-template leaves
+    unknown keys in place); a null value renders as '' (string-template
+    coerces null/undefined to empty)."""
+    parts: list[Column] = []
+    pos = 0
+    for m in _re.finditer(r"\{(\w+)\}", template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        name = m.group(1)
+        if name in columns:
+            parts.append(F.coalesce(F.col(name).cast("string"), F.lit("")))
+        else:
+            parts.append(F.lit(m.group(0)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def prometheus_alert(df: DataFrame, alert_template: dict | None = None) -> DataFrame:
+    """Prometheus Alertmanager alert shape (prometheus-alertmanager.js:38-64
+    buildAlert, unit-tested by the reference in
+    test/output-prometheus-alertmanager-test.js): labels / annotations /
+    generatorURL are string templates expanded against the event's fields.
+    The actual POST to `/api/v1/alerts` (eventHandler :67-77) is transport;
+    the alert STRUCT is the data shape, added as an `alert` column:
+
+        struct(labels: map<string,string>, annotations: map<string,string>
+               [, generatorURL: string])
+
+    `alert_template` mirrors the reference config keys exactly:
+    {"generatorURL": "...", "labels": {...}, "annotations": {...}}; an empty
+    template yields empty label/annotation maps, same as buildAlert()."""
+    tpl = alert_template or {}
+    cols = df.columns
+
+    def _map_of(d: dict[str, str]) -> Column:
+        if not d:
+            return F.create_map().cast("map<string,string>")
+        pairs: list[Column] = []
+        for k, v in d.items():
+            pairs.append(F.lit(k))
+            pairs.append(_template_column(str(v), cols))
+        return F.create_map(*pairs)
+
+    fields = [
+        _map_of(tpl.get("labels") or {}).alias("labels"),
+        _map_of(tpl.get("annotations") or {}).alias("annotations"),
+    ]
+    if tpl.get("generatorURL"):
+        fields.append(_template_column(str(tpl["generatorURL"]), cols).alias("generatorURL"))
+    return df.withColumn("alert", F.struct(*fields))
+
+
+def slack_payload(
+    df: DataFrame,
+    template: str | None = None,
+    fmt: str | None = None,
+    attachments: bool = False,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Slack-webhook payload build (slack-webhook.js:22-46): the message is
+    either ld-json of the event (`format: 'ld-json'` → safeStringify) or a
+    string template over its fields; it lands in `payload.text` or, when the
+    configured payload carries attachments, in `attachments[0].text`
+    (slack-webhook.js:38-42). Adds a `payload` column with the webhook JSON
+    body. (The reference's 'json'/'yaml' pretty modes are driver-side
+    display variants of the same dict; ld-json is the canonical one-line
+    form a table engine emits.)"""
+    if fmt == "ld-json" or template is None:
+        cols = [c for c in df.columns if c not in (exclude or [])]
+        msg = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    else:
+        msg = _template_column(template, df.columns)
+    if attachments:
+        payload = F.to_json(F.struct(F.array(F.struct(msg.alias("text"))).alias("attachments")))
+    else:
+        payload = F.to_json(F.struct(msg.alias("text")))
+    return df.withColumn("payload", payload)
 
 
 def foreach_batch_http(url: str, max_buffer: int = 1000):

@@ -32,6 +32,85 @@ def test_clickhouse_shape(spark):
     assert out.columns == ["ts_ms", "message"]  # positional order preserved
 
 
+def test_influx_line_protocol(spark):
+    # convertToInfluxFormat semantics (influxdb.js:209-241): strings → tags,
+    # numbers → fields, @timestamp → epoch ns, escaping per line protocol
+    df = spark.createDataFrame(
+        [(1, "web server", 3.5, "dc=1,east")],
+        "event_id long, source string, load double, zone string",
+    ).withColumn("event_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    r = sinks.influx_line(df, measurement="sys load", ts_col="event_ts").collect()[0]
+    # measurement escapes space; tag keys sorted; tag values escape , = and
+    # space; fields sorted; ts in ns
+    assert r["line"] == (
+        "sys\\ load,source=web\\ server,zone=dc\\=1\\,east "
+        "event_id=1,load=3.5 1704067200000000000"
+    )
+
+
+def test_influx_line_nulls_and_no_fields(spark):
+    # null tags are omitted; a doc with NO numeric fields gets value=0
+    # (influxdb.js:232-234); null ts → no timestamp suffix
+    df = spark.createDataFrame([("only tag", None)], "a string, b string")
+    r = sinks.influx_line(df, measurement="m", ts_col=None).collect()[0]
+    assert r["line"] == "m,a=only\\ tag value=0"
+    # config tags merge in (influxdb.js:53-58) and ignore_fields drops
+    df2 = spark.createDataFrame([(5, 7)], "keep long, drop long")
+    r2 = sinks.influx_line(
+        df2, measurement="m", ts_col=None,
+        config_tags={"host": "node-1"}, ignore_fields=["drop"],
+    ).collect()[0]
+    assert r2["line"] == "m,host=node-1 keep=5"
+
+
+def test_prometheus_alert_templates(spark):
+    # mirrors the reference unit test
+    # (test/output-prometheus-alertmanager-test.js 'return alert with
+    # templated values'): {myVarA}/{myVarB} expand into generatorURL,
+    # labels and annotations
+    df = spark.createDataFrame(
+        [("valOfMyVarA", "valOfMyVarB")], "myVarA string, myVarB string"
+    )
+    out = sinks.prometheus_alert(
+        df,
+        {
+            "generatorURL": "http://foo?myVarA={myVarA}&myVarB={myVarB}",
+            "labels": {"myLabel": "{myVarA}-{myVarB}"},
+            "annotations": {"myAnnotation": "{myVarA} and {myVarB}"},
+        },
+    )
+    a = out.collect()[0]["alert"]
+    assert a["generatorURL"] == "http://foo?myVarA=valOfMyVarA&myVarB=valOfMyVarB"
+    assert a["labels"] == {"myLabel": "valOfMyVarA-valOfMyVarB"}
+    assert a["annotations"] == {"myAnnotation": "valOfMyVarA and valOfMyVarB"}
+
+
+def test_prometheus_alert_empty_template(spark):
+    # reference test 'return alert': buildAlert() with no template is
+    # {labels: {}, annotations: {}}
+    df = spark.createDataFrame([(1,)], "x long")
+    a = sinks.prometheus_alert(df).collect()[0]["alert"]
+    assert a["labels"] == {} and a["annotations"]== {}
+    assert "generatorURL" not in a.asDict()
+    # unknown {key} stays literal (string-template semantics); null → ''
+    df2 = spark.createDataFrame([(None,)], "known string")
+    a2 = sinks.prometheus_alert(
+        df2, {"labels": {"l": "{known}|{unknown}"}}
+    ).collect()[0]["alert"]
+    assert a2["labels"] == {"l": "|{unknown}"}
+
+
+def test_slack_payload(spark):
+    df = spark.createDataFrame([(7, "disk full")], "event_id long, msg string")
+    # template mode → payload.text (slack-webhook.js:35-36, 41-42)
+    r = sinks.slack_payload(df, template="alert #{event_id}: {msg}").collect()[0]
+    assert json.loads(r["payload"]) == {"text": "alert #7: disk full"}
+    # ld-json mode (slack-webhook.js:33-34) + attachments[0].text (:38-40)
+    r2 = sinks.slack_payload(df, fmt="ld-json", attachments=True).collect()[0]
+    body = json.loads(r2["payload"])
+    assert json.loads(body["attachments"][0]["text"]) == {"event_id": 7, "msg": "disk full"}
+
+
 def test_flatten_structs(spark):
     df = spark.createDataFrame([(1,)], "id long").withColumn(
         "os", F.struct(F.lit("h1").alias("host"), F.struct(F.lit("x").alias("deep")).alias("inner"))
