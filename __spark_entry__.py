@@ -2491,7 +2491,7 @@ def q_format_mappers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = q_format_github(spark, sf_dir).select(
         F.lit("github").alias("fmt"), "event_id",
         F.col("title").alias("c1"), F.col("message").alias("c2"), ns.alias("c3"),
-        nl.alias("n"), F.lit(None).cast("timestamp").alias("ts"),
+        nl.alias("n"), F.lit(None).cast("timestamp_ntz").alias("ts"),
     )
     b = q_format_journald(spark, sf_dir).select(
         F.lit("journald").alias("fmt"), "event_id",

@@ -76,6 +76,63 @@ def geo_enrich(
     ).drop("ip_lo", "ip_hi")
 
 
+class DimWatcher:
+    """Hot-refreshable dimension source — the geo/metadata analog of
+    RulesetWatcher, porting the reference's periodic GeoIP DB swap
+    (maxmind-update.js:24-93: hourly re-download, then the parser reads the
+    refreshed file) to micro-batch streaming: `current()` re-stats the dim
+    table's files and re-reads the DataFrame only when something changed,
+    else returns the cached frame.
+
+    The DOWNLOAD side of maxmind-update (curl of a vendor mirror) is an ops
+    concern — any job that rewrites the dim path (parquet overwrite) feeds
+    this watcher. Wire `DimWatcher(spark, path).current()` inside a
+    foreachBatch to pick up dim updates without restarting the stream; the
+    refreshed dim re-broadcasts with that batch's join. Failure-tolerant
+    like RulesetWatcher: a stat/read race against a concurrent overwrite
+    keeps serving the last-good dim and retries next batch."""
+
+    def __init__(self, spark, path: str, fmt: str = "parquet") -> None:
+        self._spark = spark
+        self._path = path
+        self._fmt = fmt
+        self._stamp: tuple | None = None
+        self._cached: DataFrame | None = None
+
+    def _stat_stamp(self) -> tuple:
+        import glob
+        import os
+
+        out = []
+        for f in sorted(glob.glob(os.path.join(self._path, "**"), recursive=True)):
+            if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_")):
+                st = os.stat(f)
+                out.append((f, st.st_mtime_ns, st.st_size))
+        return tuple(out)
+
+    def current(self) -> DataFrame:
+        import warnings
+
+        try:
+            stamp = self._stat_stamp()
+            if self._cached is None or stamp != self._stamp:
+                fresh = self._spark.read.format(self._fmt).load(self._path)
+                # materialize: a lazy frame still points at the on-disk
+                # files, so a later overwrite/delete would fail the cached
+                # "last-good" copy exactly when it is needed. Dims are
+                # broadcast-sized by definition (MaxMind ~MBs), so pinning
+                # the rows driver-side is the reference's own memory model
+                # (it holds the whole mmdb in process).
+                rows = fresh.collect()
+                self._cached = self._spark.createDataFrame(rows, fresh.schema)
+                self._stamp = stamp
+        except Exception as exc:  # noqa: BLE001 — survive overwrite races
+            if self._cached is None:
+                raise
+            warnings.warn(f"dim refresh failed, keeping last-good dim: {exc}")
+        return self._cached
+
+
 def ip_to_long(col: Column) -> Column:
     """Dotted-quad IPv4 → int64 (pure expression)."""
     parts = F.split(col, r"\.")

@@ -150,3 +150,34 @@ def test_docker_image_and_k8s_name_split(spark):
     assert r["img"]["tag"] == "1.2"
     assert r["img"]["digest"] == "sha256:ff"
     assert r["k"]["pod"] == "pod-1" and r["k"]["namespace"] == "ns1"
+
+
+def test_dim_watcher_refresh_and_tolerance(spark, tmp_path):
+    """DimWatcher (maxmind-update.js:24-93 analog): re-reads the dim only
+    when the files changed, serves the cached frame otherwise, and keeps
+    the last-good dim through an overwrite race."""
+    import os
+
+    from logpipe.enrich import DimWatcher
+
+    path = str(tmp_path / "geo_dim")
+    spark.createDataFrame([(0, 99, "v1")], "ip_lo long, ip_hi long, country string") \
+        .write.mode("overwrite").parquet(path)
+    w = DimWatcher(spark, path)
+    assert w.current().collect()[0]["country"] == "v1"
+    # unchanged files → same cached DataFrame object, no re-read
+    assert w.current() is w.current()
+    # rewrite → next current() picks up the new dim
+    spark.createDataFrame([(0, 99, "v2")], "ip_lo long, ip_hi long, country string") \
+        .write.mode("overwrite").parquet(path)
+    assert w.current().collect()[0]["country"] == "v2"
+    # vanished path mid-swap → warns and serves last-good instead of dying
+    import shutil
+    import warnings
+
+    shutil.rmtree(path)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = w.current()
+    assert got.collect()[0]["country"] == "v2"
+    assert any("last-good" in str(c.message) for c in caught)

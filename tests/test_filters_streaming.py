@@ -404,3 +404,35 @@ def test_stream_sql_filter_buffer(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 1
+
+
+def test_ruleset_watcher_failure_tolerance(tmp_path):
+    """RulesetWatcher.current() must survive a half-written pattern file or
+    a vanish-between-glob-and-stat race by serving the last-good ruleset
+    (the stream it feeds must not die on an editor save)."""
+    import warnings
+
+    from logpipe.rules import RulesetWatcher
+
+    pat = tmp_path / "p.yml"
+    pat.write_text(
+        "patterns:\n - sourceName: tol\n   match:\n"
+        "    - type: t1\n      regex: ^A (\\d+)\n      fields: [n:number]\n"
+    )
+    w = RulesetWatcher(str(pat), include_defaults=False)
+    rs1 = w.current()
+    assert any(r.log_type == "t1" for g in rs1.groups for r in g.rules)
+    # half-written YAML (non-atomic editor save) → warn + last-good
+    pat.write_text("patterns:\n - sourceName: [broken")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rs2 = w.current()
+    assert rs2 is rs1
+    assert any("last-good" in str(c.message) for c in caught)
+    # file repaired → reload picks up the new rule set
+    pat.write_text(
+        "patterns:\n - sourceName: tol\n   match:\n"
+        "    - type: t2\n      regex: ^B (\\d+)\n      fields: [n:number]\n"
+    )
+    rs3 = w.current()
+    assert any(r.log_type == "t2" for g in rs3.groups for r in g.rules)
