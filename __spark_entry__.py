@@ -2527,7 +2527,7 @@ def q_sink_serializers(spark: SparkSession, sf_dir: str) -> DataFrame:
     influx line protocol (influxdb.js:209-241 + json-influx render), and
     the slack-webhook templated payload (slack-webhook.js:22-46) — one
     (fmt, event_id, value) row per event per serializer."""
-    from logpipe.sinks import influx_line, slack_payload, to_ldjson
+    from logpipe.sinks import gelf_out, influx_line, slack_payload, to_ldjson
 
     ev = _t(spark, sf_dir, "events")
     a = to_ldjson(ev.select("event_id", "event_type", "user_id"), exclude=["user_id"]).select(
@@ -2539,7 +2539,14 @@ def q_sink_serializers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = slack_payload(
         ev.select("event_id", "event_type"), template="event #{event_id}: {event_type}"
     ).select(F.lit("slack").alias("fmt"), "event_id", F.col("payload").alias("value"))
-    return a.unionByName(b).unionByName(c)
+    d = gelf_out(
+        ev.select(
+            "event_id", F.col("ts").alias("event_ts"),
+            F.format_string("evt %d", F.col("event_id")).alias("message"),
+        ),
+        source_name="events", severity_col=None,
+    ).select(F.lit("gelf").alias("fmt"), "event_id", F.col("gelf").alias("value"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 _SINK_SERIALIZERS_SQL = """
@@ -2554,6 +2561,12 @@ FROM events
 UNION ALL
 SELECT 'slack', event_id,
        '{"text":"event #' || event_id || ': ' || event_type || '"}'
+FROM events
+UNION ALL
+SELECT 'gelf', event_id,
+       '{"timestamp":' || (epoch_ms(ts) // 1000)
+         || ',"level":"INFO","full_message":"evt ' || event_id
+         || '","short_message":"src:logagent-events"}'
 FROM events
 """
 

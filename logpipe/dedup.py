@@ -90,15 +90,42 @@ def ngram_jaccard_pairs(
 
     max_bucket is a last-resort skew guard on pathological prefix buckets
     (drops candidates if hit — sized so it never triggers at sane thresholds).
+
+    Round-4 perf: the shingle hashes come from an Arrow UDF (split → gram
+    set → md5-derived int64 via hash_str64, np.unique for sorted-distinct)
+    instead of the previous transform/slice/array_join/xxhash64 column
+    chain — Spark evaluates array higher-order functions interpreted
+    (outside codegen), and the measured cost of the expression chain was
+    ~4-5.6s for 5k long docs at sf0.1 vs ~1s for the Python path (same
+    finding as the minhash rewrite, see minhash_signatures). The hash
+    choice is internal: verification compares hash SETS, so any
+    deterministic injective-at-corpus-scale hash yields the same Jaccard,
+    and the DuckDB oracle works on the raw gram strings either way.
     """
-    hashes = F.array_sort(F.transform(word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)))
-    # persist BEFORE the size filter: otherwise Catalyst infers a pushed-down
-    # copy of the (large) shingling expression into a Filter node and codegen
-    # compiles it once per downstream stage — the cache boundary keeps the
-    # expression in exactly one generated stage. Materialize immediately: the
-    # signature frame feeds 4 plan branches (hot-count, candidate explode x2,
-    # verify x2) that would otherwise race to fill the cache concurrently.
-    raw = df.select(F.col(id_col).alias("_id"), hashes.alias("_sh")).persist()
+    n_words = n
+
+    def _sh_fn(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            words = str(t).lower().split()
+            grams = {" ".join(words[i : i + n_words]) for i in range(max(len(words) - n_words + 1, 0))}
+            if not grams:
+                out.append([])
+                continue
+            arr = np.unique(np.fromiter((hash_str64(g) for g in grams), dtype=np.int64, count=len(grams)))
+            out.append(arr.tolist())
+        return pd.Series(out)
+
+    # asNondeterministic: same single-eval pin as minhash_signatures — stops
+    # Catalyst duplicating the UDF into pushed-down Filter copies.
+    _sh_udf = F.pandas_udf(_sh_fn, T.ArrayType(T.LongType())).asNondeterministic()
+    # persist + materialize immediately: the shingle frame feeds 4 plan
+    # branches (hot-count, candidate explode x2, verify x2) that would
+    # otherwise race to fill the cache concurrently.
+    raw = df.select(F.col(id_col).alias("_id"), _sh_udf(F.col(text_col)).alias("_sh")).persist()
     raw.count()
     sh = raw.filter(F.size("_sh") > 0).withColumn(
         "_pfx", F.size("_sh") - F.ceil(F.lit(threshold) * F.size("_sh")) + 1

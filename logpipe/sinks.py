@@ -267,6 +267,43 @@ def slack_payload(
     return df.withColumn("payload", payload)
 
 
+def gelf_out(
+    df: DataFrame,
+    source_name: str = "logagent",
+    ts_col: str = "event_ts",
+    severity_col: str | None = "severity",
+    message_col: str = "message",
+) -> DataFrame:
+    """GELF OUTPUT message shape (gelfout.js:27-38 mapData — the inverse of
+    formats.gelf_format): severity defaults to INFO, the full message rides
+    `full_message`, and `short_message` carries the source marker
+    `src:logagent-<sourceName>`. The graygelf UDP chunking/compression is
+    transport; the mapped message is the data shape, added as a `gelf`
+    JSON column. GELF timestamps are epoch SECONDS (same convention the
+    input side parses); null ts stays null in the JSON."""
+    sev = (
+        F.coalesce(F.col(severity_col).cast("string"), F.lit("INFO"))
+        if severity_col is not None and severity_col in df.columns
+        else F.lit("INFO")
+    )
+    secs = (
+        F.expr(
+            "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', "
+            f"cast({ts_col} as timestamp_ntz))"
+        )
+        / F.lit(1000)
+    ).cast("long")
+    payload = F.to_json(
+        F.struct(
+            secs.alias("timestamp"),
+            sev.alias("level"),
+            F.col(message_col).alias("full_message"),
+            F.concat(F.lit("src:logagent-"), F.lit(source_name)).alias("short_message"),
+        )
+    )
+    return df.withColumn("gelf", payload)
+
+
 def foreach_batch_http(url: str, max_buffer: int = 1000):
     """output-http shape: a foreachBatch callback that would POST ldjson
     chunks (the actual HTTP call is a deployment concern; here the callback

@@ -311,3 +311,16 @@ def test_json_datestring_yearless_inherits_row_year(spark):
     )
     r = parse_text(df, rs, source_col="tool").collect()[0]
     assert r["event_ts"] == __import__("datetime").datetime(2024, 12, 6, 5, 6, 31)
+
+
+def test_gelf_out_shape(spark):
+    # gelfout.js:27-38 mapData: severity defaults INFO, full_message carries
+    # the message, short_message marks the source; GELF ts = epoch seconds
+    df = spark.createDataFrame(
+        [(1, "boom", "err"), (2, "ok", None)], "id long, message string, severity string"
+    ).withColumn("event_ts", F.to_timestamp(F.lit("2024-01-01 00:00:10")))
+    rows = {r["id"]: json.loads(r["gelf"])
+            for r in sinks.gelf_out(df, source_name="app").collect()}
+    assert rows[1] == {"timestamp": 1704067210, "level": "err",
+                       "full_message": "boom", "short_message": "src:logagent-app"}
+    assert rows[2]["level"] == "INFO"  # null severity → default (gelfout.js:30)
