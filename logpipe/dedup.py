@@ -403,11 +403,18 @@ def simhash_near_dups(
     touch at most max_hamming blocks, so a qualifying pair ALWAYS shares an
     untouched block — full recall, no cross join (the classic multi-block
     Hamming LSH; the old single-prefix block was a documented recall
-    ceiling). Verify with bit_count(xor)."""
+    ceiling). Verify with bit_count(xor).
+
+    The incoming signature frame is persisted (MEMORY_AND_DISK) so the
+    simhash UDF evaluates once, shared by both sides of the block
+    self-join — same shape as minhash_lsh_pairs (round 4)."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if n_blocks <= max_hamming:
         raise ValueError("n_blocks must exceed max_hamming for full recall")
+    from pyspark import StorageLevel
+
+    sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
     width = 64 // n_blocks
     blocks = []
     for k in range(n_blocks):

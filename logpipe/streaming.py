@@ -362,3 +362,151 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp", "_evt")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup dedup (MinHash band state over a watermark horizon)
+# ---------------------------------------------------------------------------
+
+
+def near_dedup_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_ts,
+    retention_hours: float = 24.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One micro-batch step of streaming near-dup dedup. Returns the KEPT
+    rows of `batch_df` and advances the band-key state table at `state_dir`.
+
+    Semantics (the standard streaming-LSH dedup contract, documented
+    aggressive side): a doc is dropped iff
+      * it shares ≥1 MinHash band with ANY doc kept within the retention
+        horizon (cross-batch: an equi anti-join against the state table —
+        band collisions can drop a non-dup with probability ~j^r per band,
+        the usual LSH false-positive rate), or
+      * within the batch, it is the non-minimal id of a verified near-dup
+        pair (est_jaccard ≥ threshold via minhash_lsh_pairs — exact
+        keep-min, same winner rule as dedup.exact_dedup).
+
+    Scale shape: state is a plain parquet table of (band, key, ts) pruned
+    to the retention horizon ON EVERY BATCH (bounded state, the
+    watermark analog); the membership test is an equi-join on the band
+    hash, broadcastable while the horizon's distinct-band count stays
+    small and a shuffle join beyond that. Docs with NULL signatures (null
+    text / < n words) pass through — drop-nothing. Deterministic given
+    (batch content, state content): no RNG, md5-based signatures.
+    """
+    import os
+
+    from logpipe import dedup as _dedup
+
+    spark = batch_df.sparkSession
+    sigs = _dedup.minhash_signatures(
+        batch_df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+    )
+    rows_per_band = num_hashes // bands
+    banded = (
+        sigs.filter(F.col("signature").isNotNull())
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.struct(
+                        i.alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", F.slice("signature", i * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        )
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .persist()
+    )
+    banded.count()
+
+    horizon = F.lit(batch_ts).cast("timestamp") - F.expr(
+        f"INTERVAL {int(retention_hours * 3600)} SECONDS"
+    )
+    state_exists = os.path.isdir(state_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(state_dir)
+    )
+    if state_exists:
+        seen = spark.read.parquet(state_dir).filter(F.col("ts") >= horizon)
+        cross_dropped = banded.join(seen, ["band", "key"], "left_semi").select("id").distinct()
+    else:
+        seen = None
+        cross_dropped = banded.select("id").limit(0)
+
+    # within-batch: verified pairs, keep-min winner
+    pairs = _dedup.minhash_lsh_pairs(
+        sigs, bands=bands, threshold=threshold, num_hashes=num_hashes
+    )
+    batch_dropped = pairs.select(F.greatest("id_a", "id_b").alias("id")).distinct()
+
+    # materialize the dropped set BEFORE the state swap below: the returned
+    # `kept` frame must not lazily re-read state_dir after its files are
+    # replaced (read-then-overwrite race). localCheckpoint truncates the
+    # lineage so even a cache-evicted partition can never recompute from
+    # the overwritten files.
+    dropped = cross_dropped.union(batch_dropped).distinct().localCheckpoint()
+    kept = batch_df.join(
+        dropped.withColumnRenamed("id", id_col), [id_col], "left_anti"
+    )
+
+    # advance state: bands of KEPT docs at batch_ts, plus surviving old state
+    kept_bands = banded.join(
+        kept.select(F.col(id_col).alias("id")), ["id"], "left_semi"
+    ).select("band", "key", F.lit(batch_ts).cast("timestamp").alias("ts"))
+    new_state = kept_bands if seen is None else seen.select("band", "key", "ts").union(kept_bands)
+    # write-then-swap: parquet overwrite of the pruned state (atomic enough
+    # for a single-writer stream; Iceberg swap at production scale)
+    tmp = state_dir + "_next"
+    new_state.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(state_dir)
+    banded.unpersist()
+    return kept
+
+
+def start_near_dedup_stream(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    ts_col: str = "ts",
+    available_now: bool = True,
+    **dedup_kwargs,
+):
+    """Streaming wrapper: file-source stream → near_dedup_batch per
+    micro-batch (state table advances with each batch; the batch timestamp
+    is the batch's max event ts so retention pruning follows event time),
+    kept rows appended to `out_dir`. Idempotent per batch id: the output
+    partition is overwritten by path."""
+    stream = spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir)
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_ts = batch_df.agg(F.max(F.col(ts_col))).collect()[0][0]
+        kept = near_dedup_batch(batch_df, state_dir, batch_ts, **dedup_kwargs)
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_step)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -436,3 +436,62 @@ def test_ruleset_watcher_failure_tolerance(tmp_path):
     )
     rs3 = w.current()
     assert any(r.log_type == "t2" for g in rs3.groups for r in g.rules)
+
+
+def test_near_dedup_batch_cross_and_within(spark, tmp_path):
+    """Streaming near-dup dedup core: within-batch verified pairs keep the
+    min id; cross-batch docs sharing a band with retained state drop; null
+    text passes (drop-nothing); state prunes at the retention horizon."""
+    import datetime
+
+    from logpipe.streaming import near_dedup_batch
+
+    state = str(tmp_path / "state")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words here about other topics"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    kept1 = {r["doc_id"] for r in near_dedup_batch(b1, state, t0).collect()}
+    # 1 and 2 are exact near-dups -> keep-min keeps 1; 3 unrelated; 4 null text
+    assert kept1 == {1, 3, 4}
+
+    # batch 2 within retention: near-dup of doc 1 drops, fresh doc survives
+    b2 = spark.createDataFrame(
+        [(10, base), (11, "yet another unrelated document body with new words")],
+        "doc_id long, text string",
+    )
+    kept2 = {r["doc_id"] for r in near_dedup_batch(
+        b2, state, t0 + datetime.timedelta(hours=1)).collect()}
+    assert kept2 == {11}
+
+    # batch 3 beyond the retention horizon: the old bands are pruned, the
+    # same near-dup text is admitted again
+    b3 = spark.createDataFrame([(20, base)], "doc_id long, text string")
+    kept3 = {r["doc_id"] for r in near_dedup_batch(
+        b3, state, t0 + datetime.timedelta(hours=100), retention_hours=24.0).collect()}
+    assert kept3 == {20}
+
+
+def test_near_dedup_stream_end_to_end(spark, tmp_path):
+    """availableNow stream through start_near_dedup_stream: the kept rows
+    match running near_dedup_batch over the same data."""
+    import datetime
+
+    from logpipe.streaming import start_near_dedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    src, out, ckpt, state = (str(tmp_path / d) for d in ("src", "out", "ck", "st"))
+    spark.createDataFrame(
+        [(1, base, datetime.datetime(2024, 1, 1)),
+         (2, base, datetime.datetime(2024, 1, 1, 0, 5)),
+         (3, "different text entirely with its own words", datetime.datetime(2024, 1, 1, 0, 6))],
+        "doc_id long, text string, ts timestamp",
+    ).write.parquet(src)
+    q = start_near_dedup_stream(spark, src, out, ckpt, state)
+    q.awaitTermination(300)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}
