@@ -84,9 +84,15 @@ def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
 
 def _lp_escape(col: Column, measurement: bool = False) -> Column:
     """Influx line-protocol escaping: backslash-escape comma/space (and `=`
-    for tag keys/values; measurements escape only comma/space)."""
+    for tag keys/values; measurements escape only comma/space). Literal
+    backslashes are escaped FIRST: the protocol spec leaves a bare `\\`
+    unescaped, but a tag value ENDING in one would then swallow the
+    tag/field separator — found by the hypothesis round-trip property, and
+    the choice most client libraries make."""
     chars = "([, ])" if measurement else "([,= ])"
-    return F.regexp_replace(col, chars, r"\\$1")
+    return F.regexp_replace(
+        F.regexp_replace(col, r"\\", r"\\\\"), chars, r"\\$1"
+    )
 
 
 def influx_line(
@@ -177,8 +183,9 @@ def influx_line(
 
 
 def _lp_key(k: str) -> str:
-    """Escape a STATIC tag/field key (plan-time python, not a Column)."""
-    return _re.sub(r"([,= ])", r"\\\1", k)
+    """Escape a STATIC tag/field key (plan-time python, not a Column);
+    same backslash-first rule as _lp_escape."""
+    return _re.sub(r"([,= ])", r"\\\1", k.replace("\\", "\\\\"))
 
 
 def _template_column(template: str, columns: list[str]) -> Column:

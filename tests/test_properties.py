@@ -262,3 +262,68 @@ def test_progressive_jpeg_random_roundtrip(spark, seed):
         .reshape(bh * 8, bw * 8)[:h, :w]
     )
     assert np.array_equal(decode_jpeg(buf)[:, :, 0], exp)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[A-Za-z0-9 ,=\\_.-]{1,24}", fullmatch=True),  # tag value
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),          # field value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_influx_line_escaping_roundtrip(spark, rows):
+    """Line-protocol escaping invertibility: splitting the emitted line on
+    UNescaped separators recovers the measurement, the exact tag value and
+    the field value — for tag values containing every class the protocol
+    escapes (spaces, commas, equals, backslashes are generated above)."""
+    import re as _re
+
+    from logpipe import sinks
+
+    data = [(i, v, n) for i, (v, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "row_id long, zone string, metric long")
+    got = {
+        r["row_id"]: r["line"]
+        for r in sinks.influx_line(
+            df.select("row_id", "zone", "metric"), measurement="m", ts_col=None
+        ).collect()
+    }
+    def split_unescaped(s, seps, maxsplit=-1):
+        # a real line-protocol tokenizer: a separator counts only when
+        # preceded by an EVEN number of backslashes (lookbehind can't
+        # express that, a scanner can)
+        out, cur, esc = [], [], False
+        for ch in s:
+            if esc:
+                cur.append(ch)
+                esc = False
+            elif ch == "\\":
+                cur.append(ch)
+                esc = True
+            elif ch in seps and maxsplit != 0:
+                out.append("".join(cur))
+                cur = []
+                maxsplit -= 1
+            else:
+                cur.append(ch)
+        out.append("".join(cur))
+        return out
+
+    for i, (v, n) in enumerate(rows):
+        line = got[i]
+        head, fields = split_unescaped(line, " ", maxsplit=1)
+        # head = measurement,tag=... — split tags on unescaped commas
+        parts = split_unescaped(head, ",")
+        assert parts[0] == "m"
+        tagmap = {}
+        for p in parts[1:]:
+            k, val = split_unescaped(p, "=", maxsplit=1)
+            # unescape: \, \= \space \\ back to literals
+            tagmap[k] = _re.sub(r"\\(.)", r"\1", val)
+        assert tagmap["zone"] == v
+        fkv = dict(f.split("=", 1) for f in split_unescaped(fields, ","))
+        assert int(fkv["metric"]) == n and int(fkv["row_id"]) == i
