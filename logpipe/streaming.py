@@ -407,9 +407,12 @@ def near_dedup_batch(
     from logpipe import dedup as _dedup
 
     spark = batch_df.sparkSession
+    # persist the signatures HERE (not inside minhash_lsh_pairs) so this
+    # function can unpersist them at the end — a long-running stream must
+    # not leak one cached frame per micro-batch
     sigs = _dedup.minhash_signatures(
         batch_df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
-    )
+    ).persist()
     rows_per_band = num_hashes // bands
     banded = (
         sigs.filter(F.col("signature").isNotNull())
@@ -449,7 +452,8 @@ def near_dedup_batch(
 
     # within-batch: verified pairs, keep-min winner
     pairs = _dedup.minhash_lsh_pairs(
-        sigs, bands=bands, threshold=threshold, num_hashes=num_hashes
+        sigs, bands=bands, threshold=threshold, num_hashes=num_hashes,
+        persist_signatures=False,
     )
     batch_dropped = pairs.select(F.greatest("id_a", "id_b").alias("id")).distinct()
 
@@ -475,6 +479,7 @@ def near_dedup_batch(
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(state_dir)
     banded.unpersist()
+    sigs.unpersist()
     return kept
 
 
