@@ -77,10 +77,13 @@ def decontaminate(
     (`broadcast_hits=True`): hits carries one row per doc sharing ≥1 gram
     with the benchmark — for a real benchmark (KBs of eval prompts) that is
     a small fraction of the corpus, and hinting it keeps the corpus side
-    shuffle-free even with AQE disabled. For an adversarial corpus where
-    most docs are contaminated, pass broadcast_hits=False and let the hits
-    join shuffle (it degrades to a normal left join; the corpus still never
-    shuffles on the gram explode)."""
+    shuffle-free even with AQE disabled. SIZE THE HINT: the broadcast side
+    is ~16 bytes × contaminated-doc count on every executor — fine to tens
+    of millions of hits, a deliberate decision beyond that. For a corpus
+    where a large share of docs is contaminated (boilerplate headers,
+    license text shared with the benchmark), pass broadcast_hits=False and
+    let the hits join shuffle (it degrades to a normal left join; the
+    corpus still never shuffles on the gram explode)."""
     bench_grams = (
         benchmark.select(F.explode(ngram_set(F.col(bench_text_col), n)).alias("_g"))
         .distinct()
@@ -201,6 +204,14 @@ def pack_sequences(
     has no position in it) — raises ValueError naming the contract rather
     than failing opaquely downstream.
 
+    Bucketing is by id RANGE, so the ≤rows_per_bucket guarantee assumes
+    reasonably DENSE ids (row_number / compact ingest ids — the normal
+    shape for a packing run): with a pathologically sparse id space (e.g.
+    one migrated doc at 10^15 among dense 0..10^9 ids) the dense cluster
+    funnels into one range bucket. Such skew warns below; the fix is to
+    re-key with a compact id (one row_number pass) or pass an explicit
+    larger `n_buckets`.
+
     Scale shape — a global prefix-sum WITHOUT a global ordered window:
     1. one cheap agg finds max(id) and count(*); ids are cut into
        deterministic key ranges (no sampled range partitioner — re-runs
@@ -232,6 +243,14 @@ def pack_sequences(
     if n_buckets is None:
         n_buckets = _derive_n_buckets(bounds["n"], rows_per_bucket)
     span = int(bounds["mx"]) + 1
+    if span > 20 * int(bounds["n"]):
+        import warnings
+
+        warnings.warn(
+            f"pack_sequences: sparse id space (max id {span - 1} vs {bounds['n']} "
+            f"rows) — range buckets may be skewed; re-key with a compact id or "
+            f"raise n_buckets (see docstring)"
+        )
     width = max((span + n_buckets - 1) // n_buckets, 1)
     b = (F.col(id_col) / width).cast("long").alias("_b")
     toks = F.col(tokens_col).cast("long")

@@ -102,7 +102,22 @@ def ngram_jaccard_pairs(
     deterministic injective-at-corpus-scale hash yields the same Jaccard,
     and the DuckDB oracle works on the raw gram strings either way.
     """
+    import re as _re
+
     n_words = n
+    # tokenize EXACTLY like the previous JVM path and the DuckDB oracle:
+    # trim ASCII spaces only, split on ASCII \s+ (Java/RE2 \s is ASCII;
+    # re.ASCII pins Python to match), keep a leading empty token, drop
+    # trailing ones (Java split semantics). Python's bare str.split() would
+    # treat Unicode whitespace (NBSP, U+2028, \x85) as separators and
+    # silently change gram sets vs the oracle.
+    _ws = _re.compile(r"\s+", _re.ASCII)
+
+    def _words(t: str) -> list[str]:
+        words = _ws.split(t.lower().strip(" "))
+        while words and words[-1] == "":
+            words.pop()
+        return words
 
     def _sh_fn(texts: pd.Series) -> pd.Series:
         out = []
@@ -110,7 +125,7 @@ def ngram_jaccard_pairs(
             if t is None:
                 out.append([])
                 continue
-            words = str(t).lower().split()
+            words = _words(str(t))
             grams = {" ".join(words[i : i + n_words]) for i in range(max(len(words) - n_words + 1, 0))}
             if not grams:
                 out.append([])
@@ -264,6 +279,25 @@ def hash_str64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
 
+def minhash_band_keys(bands: int, num_hashes: int) -> Column:
+    """The banding expression shared by minhash_lsh_pairs and the streaming
+    near-dup state table (streaming.near_dedup_batch): explode-ready array
+    of (band, key) structs where key = xxhash64 of the band's signature
+    slice. ONE definition on purpose — the cross-batch state's (band, key)
+    values must match the batch join's byte-for-byte, or existing state
+    tables silently stop matching."""
+    rows_per_band = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.struct(
+            i.alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", F.slice("signature", i * rows_per_band + 1, rows_per_band))
+            ).alias("key"),
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     bands: int = 16,
@@ -291,7 +325,6 @@ def minhash_lsh_pairs(
         est_jaccard verification filters, so a 64-bit key loses nothing.
     """
     sig_len = num_hashes
-    rows_per_band = sig_len // bands
     if persist_signatures:
         from pyspark import StorageLevel
 
@@ -319,17 +352,7 @@ def minhash_lsh_pairs(
     banded = guarded.select(
         "id",
         "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("signature", i * rows_per_band + 1, rows_per_band))
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
+        F.explode(minhash_band_keys(bands, num_hashes)).alias("bk"),
     ).select("id", "signature", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -393,7 +416,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 
 
 def simhash_near_dups(
-    sims: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+    sims: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming.
 
@@ -407,14 +433,18 @@ def simhash_near_dups(
 
     The incoming signature frame is persisted (MEMORY_AND_DISK) so the
     simhash UDF evaluates once, shared by both sides of the block
-    self-join — same shape as minhash_lsh_pairs (round 4)."""
+    self-join — same shape as minhash_lsh_pairs (round 4). Long-lived
+    callers that manage their own caching (e.g. a per-micro-batch stream,
+    where an unmanaged persist per call would accumulate) pass
+    persist_signatures=False."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if n_blocks <= max_hamming:
         raise ValueError("n_blocks must exceed max_hamming for full recall")
-    from pyspark import StorageLevel
+    if persist_signatures:
+        from pyspark import StorageLevel
 
-    sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
+        sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
     width = 64 // n_blocks
     blocks = []
     for k in range(n_blocks):

@@ -287,7 +287,10 @@ def gelf_out(
     `src:logagent-<sourceName>`. The graygelf UDP chunking/compression is
     transport; the mapped message is the data shape, added as a `gelf`
     JSON column. GELF timestamps are epoch SECONDS (same convention the
-    input side parses); null ts stays null in the JSON."""
+    input side parses). Null handling: to_json OMITS null fields — a null
+    ts (or message) drops that key from the JSON rather than emitting
+    null, which matches GELF's optional-field semantics (the reference
+    would send undefined, which JSON.stringify also omits)."""
     sev = (
         F.coalesce(F.col(severity_col).cast("string"), F.lit("INFO"))
         if severity_col is not None and severity_col in df.columns

@@ -373,6 +373,7 @@ def near_dedup_batch(
     batch_df: DataFrame,
     state_dir: str,
     batch_ts,
+    batch_id: int = 0,
     retention_hours: float = 24.0,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -394,13 +395,21 @@ def near_dedup_batch(
         pair (est_jaccard ≥ threshold via minhash_lsh_pairs — exact
         keep-min, same winner rule as dedup.exact_dedup).
 
-    Scale shape: state is a plain parquet table of (band, key, ts) pruned
-    to the retention horizon ON EVERY BATCH (bounded state, the
-    watermark analog); the membership test is an equi-join on the band
-    hash, broadcastable while the horizon's distinct-band count stays
-    small and a shuffle join beyond that. Docs with NULL signatures (null
-    text / < n words) pass through — drop-nothing. Deterministic given
-    (batch content, state content): no RNG, md5-based signatures.
+    REPLAY-SAFE: state rows carry the writing `batch_id`; the membership
+    test EXCLUDES rows written by the current batch_id, and the state
+    rewrite replaces them. A foreachBatch retry of batch N (crash after the
+    state swap, before the checkpoint commit) therefore recomputes the
+    identical kept set instead of dropping the batch against its own band
+    keys. Band keys come from dedup.minhash_band_keys — the SAME expression
+    the batch LSH join uses, so state and join can never desynchronize.
+
+    Scale shape: state is a plain parquet table of (band, key, ts,
+    batch_id) pruned to the retention horizon ON EVERY BATCH (bounded
+    state, the watermark analog); the membership test is an equi-join on
+    the band hash, broadcastable while the horizon's distinct-band count
+    stays small and a shuffle join beyond that. Docs with NULL signatures
+    (null text / < n words) pass through — drop-nothing. Deterministic
+    given (batch content, state content): no RNG, md5-based signatures.
     """
     import os
 
@@ -413,25 +422,9 @@ def near_dedup_batch(
     sigs = _dedup.minhash_signatures(
         batch_df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
     ).persist()
-    rows_per_band = num_hashes // bands
     banded = (
         sigs.filter(F.col("signature").isNotNull())
-        .select(
-            "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda i: F.struct(
-                        i.alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", F.slice("signature", i * rows_per_band + 1, rows_per_band)
-                            )
-                        ).alias("key"),
-                    ),
-                )
-            ).alias("bk"),
-        )
+        .select("id", F.explode(_dedup.minhash_band_keys(bands, num_hashes)).alias("bk"))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         .persist()
     )
@@ -444,7 +437,10 @@ def near_dedup_batch(
         f.endswith(".parquet") for f in os.listdir(state_dir)
     )
     if state_exists:
-        seen = spark.read.parquet(state_dir).filter(F.col("ts") >= horizon)
+        seen = (
+            spark.read.parquet(state_dir)
+            .filter((F.col("ts") >= horizon) & (F.col("batch_id") != F.lit(batch_id)))
+        )
         cross_dropped = banded.join(seen, ["band", "key"], "left_semi").select("id").distinct()
     else:
         seen = None
@@ -467,11 +463,21 @@ def near_dedup_batch(
         dropped.withColumnRenamed("id", id_col), [id_col], "left_anti"
     )
 
-    # advance state: bands of KEPT docs at batch_ts, plus surviving old state
+    # advance state: bands of KEPT docs stamped (batch_ts, batch_id), plus
+    # surviving old state from OTHER batches (a replay's own prior rows are
+    # replaced, not duplicated)
     kept_bands = banded.join(
         kept.select(F.col(id_col).alias("id")), ["id"], "left_semi"
-    ).select("band", "key", F.lit(batch_ts).cast("timestamp").alias("ts"))
-    new_state = kept_bands if seen is None else seen.select("band", "key", "ts").union(kept_bands)
+    ).select(
+        "band", "key",
+        F.lit(batch_ts).cast("timestamp").alias("ts"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+    )
+    new_state = (
+        kept_bands
+        if seen is None
+        else seen.select("band", "key", "ts", "batch_id").union(kept_bands)
+    )
     # write-then-swap: parquet overwrite of the pruned state (atomic enough
     # for a single-writer stream; Iceberg swap at production scale)
     tmp = state_dir + "_next"
@@ -504,7 +510,9 @@ def start_near_dedup_stream(
         if batch_df.isEmpty():
             return
         batch_ts = batch_df.agg(F.max(F.col(ts_col))).collect()[0][0]
-        kept = near_dedup_batch(batch_df, state_dir, batch_ts, **dedup_kwargs)
+        kept = near_dedup_batch(
+            batch_df, state_dir, batch_ts, batch_id=batch_id, **dedup_kwargs
+        )
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     writer = (

@@ -57,7 +57,9 @@ _DEVICE_RULES: list[tuple[str, str, str]] = [
     (r"(?i)okhttp", "bot", "okhttp"),
     (r"(?i)axios/", "bot", "axios"),
     (r"(?i)java/|apache-httpclient", "bot", "Java"),
-    (r"(?i)\b(bot|crawler|spider|scraper)\b", "bot", "Generic Bot"),
+    # `bot\b` (no left boundary) also catches compound crawler names like
+    # ClaudeBot/PerplexityBot that have no vendor-specific rule above
+    (r"(?i)bot\b|\b(crawler|spider|scraper)\b", "bot", "Generic Bot"),
     # --- game consoles ---
     (r"(?i)playstation 5", "console", "Sony"),
     (r"(?i)playstation 4", "console", "Sony"),

@@ -455,7 +455,7 @@ def test_near_dedup_batch_cross_and_within(spark, tmp_path):
          (4, None)],
         "doc_id long, text string",
     )
-    kept1 = {r["doc_id"] for r in near_dedup_batch(b1, state, t0).collect()}
+    kept1 = {r["doc_id"] for r in near_dedup_batch(b1, state, t0, batch_id=1).collect()}
     # 1 and 2 are exact near-dups -> keep-min keeps 1; 3 unrelated; 4 null text
     assert kept1 == {1, 3, 4}
 
@@ -465,14 +465,22 @@ def test_near_dedup_batch_cross_and_within(spark, tmp_path):
         "doc_id long, text string",
     )
     kept2 = {r["doc_id"] for r in near_dedup_batch(
-        b2, state, t0 + datetime.timedelta(hours=1)).collect()}
+        b2, state, t0 + datetime.timedelta(hours=1), batch_id=2).collect()}
     assert kept2 == {11}
+
+    # REPLAY of batch 2 (same batch_id — a foreachBatch retry after the
+    # state swap): must recompute the identical kept set, NOT drop the
+    # batch against its own band keys
+    kept2r = {r["doc_id"] for r in near_dedup_batch(
+        b2, state, t0 + datetime.timedelta(hours=1), batch_id=2).collect()}
+    assert kept2r == kept2
 
     # batch 3 beyond the retention horizon: the old bands are pruned, the
     # same near-dup text is admitted again
     b3 = spark.createDataFrame([(20, base)], "doc_id long, text string")
     kept3 = {r["doc_id"] for r in near_dedup_batch(
-        b3, state, t0 + datetime.timedelta(hours=100), retention_hours=24.0).collect()}
+        b3, state, t0 + datetime.timedelta(hours=100), batch_id=3,
+        retention_hours=24.0).collect()}
     assert kept3 == {20}
 
 

@@ -125,6 +125,7 @@ def test_default_ua_device_dim(spark):
             ("Googlebot/2.1 (+http://www.google.com/bot.html)",),
             ("Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit",),
             ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/120",),
+            ("Mozilla/5.0 (compatible; SomeNewBot/1.0; +https://ex.com/bot)",),
         ],
         "user_agent string",
     )
@@ -135,6 +136,9 @@ def test_default_ua_device_dim(spark):
     assert got["Googlebot/2.1 (+http://www.goo"] == ("bot", "Google")
     assert got["Mozilla/5.0 (PlayStation 5/Sma"] == ("console", "Sony")
     assert got["Mozilla/5.0 (Windows NT 10.0; "] == ("desktop", "PC")
+    # compound ...Bot token with NO vendor rule → the generic bot fallback
+    # (bot\b without a left word boundary) must classify it
+    assert got["Mozilla/5.0 (compatible; SomeN"] == ("bot", "Generic Bot")
 
 
 def test_kafka_stream_builds_unbound(spark):
