@@ -21,6 +21,51 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
+# cache-handle plumbing: pair-generating functions persist intermediate
+# frames (signatures/shingles) that the LAZY returned frame still depends
+# on, so they cannot unpersist before the caller materializes. Instead the
+# persisted handles ride on the result as `_logpipe_cached`; batch callers
+# that invoke these repeatedly in one session call `release(pairs)` after
+# consuming to avoid accumulating cached frames (streaming callers pass
+# persist_*=False and manage their own, e.g. streaming.near_dedup_batch).
+# ---------------------------------------------------------------------------
+
+
+def _attach_cached(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    cached = tuple(f for f in frames if f is not None)
+    if cached:
+        result._logpipe_cached = cached  # type: ignore[attr-defined]
+    return result
+
+
+def release(df: DataFrame, blocking: bool = False) -> None:
+    """Unpersist every frame a dedup function persisted on behalf of `df`
+    (no-op for frames without attached handles). Call AFTER materializing
+    `df` — the cached frames are part of its lineage."""
+    for f in getattr(df, "_logpipe_cached", ()):
+        f.unpersist(blocking=blocking)
+
+
+def _drop_hot_buckets(exploded: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:
+    """Anti-join away LSH buckets larger than `max_bucket` rows — the opt-in
+    skew guard for template-heavy corpora where one bucket would otherwise
+    drive an m²/2 candidate fan-out BEFORE verification can filter.
+
+    LOSSY by design: docs whose only shared bucket was hot lose recall.
+    Prescribed ordering: run exact_dedup FIRST (it removes the identical-doc
+    clusters that make buckets hot losslessly), then near-dup with the cap as
+    the backstop. The hot set is a groupBy-count (map-side combinable) and is
+    broadcast — bucket cardinality is tiny next to the corpus."""
+    hot = (
+        exploded.groupBy(*bucket_cols)
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select(*bucket_cols)
+    )
+    return exploded.join(F.broadcast(hot), bucket_cols, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -75,6 +120,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
 
@@ -139,9 +185,13 @@ def ngram_jaccard_pairs(
     _sh_udf = F.pandas_udf(_sh_fn, T.ArrayType(T.LongType())).asNondeterministic()
     # persist + materialize immediately: the shingle frame feeds 4 plan
     # branches (hot-count, candidate explode x2, verify x2) that would
-    # otherwise race to fill the cache concurrently.
-    raw = df.select(F.col(id_col).alias("_id"), _sh_udf(F.col(text_col)).alias("_sh")).persist()
-    raw.count()
+    # otherwise race to fill the cache concurrently. The handle rides on
+    # the returned frame — batch callers `release()` it after consuming;
+    # callers that manage their own caching pass persist_shingles=False.
+    raw = df.select(F.col(id_col).alias("_id"), _sh_udf(F.col(text_col)).alias("_sh"))
+    if persist_shingles:
+        raw = raw.persist()
+        raw.count()
     sh = raw.filter(F.size("_sh") > 0).withColumn(
         "_pfx", F.size("_sh") - F.ceil(F.lit(threshold) * F.size("_sh")) + 1
     )
@@ -158,8 +208,7 @@ def ngram_jaccard_pairs(
         # opt-in skew guard for pathological corpora (cap drops candidates —
         # only set it when a prefix bucket would otherwise explode; prefix
         # filtering already suppresses boilerplate-shingle buckets)
-        hot = exploded.groupBy("_g").count().filter(F.col("count") > max_bucket).select("_g")
-        exploded = exploded.join(F.broadcast(hot), "_g", "left_anti")
+        exploded = _drop_hot_buckets(exploded, ["_g"], max_bucket)
     a = exploded.alias("a")
     b = exploded.alias("b")
     cand = (
@@ -186,7 +235,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return pairs
+    return _attach_cached(pairs, raw if persist_shingles else None)
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +353,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 64,
     persist_signatures: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band signatures → bucket-join candidates → verify by signature overlap.
 
@@ -319,7 +369,19 @@ def minhash_lsh_pairs(
         self-join re-runs the signature UDF over the corpus, which is also
         the standard shape for a self-join at 10^12 rows (persist or land
         the signature table, never recompute per branch). Pass False for
-        one-shot/streaming callers that cannot cache.
+        one-shot/streaming callers that cannot cache. The persisted handle
+        rides on the returned frame — call `release(pairs)` after
+        materializing to unpersist (repeated batch invocations otherwise
+        accumulate cached frames for the session's lifetime).
+
+    `max_bucket` (opt-in, default off) is the hot-band skew guard: an LLM
+    template cluster of m near-identical docs collides on EVERY band, so the
+    band self-join fans out m²/2 candidate rows per band BEFORE est_jaccard
+    can filter — the one identified 100× scale-killer. With the cap set,
+    (band, key) buckets holding > max_bucket docs are anti-joined away
+    (see _drop_hot_buckets: lossy; run exact_dedup first so identical-doc
+    clusters are removed losslessly and the cap only fires on pathological
+    residue).
       * band keys use `xxhash64` (codegen-native) instead of sha2 — a band
         bucket collision only creates a false CANDIDATE, which the
         est_jaccard verification filters, so a 64-bit key loses nothing.
@@ -354,6 +416,8 @@ def minhash_lsh_pairs(
         "signature",
         F.explode(minhash_band_keys(bands, num_hashes)).alias("bk"),
     ).select("id", "signature", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        banded = _drop_hot_buckets(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
@@ -370,9 +434,10 @@ def minhash_lsh_pairs(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
         )
     ) / F.size("sig_a")
-    return cand.withColumn("est_jaccard", est).filter(F.col("est_jaccard") >= threshold).select(
+    pairs = cand.withColumn("est_jaccard", est).filter(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
+    return _attach_cached(pairs, sigs if persist_signatures else None)
 
 
 # ---------------------------------------------------------------------------
@@ -420,6 +485,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     n_blocks: int | None = None,
     persist_signatures: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming.
 
@@ -436,7 +502,14 @@ def simhash_near_dups(
     self-join — same shape as minhash_lsh_pairs (round 4). Long-lived
     callers that manage their own caching (e.g. a per-micro-batch stream,
     where an unmanaged persist per call would accumulate) pass
-    persist_signatures=False."""
+    persist_signatures=False; batch callers `release(pairs)` the attached
+    handle after materializing.
+
+    `max_bucket` (opt-in) caps (block, block-value) buckets exactly like
+    minhash_lsh_pairs' hot-band guard: a template cluster shares ALL bit
+    blocks, so its m²/2 fan-out lands in every bucket before the
+    bit_count(xor) verify can filter. Lossy — exact_dedup first (see
+    _drop_hot_buckets)."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if n_blocks <= max_hamming:
@@ -460,8 +533,10 @@ def simhash_near_dups(
     blocked = sims.select(
         "id", "simhash", F.explode(F.array(*blocks)).alias("blk")
     ).select("id", "simhash", F.col("blk.k").alias("k"), F.col("blk.bv").alias("bv"))
+    if max_bucket is not None:
+        blocked = _drop_hot_buckets(blocked, ["k", "bv"], max_bucket)
     a, b = blocked.alias("a"), blocked.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.k") == F.col("b.k"))
@@ -476,6 +551,7 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    return _attach_cached(pairs, sims if persist_signatures else None)
 
 
 # ---------------------------------------------------------------------------

@@ -100,21 +100,36 @@ class DimWatcher:
         self._cached: DataFrame | None = None
 
     def _stat_stamp(self) -> tuple:
-        import glob
-        import os
-
+        """(name, mtime, size) of every data file under the dim path, via the
+        Hadoop FileSystem API so s3a://, hdfs://, file:// all stat through
+        the SAME resolver `spark.read.load` uses — a local-only glob would
+        return () forever on a remote URI and silently freeze the watcher on
+        its first load (the exact staleness it exists to prevent)."""
+        jvm = self._spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self._path)
+        fs = jpath.getFileSystem(self._spark._jsc.hadoopConfiguration())
         out = []
-        for f in sorted(glob.glob(os.path.join(self._path, "**"), recursive=True)):
-            if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_")):
-                st = os.stat(f)
-                out.append((f, st.st_mtime_ns, st.st_size))
-        return tuple(out)
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith((".", "_")):
+                out.append((str(st.getPath()), st.getModificationTime(), st.getLen()))
+        return tuple(sorted(out))
 
     def current(self) -> DataFrame:
         import warnings
 
         try:
             stamp = self._stat_stamp()
+            if not stamp and self._cached is not None:
+                # an empty listing for a dim that previously had files is a
+                # swap-in-progress (or a deleted dim) — keep last-good and
+                # say so rather than silently reloading nothing
+                warnings.warn(
+                    f"dim path {self._path} lists no data files; keeping last-good dim"
+                )
+                return self._cached
             if self._cached is None or stamp != self._stamp:
                 fresh = self._spark.read.format(self._fmt).load(self._path)
                 # materialize: a lazy frame still points at the on-disk

@@ -285,6 +285,8 @@ def start_stream_pipeline(
     available_now: bool = True,
     fmt: str = "parquet",
     pattern_files: str | list[str] | None = None,
+    dim_watchers: dict | None = None,
+    dim_paths: dict[str, str] | None = None,
 ):
     """readStream → parse/mask/enrich/route (batch stage functions, unchanged)
     → foreachBatch fan-out + per-batch metrics.
@@ -304,19 +306,45 @@ def start_stream_pipeline(
     INSIDE foreachBatch against a per-epoch `RulesetWatcher.current()`, so a
     pattern edit lands in the next micro-batch without restarting the query.
     Without it the ruleset is pinned in the stream plan for the query's
-    lifetime (cheaper — no per-batch plan rebuild)."""
+    lifetime (cheaper — no per-batch plan rebuild).
+
+    `dim_watchers` / `dim_paths`: hot-refresh the pipeline's DIMENSION
+    tables the same way — the reference's periodic GeoIP swap and k8s
+    metadata TTL (maxmind-update.js:24-93, kubernetes-enrichment.js) in the
+    execution path. Keys are TranscriptPipeline dim field names
+    (`role_dim`, `tool_dim`); values are `enrich.DimWatcher` instances
+    (dim_watchers) or table paths wrapped in one (dim_paths). Each
+    micro-batch re-resolves `watcher.current()` — an overwritten dim lands
+    in the NEXT batch's broadcast join, a corrupt/in-progress swap keeps
+    serving the last-good dim (DimWatcher's failure contract)."""
+    from dataclasses import fields as _dc_fields
     from dataclasses import replace as _dc_replace
 
+    from .enrich import DimWatcher
     from .rules import RulesetWatcher
 
     pipe = pipe or TranscriptPipeline()
+    dims: dict[str, DimWatcher] = dict(dim_watchers or {})
+    for fld, p in (dim_paths or {}).items():
+        dims.setdefault(fld, DimWatcher(spark, p))
+    valid = {f.name for f in _dc_fields(pipe)}
+    unknown = set(dims) - valid
+    if unknown:
+        raise ValueError(
+            f"dim watcher keys {sorted(unknown)} are not TranscriptPipeline "
+            f"fields (valid: {sorted(valid)})"
+        )
     stream = read_transcript_stream(spark, input_path, fmt=fmt)
     watcher = RulesetWatcher(pattern_files) if pattern_files is not None else None
-    routed = stream if watcher is not None else pipe.routed(stream)
+    rebuild = watcher is not None or bool(dims)
+    routed = stream if rebuild else pipe.routed(stream)
 
     def _write_batch(batch_df: DataFrame, batch_id: int):
-        if watcher is not None:
-            batch_df = _dc_replace(pipe, ruleset=watcher.current()).routed(batch_df)
+        if rebuild:
+            repl = {fld: w.current() for fld, w in dims.items()}
+            if watcher is not None:
+                repl["ruleset"] = watcher.current()
+            batch_df = _dc_replace(pipe, **repl).routed(batch_df)
         df = batch_df.withColumn("fields", F.to_json("fields"))
         (
             df.write.mode("overwrite")
@@ -367,6 +395,34 @@ def stream_exact_dedup(
 # ---------------------------------------------------------------------------
 # streaming NEAR-dup dedup (MinHash band state over a watermark horizon)
 # ---------------------------------------------------------------------------
+
+
+def _resolve_state_dir(state_dir: str) -> str | None:
+    """Pick the live near-dup state table: `state_dir` when its last write
+    COMPLETED (Spark's `_SUCCESS` marker present), else the `_next` staging
+    copy when THAT completed — the swap in near_dedup_batch is
+    write-`_next`-then-rewrite-`state_dir`, so a crash mid-rewrite leaves
+    state_dir partial/empty while `_next` holds the full new state; without
+    this fallback the next batch would silently re-admit every near-dup in
+    the horizon. Returns None when neither exists (first batch)."""
+    import os
+
+    def _complete(d: str) -> bool:
+        return os.path.isdir(d) and (
+            os.path.isfile(os.path.join(d, "_SUCCESS"))
+            and any(f.endswith(".parquet") for f in os.listdir(d))
+        )
+
+    if _complete(state_dir):
+        return state_dir
+    nxt = state_dir + "_next"
+    if _complete(nxt):
+        return nxt
+    # neither has a complete marker: tolerate a hand-built state dir with
+    # parquet files but no _SUCCESS (e.g. copied in by an operator)
+    if os.path.isdir(state_dir) and any(f.endswith(".parquet") for f in os.listdir(state_dir)):
+        return state_dir
+    return None
 
 
 def near_dedup_batch(
@@ -433,12 +489,10 @@ def near_dedup_batch(
     horizon = F.lit(batch_ts).cast("timestamp") - F.expr(
         f"INTERVAL {int(retention_hours * 3600)} SECONDS"
     )
-    state_exists = os.path.isdir(state_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(state_dir)
-    )
-    if state_exists:
+    state_path = _resolve_state_dir(state_dir)
+    if state_path is not None:
         seen = (
-            spark.read.parquet(state_dir)
+            spark.read.parquet(state_path)
             .filter((F.col("ts") >= horizon) & (F.col("batch_id") != F.lit(batch_id)))
         )
         cross_dropped = banded.join(seen, ["band", "key"], "left_semi").select("id").distinct()
@@ -479,8 +533,14 @@ def near_dedup_batch(
         else seen.select("band", "key", "ts", "batch_id").union(kept_bands)
     )
     # write-then-swap: parquet overwrite of the pruned state (atomic enough
-    # for a single-writer stream; Iceberg swap at production scale)
+    # for a single-writer stream; Iceberg swap at production scale). A crash
+    # between the two writes is recovered by _resolve_state_dir's `_next`
+    # fallback on the next batch's read.
     tmp = state_dir + "_next"
+    if state_path == tmp:
+        # recovery path: this batch READ its state from `_next`; pin the
+        # rows before overwriting the same files (overwrite deletes first)
+        new_state = new_state.localCheckpoint()
     new_state.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(state_dir)

@@ -38,6 +38,8 @@ _DEVICE_RULES: list[tuple[str, str, str]] = [
     (r"(?i)linkedinbot", "bot", "LinkedIn"),
     (r"(?i)applebot", "bot", "Apple"),
     (r"(?i)gptbot|oai-searchbot|chatgpt-user", "bot", "OpenAI"),
+    (r"(?i)claudebot|claude-web|anthropic", "bot", "Anthropic"),
+    (r"(?i)perplexitybot|perplexity-user", "bot", "Perplexity"),
     (r"(?i)ccbot", "bot", "Common Crawl"),
     (r"(?i)bytespider", "bot", "ByteDance"),
     (r"(?i)petalbot", "bot", "Huawei"),
@@ -57,9 +59,14 @@ _DEVICE_RULES: list[tuple[str, str, str]] = [
     (r"(?i)okhttp", "bot", "okhttp"),
     (r"(?i)axios/", "bot", "axios"),
     (r"(?i)java/|apache-httpclient", "bot", "Java"),
-    # `bot\b` (no left boundary) also catches compound crawler names like
-    # ClaudeBot/PerplexityBot that have no vendor-specific rule above
-    (r"(?i)bot\b|\b(crawler|spider|scraper)\b", "bot", "Generic Bot"),
+    # `[a-z0-9]bot/` catches compound crawler PRODUCT tokens (`FooBot/1.0`)
+    # that have no vendor rule above, while the strict `\bbot\b` keeps
+    # device-brand words ending in 'bot' (CUBOT handsets, 'robot') out of
+    # the bot class — bot rules precede the mobile rules in this cascade,
+    # so a loose left boundary here would shadow them. Known tradeoff: a
+    # compound crawler with no version slash falls through to the device
+    # fallbacks (vendor rules cover the major ones).
+    (r"(?i)\bbot\b|[a-z0-9]bot/|\b(crawler|spider|scraper)\b", "bot", "Generic Bot"),
     # --- game consoles ---
     (r"(?i)playstation 5", "console", "Sony"),
     (r"(?i)playstation 4", "console", "Sony"),

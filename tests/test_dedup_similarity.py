@@ -681,3 +681,62 @@ def test_decode_jpeg_progressive_color(spark):
         )
         assert tuple(out[4, bx * 8 + 3]) == want
     assert tuple(out[0, 0]) == (120, 120, 120)
+
+
+def test_dedup_release_unpersists(spark):
+    """Every pair generator attaches its persisted intermediates to the
+    result; release() returns the session to its prior cache footprint
+    (no net new cached RDDs across repeated batch invocations)."""
+    from logpipe import dedup
+
+    jsc = spark.sparkContext._jsc
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with words alpha beta gamma delta {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    before = jsc.getPersistentRDDs().size()
+    for make in (
+        lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+        lambda: dedup.minhash_lsh_pairs(dedup.minhash_signatures(docs), bands=16, threshold=0.4),
+        lambda: dedup.simhash_near_dups(dedup.simhash(docs), max_hamming=8),
+    ):
+        pairs = make()
+        pairs.count()
+        assert getattr(pairs, "_logpipe_cached", ())
+        dedup.release(pairs, blocking=True)
+    assert jsc.getPersistentRDDs().size() == before
+    # opt-out path never persists at all
+    p = dedup.ngram_jaccard_pairs(docs, threshold=0.5, persist_shingles=False)
+    p.count()
+    assert not getattr(p, "_logpipe_cached", ())
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_hot_band_guard_bounds_template_clusters(spark):
+    """A 10k-doc identical-template cluster collides on every LSH band/block;
+    with max_bucket set the m²/2 candidate fan-out is suppressed BEFORE the
+    verify stage and the job completes. Lossy by contract — exact_dedup
+    first removes such clusters losslessly."""
+    from logpipe import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "identical template text repeated for every doc in this corpus") for i in range(10_000)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(dedup.minhash_signatures(docs), max_bucket=100)
+    assert pairs.count() == 0
+    dedup.release(pairs, blocking=True)
+    p2 = dedup.simhash_near_dups(dedup.simhash(docs), max_bucket=100)
+    assert p2.count() == 0
+    dedup.release(p2, blocking=True)
+    p3 = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_bucket=100)
+    assert p3.count() == 0
+    dedup.release(p3, blocking=True)
+    # recall intact below the cap: a 20-doc cluster still yields all pairs
+    small = spark.createDataFrame(
+        [(i, "same text cluster body words repeated here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p4 = dedup.minhash_lsh_pairs(dedup.minhash_signatures(small), max_bucket=100)
+    assert p4.count() == 20 * 19 // 2
+    dedup.release(p4, blocking=True)

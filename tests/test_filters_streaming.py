@@ -503,3 +503,110 @@ def test_near_dedup_stream_end_to_end(spark, tmp_path):
     q.awaitTermination(300)
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 3}
+
+
+def test_near_dedup_state_crash_recovery(spark, tmp_path):
+    """Crash mid state-swap (state_dir destroyed after the `_next` staging
+    write): the next batch must fall back to `_next` instead of silently
+    re-admitting every near-dup in the horizon, and the swap self-heals."""
+    import datetime
+    import os
+    import shutil
+
+    from logpipe.streaming import near_dedup_batch
+
+    state = str(tmp_path / "state")
+    t0 = datetime.datetime(2024, 1, 1)
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    assert {r["doc_id"] for r in near_dedup_batch(b1, state, t0, batch_id=1).collect()} == {1}
+
+    # crash window: the final rewrite never happened / was half-written
+    shutil.rmtree(state)
+    b2 = spark.createDataFrame(
+        [(10, base), (11, "totally unrelated fresh document words here")],
+        "doc_id long, text string",
+    )
+    kept2 = {r["doc_id"] for r in near_dedup_batch(
+        b2, state, t0 + datetime.timedelta(hours=1), batch_id=2).collect()}
+    assert kept2 == {11}  # 10 deduped against the recovered _next state
+    assert os.path.isfile(os.path.join(state, "_SUCCESS"))  # swap healed
+
+    # partial-write variant: state_dir present but its _SUCCESS marker gone
+    os.remove(os.path.join(state, "_SUCCESS"))
+    b3 = spark.createDataFrame([(20, base)], "doc_id long, text string")
+    kept3 = {r["doc_id"] for r in near_dedup_batch(
+        b3, state, t0 + datetime.timedelta(hours=2), batch_id=3).collect()}
+    assert kept3 == set()
+
+
+def test_stream_dim_hot_reload(spark, tmp_path):
+    """A LONG-RUNNING stream re-resolves its dimension tables per
+    micro-batch (maxmind-update.js:24-93 periodic DB swap in the execution
+    path): a dim overwrite lands in the next batch's broadcast join, and a
+    corrupt swap keeps serving the last-good dim."""
+    import datetime
+    import shutil
+    import time
+
+    import pytest
+
+    from logpipe.streaming import start_stream_pipeline
+
+    dim_path = str(tmp_path / "role_dim")
+
+    def write_dim(team):
+        spark.createDataFrame(
+            [("user", team)], "role string, team string"
+        ).write.mode("overwrite").parquet(dim_path)
+
+    def rows_df(start):
+        data = [
+            (f"c{i}", i, "user", f"hello {i}", "apptool",
+             datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i))
+            for i in range(start, start + 50)
+        ]
+        return spark.createDataFrame(
+            data, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        )
+
+    with pytest.raises(ValueError, match="not TranscriptPipeline"):
+        start_stream_pipeline(
+            spark, str(tmp_path / "x"), str(tmp_path / "y"), str(tmp_path / "z"),
+            dim_paths={"nope_dim": dim_path},
+        )
+
+    write_dim("team_v1")
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    rows_df(0).write.parquet(src)
+    q = start_stream_pipeline(
+        spark, src, out, ckpt, available_now=False, dim_paths={"role_dim": dim_path}
+    )
+
+    def wait_rows(pred_turn, timeout=120):
+        """Teams seen on rows with turn_idx >= pred_turn."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            try:
+                rows = (
+                    spark.read.parquet(f"{out}/routed")
+                    .filter(f"turn_idx >= {pred_turn}")
+                    .select("role_team").distinct().collect()
+                )
+                if rows:
+                    return {r["role_team"] for r in rows}
+            except Exception:
+                pass  # no batch output yet
+            time.sleep(1)
+        raise AssertionError(f"timed out waiting for rows with turn_idx >= {pred_turn}")
+
+    try:
+        assert wait_rows(0) == {"team_v1"}
+        write_dim("team_v2")  # SWAP the dim mid-stream
+        rows_df(100).write.mode("append").parquet(src)
+        assert wait_rows(100) == {"team_v2"}
+        shutil.rmtree(dim_path)  # corrupt swap: dim vanishes entirely
+        rows_df(200).write.mode("append").parquet(src)
+        assert wait_rows(200) == {"team_v2"}  # last-good dim kept serving
+    finally:
+        q.stop()
