@@ -844,6 +844,117 @@ SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM (
 """
 
 
+def q_dedup_near_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup, driver-evidenced as a deterministic REPLAY:
+    drives streaming.near_dedup_batch (the per-micro-batch step of
+    start_near_dedup_stream) over three batches of `documents` (doc_id % 3,
+    in order) against a fresh state dir, and returns the kept
+    (doc_id, batch_no) set. Exercises the full streaming contract —
+    cross-batch band-membership drops against the retention-pruned state
+    table, within-batch verified keep-min pairs, state advance between
+    batches — on deterministic md5/seeded-permutation minhashes, so the
+    DuckDB oracle replicates the sequential semantics exactly (kept0 →
+    state → kept1 → state → kept2 as a CTE chain)."""
+    import os
+    import tempfile
+
+    from logpipe import streaming
+
+    docs = _t(spark, sf_dir, "documents")
+    state_dir = os.path.join(tempfile.mkdtemp(prefix="logpipe_near_replay_"), "state")
+    parts = []
+    for b in range(3):
+        kept = streaming.near_dedup_batch(
+            docs.filter(F.col("doc_id") % 3 == b),
+            state_dir,
+            batch_ts=f"2024-01-01 00:0{b}:00",
+            batch_id=b,
+            retention_hours=24.0,
+            n=3,
+            num_hashes=64,
+            bands=16,
+            threshold=0.5,
+        )
+        parts.append(
+            kept.select("doc_id", F.lit(b).cast("int").alias("batch_no"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _near_replay_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5, seed: int = 42) -> str:
+    """Sequential replica of 3 × near_dedup_batch: same signatures/bands as
+    _minhash_sql; batch b's drops = (bands shared with EARLIER batches' kept
+    docs) ∪ (greatest id of each verified within-batch pair). Band-key
+    equality is raw band-array equality (Spark hashes the band with xxhash64
+    purely as a join-key compaction — same partition, no semantic change)."""
+    a_params, b_params = dedup._hash_params(num_hashes, seed)
+    a_u = (a_params.astype("uint64") | 1).tolist()
+    b_u = b_params.astype("uint64").tolist()
+    params = ", ".join(f"({j}, {a}::HUGEINT, {b}::HUGEINT)" for j, (a, b) in enumerate(zip(a_u, b_u)))
+    rows = num_hashes // bands
+    return rf"""
+WITH g AS (
+  SELECT doc_id, [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)] AS grams
+  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+),
+hs AS (
+  SELECT doc_id, unnest([('0x' || substr(md5(gr), 1, 16))::UBIGINT % 9223372036854775808 FOR gr IN grams]) AS h
+  FROM g
+),
+p(j, a, b) AS (VALUES {params}),
+sigv AS (
+  SELECT doc_id, j, min(((a * h + b) % 18446744073709551616) // 2) AS v
+  FROM hs, p GROUP BY doc_id, j
+),
+s AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
+bands AS (SELECT doc_id, k, sig[{rows}*k+1:{rows}*k+{rows}] AS band FROM s, range({bands}) t(k)),
+vpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           len([i FOR i IN range(1, {num_hashes + 1}) IF sa.sig[i] = sb.sig[i]]) / {num_hashes}.0 AS est
+    FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+          WHERE a.doc_id % 3 = b.doc_id % 3) c
+    JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+  ) WHERE est >= {threshold}
+),
+kept0 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+    AND doc_id NOT IN (SELECT id_b FROM vpairs WHERE id_b % 3 = 0)
+),
+cross1 AS (
+  SELECT DISTINCT bn.doc_id FROM bands bn
+  JOIN bands bo ON bn.k = bo.k AND bn.band = bo.band
+  WHERE bn.doc_id % 3 = 1 AND bo.doc_id IN (SELECT doc_id FROM kept0)
+),
+kept1 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+    AND doc_id NOT IN (SELECT doc_id FROM cross1)
+    AND doc_id NOT IN (SELECT id_b FROM vpairs WHERE id_b % 3 = 1)
+),
+cross2 AS (
+  SELECT DISTINCT bn.doc_id FROM bands bn
+  JOIN bands bo ON bn.k = bo.k AND bn.band = bo.band
+  WHERE bn.doc_id % 3 = 2
+    AND (bo.doc_id IN (SELECT doc_id FROM kept0) OR bo.doc_id IN (SELECT doc_id FROM kept1))
+),
+kept2 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+    AND doc_id NOT IN (SELECT doc_id FROM cross2)
+    AND doc_id NOT IN (SELECT id_b FROM vpairs WHERE id_b % 3 = 2)
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS batch_no FROM kept0
+UNION ALL SELECT doc_id, CAST(1 AS INTEGER) AS batch_no FROM kept1
+UNION ALL SELECT doc_id, CAST(2 AS INTEGER) AS batch_no FROM kept2
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with 4-block Hamming LSH (pigeonhole full recall at hamming≤3);
     deterministic md5 word hashes → the oracle replicates bit voting, blocking
@@ -2464,22 +2575,50 @@ FROM ({_MULTIMODAL_SQL}) t4
 
 def q_textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite of textstats_quality + token_counts + fingerprint_docs +
-    fingerprint_rolling — all per-doc_id metrics on documents, joined into
-    one wide row."""
+    fingerprint_rolling + lang-ID — all per-doc_id metrics on documents,
+    joined into one wide row. The per-doc pred_lang column subsumes the old
+    textstats_langid aggregate (its groupBy derives from these rows)."""
+    docs = _t(spark, sf_dir, "documents")
     q = q_textstats_quality(spark, sf_dir)
     t = q_token_counts(spark, sf_dir)
     fp = q_fingerprint(spark, sf_dir)
     r = q_fingerprint_rolling(spark, sf_dir)
-    return q.join(t, "doc_id").join(fp, "doc_id").join(r, "doc_id")
+    l = docs.select("doc_id", textstats.lang_id(F.col("text")).alias("pred_lang"))
+    return q.join(t, "doc_id").join(fp, "doc_id").join(r, "doc_id").join(l, "doc_id")
+
+
+_LANGID_DOC_SQL = """
+WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_intersect(ws, ['the','and','of','to','is','in','that','it'])) AS s_en,
+         len(list_intersect(ws, ['el','la','de','que','y','los','las','una'])) AS s_es,
+         len(list_intersect(ws, ['le','la','les','des','est','une','dans','et'])) AS s_fr,
+         len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit'])) AS s_de,
+         len(list_intersect(ws, ['的','是','了','在','我','有','和','不'])) AS s_zh
+  FROM w
+)
+SELECT doc_id,
+       CASE
+         WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         ELSE 'de'
+       END AS pred_lang
+FROM s
+"""
 
 
 def _textstats_docs_sql() -> str:
     return f"""
-SELECT a.*, b.tokens_ws, b.tokens_bpe, c.fp, d.n_fp, d.n_distinct_fp
+SELECT a.*, b.tokens_ws, b.tokens_bpe, c.fp, d.n_fp, d.n_distinct_fp, e.pred_lang
 FROM ({_QUALITY_SQL}) a
 JOIN ({_TOKEN_COUNTS_SQL}) b ON a.doc_id = b.doc_id
 JOIN ({_FINGERPRINT_SQL}) c ON a.doc_id = c.doc_id
 JOIN ({_FP_ROLLING_SQL}) d ON a.doc_id = d.doc_id
+JOIN ({_LANGID_DOC_SQL}) e ON a.doc_id = e.doc_id
 """
 
 
@@ -2681,7 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "textstats_langid": q_textstats_langid,
+        "dedup_near_replay": q_dedup_near_replay,
         "transcript_pipeline": q_transcript_pipeline,
         "transcript_multiline": q_transcript_multiline,
         "transcript_stream": q_transcript_stream,
@@ -2721,6 +2860,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint_docs": q_fingerprint,
         "fingerprint_rolling": q_fingerprint_rolling,
+        "textstats_langid": q_textstats_langid,
         "format_github": q_format_github,
         "format_journald": q_format_journald,
         "format_gelf": q_format_gelf,
@@ -2776,7 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding": _embedding_dedup_sql(),
-        "textstats_langid": _LANGID_SQL,
+        "dedup_near_replay": _near_replay_sql(),
         "transcript_pipeline": _TRANSCRIPT_PIPELINE_SQL,
         "transcript_stream": _TRANSCRIPT_STREAM_SQL,
         "transcript_multiline": _TRANSCRIPT_MULTILINE_SQL,
@@ -2814,6 +2954,7 @@ def bench_oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint_docs": _FINGERPRINT_SQL,
         "fingerprint_rolling": _FP_ROLLING_SQL,
+        "textstats_langid": _LANGID_SQL,
         "format_github": _FORMAT_GITHUB_SQL,
         "format_journald": _journald_sql(),
         "format_gelf": _FORMAT_GELF_SQL,

@@ -1,0 +1,346 @@
+"""Declarative YAML config → pipeline assembly: the logagent migration path.
+
+The reference is driven by ONE yaml file (config/example.yml) whose sections
+`bin/logagent.js:41-113` resolves to plugin modules and :307-541 wires into
+the input → inputFilter → parser → outputFilter → output chain (execution
+order :612-623). `load_pipeline` maps the SAME yaml onto this repo's stage
+functions, so a logagent user's config drives the Spark pipeline without
+hand-composition:
+
+  section             reference module        ours
+  ------------------- ----------------------- --------------------------------
+  input.files         input/files.js          ConfiguredPipeline.input_paths
+  inputFilter grep    input-filter/grep.js    filters.grep_filter (pre-parse)
+  parser.patternFiles mergePatternFiles.js    rules.load_yaml_rules
+  parser.patterns     (inline merge)          rules.build_ruleset
+  hash-fields         hash-fields.js          mask.hash_fields
+  aes-encrypt-fields  aes-encrypt-fields.js   mask.aes_encrypt_fields
+  ip-truncate-fields  ip-truncate-fields.js   mask.ip_truncate_fields
+  remove-fields       remove-fields.js        mask.remove_fields
+  rename-fields       rename-fields.js        mask.rename_fields
+  lowercase-fields    lowercase-fields.js     mask.lowercase_fields
+  dropEvents          dropEventsFilter.js     filters.drop_events
+  sql                 output-filter/sql.js    aggregate.interval_sql
+  geoip               output-filter/geoip.js  enrich.geo_enrich (dim path)
+  httpDeviceDetector  httpDeviceDetector.js   enrich.ua_enrich
+  output.elasticsearch output/elasticsearch.js route.resolve_sink
+    .index → default index, .indices → TokenMapper (precedence preserved)
+
+Unknown modules WARN (exactly the rules loader's contract) instead of
+failing — a config keeps driving everything that maps, and says what
+doesn't. Filter-level `matchSource` gates apply the stage only to rows of
+matching sources via a conditional rebuild where the stage preserves the
+schema; schema-CHANGING stages (remove-fields) apply globally with a
+warning, because a table-native engine has one shared schema per frame
+(documented divergence, SCALE.md).
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field as dc_field, replace as dc_replace
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import filters as filters_mod
+from . import mask as mask_mod
+from .pipeline import TranscriptPipeline
+from .route import TokenMapper
+from .rules import _load_yaml_doc, build_ruleset
+
+Stage = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class ConfiguredPipeline:
+    """A TranscriptPipeline plus the config-level concerns around it:
+    pre-parse input filters, input paths, interval-SQL queries, options."""
+
+    pipe: TranscriptPipeline
+    input_paths: tuple[str, ...] = ()
+    input_stages: tuple[Stage, ...] = ()
+    sql_queries: tuple[tuple[str, int], ...] = ()  # (query, interval_seconds)
+    options: dict = dc_field(default_factory=dict)
+
+    def filtered(self, transcripts: DataFrame) -> DataFrame:
+        df = transcripts
+        for s in self.input_stages:
+            df = s(df)
+        return df
+
+    def routed(self, transcripts: DataFrame) -> DataFrame:
+        return self.pipe.routed(self.filtered(transcripts))
+
+    def aggregates(self, routed: DataFrame) -> DataFrame:
+        return self.pipe.aggregates(routed)
+
+    def sql_results(self, spark: SparkSession, routed: DataFrame) -> list[DataFrame]:
+        """The configured interval-SQL queries over the routed frame
+        (sql.js buffers post-parse events; ours sees the routed table)."""
+        from .aggregate import interval_sql
+
+        return [
+            interval_sql(spark, routed, q, interval_seconds=iv)
+            for q, iv in self.sql_queries
+        ]
+
+    def run(self, spark: SparkSession, transcripts: DataFrame, out_dir: str | None = None):
+        return self.pipe.run(spark, self.filtered(transcripts), out_dir=out_dir)
+
+
+def _gated(stage: Stage, match_source: Optional[str], label: str, schema_preserving: bool) -> Stage:
+    """Apply `stage` only to rows whose log_source matches (the reference's
+    per-plugin matchSource gate). Schema-preserving stages rebuild
+    conditionally (matching rows transformed ∪ the rest); schema-changing
+    ones apply globally with a warning — one shared schema per frame."""
+    if not match_source:
+        return stage
+    if not schema_preserving:
+        warnings.warn(
+            f"{label}: matchSource with a schema-changing stage applies to ALL "
+            "rows (a table has one schema); split sources upstream for "
+            "per-source schemas",
+            stacklevel=3,
+        )
+        return stage
+
+    def _g(df: DataFrame) -> DataFrame:
+        if "log_source" not in df.columns:
+            return stage(df)
+        m = F.coalesce(F.col("log_source"), F.lit("")).rlike(match_source)
+        hit = stage(df.filter(m))
+        return hit.unionByName(df.filter(~m))
+
+    return _g
+
+
+def _match_source(conf: dict) -> Optional[str]:
+    ms = conf.get("matchSource")
+    return str(ms) if ms is not None else None
+
+
+def _algo_bits(conf: dict, default: int = 256) -> int:
+    algo = str(conf.get("algorithm", f"sha{default}")).lower()
+    for b in (224, 256, 384, 512):
+        if str(b) in algo:
+            return b
+    return default
+
+
+def _output_filter_stage(name: str, conf: dict, spark: Optional[SparkSession]) -> tuple[Optional[Stage], tuple]:
+    """One outputFilter section → (stage, sql_queries). Module resolution =
+    explicit `module:` key, else the section name (bin/logagent.js:340-358
+    useModuleName fallback)."""
+    module = str(conf.get("module", name))
+    ms = _match_source(conf)
+    if module in ("hash-fields", "hashfields"):
+        fields = list(conf.get("fields") or [])
+        bits = _algo_bits(conf)
+        return _gated(lambda df: mask_mod.hash_fields(df, fields, bits=bits), ms, name, True), ()
+    if module == "aes-encrypt-fields":
+        fields = list(conf.get("fields") or [])
+        password = str(conf.get("password", ""))
+        return _gated(lambda df: mask_mod.aes_encrypt_fields(df, fields, password), ms, name, True), ()
+    if module == "ip-truncate-fields":
+        fields = list(conf.get("fields") or [])
+        return _gated(lambda df: mask_mod.ip_truncate_fields(df, fields), ms, name, True), ()
+    if module == "remove-fields":
+        fields = list(conf.get("fields") or [])
+        mvif = list(conf.get("maskValuesInFields") or [])
+        mvs = str(conf.get("maskValuesString", "!REMOVED!"))
+        return (
+            _gated(
+                lambda df: mask_mod.remove_fields(
+                    df, fields, mask_values_in_fields=mvif, mask_values_string=mvs
+                ),
+                ms, name, False,
+            ),
+            (),
+        )
+    if module == "rename-fields":
+        renames = {str(k): str(v) for k, v in (conf.get("fields") or {}).items()}
+        return _gated(lambda df: mask_mod.rename_fields(df, renames), ms, name, False), ()
+    if module == "lowercase-fields":
+        fields = list(conf.get("fields") or []) or None
+        return _gated(lambda df: mask_mod.lowercase_fields(df, fields), ms, name, True), ()
+    if module in ("drop-events", "dropEvents"):
+        flt = {
+            str(fname): {k: str(v) for k, v in (cond or {}).items() if k in ("include", "exclude")}
+            for fname, cond in (conf.get("filters") or {}).items()
+        }
+        return (lambda df: filters_mod.drop_events(df, flt)), ()
+    if module == "sql":
+        c = conf.get("config", conf)
+        interval = int(c.get("interval", 60))
+        queries = tuple((str(q), interval) for q in (c.get("queries") or []))
+        return None, queries  # aggregation side-channel, not a row stage
+    if module == "geoip":
+        dim_path = conf.get("dimPath") or conf.get("maxmindDbDir")
+        if spark is not None and dim_path and str(conf.get("field", "client_ip")):
+            from .enrich import geo_enrich
+
+            geo_dim = spark.read.parquet(str(dim_path))
+            ip_col = str(conf.get("field", "client_ip"))
+            return (lambda df: geo_enrich(df, geo_dim, ip_col=ip_col)), ()
+        warnings.warn(
+            f"{name}: geoip needs a parquet range dim (dimPath:) and a live "
+            "SparkSession — section skipped",
+            stacklevel=3,
+        )
+        return None, ()
+    if module in ("httpDeviceDetector", "device-detector"):
+        from .enrich import ua_enrich
+
+        ua_col = str(conf.get("field", "user_agent"))
+        return (lambda df: ua_enrich(df, ua_col=ua_col) if ua_col in df.columns else df), ()
+    if module in ("docker-enrichment", "kubernetes-enrichment", "access-watch"):
+        dim_path = conf.get("dimPath")
+        if spark is not None and dim_path:
+            from .enrich import enrich
+
+            dim = spark.read.parquet(str(dim_path))
+            on = conf.get("on", "container_id" if module == "docker-enrichment" else "pod_name")
+            prefix = str(conf.get("prefix", ""))
+            return (lambda df: enrich(df, dim, on=on, prefix=prefix) if (on if isinstance(on, str) else on[0]) in df.columns else df), ()
+        warnings.warn(
+            f"{name}: {module} is a live-API watcher in the reference; here it "
+            "consumes a dimension table — set dimPath: to a parquet dim "
+            "(see enrich.enrich) — section skipped",
+            stacklevel=3,
+        )
+        return None, ()
+    warnings.warn(
+        f"outputFilter '{name}' (module '{module}') has no table-native "
+        "mapping — section skipped (transport/JS-function modules do not "
+        "apply to a table engine)",
+        stacklevel=3,
+    )
+    return None, ()
+
+
+def load_pipeline(
+    source: str | dict,
+    spark: Optional[SparkSession] = None,
+    include_default_patterns: bool = True,
+) -> ConfiguredPipeline:
+    """Assemble a ConfiguredPipeline from a logagent yaml config (path or
+    already-loaded dict). Sections that need a live SparkSession (geoip /
+    enrichment dims) are only wired when `spark` is passed."""
+    if isinstance(source, str):
+        doc = _load_yaml_doc(source)
+        label = source
+    else:
+        doc, label = dict(source), "<dict>"
+
+    # ---- parser: patternFiles + inline patterns --------------------------
+    parser_conf = doc.get("parser") or {}
+    pattern_files = list(parser_conf.get("patternFiles") or [])
+    docs: list[tuple[dict, str]] = []
+    for p in pattern_files:
+        try:
+            docs.append((_load_yaml_doc(str(p)), str(p)))
+        except OSError as exc:
+            warnings.warn(f"{label}: patternFile {p} unreadable ({exc}) — skipped", stacklevel=2)
+    inline = {k: v for k, v in parser_conf.items() if k != "patternFiles"}
+    if inline.get("patterns") or any(k in inline for k in ("json", "autohash", "originalLine", "dateFormats")):
+        docs.append((inline, f"{label}#parser"))  # inline merges LAST → wins
+    if docs:
+        ruleset = build_ruleset(docs, include_defaults=include_default_patterns)
+    else:
+        from .rules import DEFAULT_RULESET
+
+        ruleset = DEFAULT_RULESET
+
+    # ---- input + inputFilter --------------------------------------------
+    input_conf = doc.get("input") or {}
+    input_paths = tuple(str(p) for p in (input_conf.get("files") or []))
+    for key, sec in input_conf.items():
+        if key == "files" or not isinstance(sec, dict):
+            continue
+        warnings.warn(
+            f"input '{key}' is a transport (module "
+            f"'{sec.get('module', key)}') — the table IS the input here; "
+            "section noted, not wired",
+            stacklevel=2,
+        )
+    input_stages: list[Stage] = []
+    for key, sec in (doc.get("inputFilter") or {}).items():
+        if not isinstance(sec, dict):
+            continue
+        module = str(sec.get("module", key))
+        if module == "grep":
+            inc = sec.get("include")
+            exc = sec.get("exclude")
+            ms = _match_source(sec)
+            input_stages.append(
+                lambda df, i=inc, e=exc, m=ms: filters_mod.grep_filter(
+                    df,
+                    include=str(i) if i is not None else None,
+                    exclude=str(e) if e is not None else None,
+                    match_source=m,
+                )
+            )
+        else:
+            warnings.warn(f"inputFilter '{key}' (module '{module}') not mapped — skipped", stacklevel=2)
+
+    # ---- outputFilter ----------------------------------------------------
+    extra_stages: list[Stage] = []
+    sql_queries: list[tuple[str, int]] = []
+    for key, sec in (doc.get("outputFilter") or {}).items():
+        if not isinstance(sec, dict):
+            continue
+        stage, queries = _output_filter_stage(key, sec, spark)
+        if stage is not None:
+            extra_stages.append(stage)
+        sql_queries.extend(queries)
+
+    # ---- output: routing -------------------------------------------------
+    mapper = None
+    default_index: str | None = "default"
+    drop_unrouted = False
+    out_conf = doc.get("output") or {}
+    for key, sec in out_conf.items():
+        if not isinstance(sec, dict):
+            if key == "stdout" and sec:
+                pass  # serializer concern (sinks.to_ldjson) — nothing to wire
+            continue
+        module = str(sec.get("module", key))
+        if module == "elasticsearch":
+            if sec.get("index"):
+                default_index = str(sec["index"])
+            indices = sec.get("indices") or {}
+            if indices:
+                mapper = TokenMapper.from_dict(
+                    {str(tok): [str(p) for p in (pats or [])] for tok, pats in indices.items()}
+                )
+            if sec.get("dropUnrouted"):
+                drop_unrouted = True
+        elif module in ("output-files", "files"):
+            # date-patterned path → the sink name carries the pattern; the
+            # YYYY/MM/DD rewrite happens in resolve_sink
+            if sec.get("path"):
+                default_index = str(sec["path"])
+        else:
+            warnings.warn(
+                f"output '{key}' (module '{module}') is a transport — rows for "
+                "it come from route/fan_out + sinks serializers; section noted",
+                stacklevel=2,
+            )
+
+    pipe = TranscriptPipeline(
+        ruleset=ruleset,
+        default_index=default_index,
+        drop_unrouted=drop_unrouted,
+        extra_stages=tuple(extra_stages),
+    )
+    if mapper is not None:
+        pipe = dc_replace(pipe, mapper=mapper)
+    return ConfiguredPipeline(
+        pipe=pipe,
+        input_paths=input_paths,
+        input_stages=tuple(input_stages),
+        sql_queries=tuple(sql_queries),
+        options=dict(doc.get("options") or {}),
+    )

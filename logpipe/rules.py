@@ -1615,13 +1615,33 @@ def load_yaml_rules(
     """
     import warnings
 
-    _register_builtin_transforms()
     if isinstance(paths, str):
         paths = [paths]
+    return build_ruleset(
+        [(_load_yaml_doc(p), p) for p in paths],
+        include_defaults=include_defaults,
+        whitelist=whitelist,
+        blacklist=blacklist,
+    )
+
+
+def build_ruleset(
+    docs: list[tuple[dict, str]],
+    include_defaults: bool = True,
+    whitelist: str | None = None,
+    blacklist: str | None = None,
+) -> RuleSet:
+    """Build a RuleSet from ALREADY-LOADED yaml documents (doc, label) —
+    the doc-level half of load_yaml_rules, exposed so the declarative
+    config loader (logpipe.config) can merge a config file's inline
+    `parser.patterns` section with its `patternFiles`. Later docs' patterns
+    PREPEND (mergePatternFiles.js:48); scalar config merges last-wins."""
+    import warnings
+
+    _register_builtin_transforms()
     merged_patterns: list[tuple[dict, str]] = []
     conf: dict = {}
-    for path in paths:
-        doc = _load_yaml_doc(path)
+    for doc, path in docs:
         if "patterns" not in doc:
             warnings.warn(f"missing patterns section in config {path}", stacklevel=2)
         # later file's patterns first (mergePatternFiles.js:48)

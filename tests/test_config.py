@@ -1,0 +1,205 @@
+"""Declarative config → pipeline assembly (logpipe.config.load_pipeline).
+
+The reference wires ONE yaml (config/example.yml) into its plugin chain
+(bin/logagent.js:41-113 module aliases, :307-541 section wiring); these
+tests drive a subset of that yaml through load_pipeline and assert the
+assembled pipeline equals the hand-composed one row-for-row."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def transcripts(spark):
+    rows = []
+    for i in range(40):
+        src = "evtsrc" if i % 2 == 0 else "othersrc"
+        text = f"EVT {i} user=u{i % 5} ok" if i % 3 else f"NOISE line {i}"
+        rows.append(
+            (f"c{i % 7}", i, "user", text, src,
+             datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i))
+        )
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def write_patterns(tmp_path):
+    p = tmp_path / "patterns.yml"
+    p.write_text(
+        "patterns:\n"
+        " - sourceName: evtsrc|othersrc\n   match:\n"
+        "    - type: evt\n"
+        "      regex: ^EVT (\\d+) user=(\\S+) ok\n"
+        "      fields: [evt_id:number, user]\n"
+    )
+    return str(p)
+
+
+def sorted_rows(df):
+    cols = sorted(df.columns)
+    return [tuple(r) for r in df.select(
+        *[F.to_json(c).alias(c) if dict(df.dtypes)[c].startswith(("struct", "map", "array")) else F.col(c)
+          for c in cols]
+    ).orderBy(*cols).collect()]
+
+
+def test_load_pipeline_matches_hand_composed(spark, tmp_path):
+    """A config subset (input files + grep inputFilter + patternFiles +
+    hash-fields outputFilter + elasticsearch index/indices) produces the
+    same routed rows as composing the stages by hand."""
+    from logpipe import filters, mask
+    from logpipe.config import load_pipeline
+    from logpipe.pipeline import TranscriptPipeline
+    from logpipe.route import TokenMapper
+    from logpipe.rules import load_yaml_rules
+
+    pat = write_patterns(tmp_path)
+    cfg = tmp_path / "logagent.yml"
+    cfg.write_text(
+        f"""
+options:
+  printStats: 60
+input:
+  files:
+    - '/var/log/**/*.log'
+inputFilter:
+  grep:
+    module: grep
+    exclude: NOISE
+parser:
+  patternFiles:
+    - {pat}
+outputFilter:
+  hashfields:
+    module: hash-fields
+    algorithm: sha256
+    fields:
+      - message
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: tok_default
+    indices:
+      tok_evt:
+        - evtsrc
+"""
+    )
+    loaded = load_pipeline(str(cfg))
+    assert loaded.input_paths == ("/var/log/**/*.log",)
+    assert loaded.options["printStats"] == 60
+
+    df = transcripts(spark)
+    got = loaded.routed(df)
+
+    hand = TranscriptPipeline(
+        ruleset=load_yaml_rules(pat),
+        mapper=TokenMapper.from_dict({"tok_evt": ["evtsrc"]}),
+        default_index="tok_default",
+        extra_stages=(lambda d: mask.hash_fields(d, ["message"], bits=256),),
+    )
+    want = hand.routed(filters.grep_filter(df, exclude="NOISE"))
+
+    assert sorted_rows(got) == sorted_rows(want)
+    # the config actually drove behavior: parse happened, routing happened
+    sinks = {r["sink"] for r in got.select("sink").distinct().collect()}
+    assert sinks == {"tok_evt", "tok_default"}
+    assert got.filter("matched").count() > 0
+
+
+def test_load_pipeline_inline_patterns_and_dropevents(spark, tmp_path):
+    """Inline parser.patterns merge over patternFiles (mergePatternFiles.js
+    prepend order); dropEvents maps to filters.drop_events."""
+    from logpipe.config import load_pipeline
+
+    pat = write_patterns(tmp_path)  # defines type 'evt'
+    cfg = tmp_path / "inline.yml"
+    cfg.write_text(
+        f"""
+parser:
+  patternFiles:
+    - {pat}
+  patterns:
+   - sourceName: evtsrc
+     match:
+      - type: evt_inline
+        regex: ^EVT (\\d+) user=(\\S+) ok
+        fields: [evt_id:number, user]
+outputFilter:
+  dropEvents:
+    module: drop-events
+    filters:
+      log_type:
+        exclude: evt_inline
+"""
+    )
+    loaded = load_pipeline(str(cfg))
+    df = transcripts(spark)
+    routed = loaded.routed(df)
+    types = {r["log_type"] for r in routed.select("log_type").distinct().collect()}
+    # inline rule wins for evtsrc (prepended), and dropEvents then removed it;
+    # othersrc still parses with the FILE rule and survives
+    assert "evt_inline" not in types
+    assert "evt" in types
+
+
+def test_load_pipeline_sql_and_unknown_warn(spark, tmp_path):
+    """sql outputFilter lands in sql_queries (interval_sql side-channel);
+    unknown modules warn and are skipped, like the rules loader."""
+    from logpipe.config import load_pipeline
+
+    cfg = tmp_path / "sql.yml"
+    cfg.write_text(
+        """
+outputFilter:
+  sql:
+    module: sql
+    config:
+      interval: 60
+      queries:
+        - SELECT COUNT(*) AS events, log_source FROM buffer GROUP BY log_source
+  mystery:
+    module: not-a-real-module
+"""
+    )
+    with pytest.warns(UserWarning, match="not-a-real-module"):
+        loaded = load_pipeline(str(cfg))
+    assert loaded.sql_queries == (
+        ("SELECT COUNT(*) AS events, log_source FROM buffer GROUP BY log_source", 60),
+    )
+    routed = loaded.routed(transcripts(spark))
+    (res,) = loaded.sql_results(spark, routed.withColumnRenamed("event_ts", "ts_evt"))
+    rows = res.collect()  # one row per (interval window, log_source)
+    assert sum(r["events"] for r in rows) == routed.count()
+    assert {r["log_source"] for r in rows} == {"evtsrc", "othersrc"}
+
+
+def test_load_pipeline_match_source_gate(spark, tmp_path):
+    """matchSource on a schema-preserving filter applies it ONLY to rows of
+    matching sources (grep.js / hash-fields.js matchSource semantics)."""
+    from logpipe.config import load_pipeline
+
+    pat = write_patterns(tmp_path)
+    cfg = tmp_path / "gate.yml"
+    cfg.write_text(
+        f"""
+parser:
+  patternFiles:
+    - {pat}
+outputFilter:
+  hashfields:
+    module: hash-fields
+    matchSource: evtsrc
+    fields:
+      - message
+"""
+    )
+    loaded = load_pipeline(str(cfg))
+    routed = loaded.routed(transcripts(spark))
+    # fallback rows keep the raw line in `message` — the gate hashes it for
+    # evtsrc rows only, othersrc passes through untouched
+    evt = routed.filter("log_source = 'evtsrc' AND NOT matched").select("message").first()[0]
+    other = routed.filter("log_source = 'othersrc' AND NOT matched").select("message").first()[0]
+    assert len(evt) == 64 and all(c in "0123456789abcdef" for c in evt)  # sha256 hex
+    assert "NOISE" in other  # untouched
