@@ -68,18 +68,14 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.input or not args.checkpoint:
             p.error("stream mode requires --input and --checkpoint")
-        if configured is not None and configured.input_stages:
-            import warnings
-
-            warnings.warn(
-                "config inputFilter sections are batch-path stages; the "
-                "stream path applies the config's parser/outputFilter/"
-                "routing only (wire grep into the stream with "
-                "filters.grep_filter on the source frame)",
-                stacklevel=1,
-            )
         q = start_stream_pipeline(
-            spark, args.input, args.out, args.checkpoint, pipe=pipe, available_now=True
+            spark,
+            args.input,
+            args.out,
+            args.checkpoint,
+            pipe=pipe,
+            available_now=True,
+            input_stages=configured.input_stages if configured is not None else (),
         )
         q.awaitTermination()
         print(f"stream drained to {args.out}")

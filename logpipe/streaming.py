@@ -287,6 +287,7 @@ def start_stream_pipeline(
     pattern_files: str | list[str] | None = None,
     dim_watchers: dict | None = None,
     dim_paths: dict[str, str] | None = None,
+    input_stages: tuple[Callable[[DataFrame], DataFrame], ...] = (),
 ):
     """readStream → parse/mask/enrich/route (batch stage functions, unchanged)
     → foreachBatch fan-out + per-batch metrics.
@@ -316,7 +317,13 @@ def start_stream_pipeline(
     (dim_watchers) or table paths wrapped in one (dim_paths). Each
     micro-batch re-resolves `watcher.current()` — an overwritten dim lands
     in the NEXT batch's broadcast join, a corrupt/in-progress swap keeps
-    serving the last-good dim (DimWatcher's failure contract)."""
+    serving the last-good dim (DimWatcher's failure contract).
+
+    `input_stages`: schema-preserving pre-parse filters (the reference's
+    inputFilter chain, e.g. config.load_pipeline's grep sections) applied
+    to the SOURCE frame before the parse/route stages — same position as
+    the batch path's ConfiguredPipeline.filtered, so a yaml config drives
+    batch and stream identically."""
     from dataclasses import fields as _dc_fields
     from dataclasses import replace as _dc_replace
 
@@ -335,6 +342,8 @@ def start_stream_pipeline(
             f"fields (valid: {sorted(valid)})"
         )
     stream = read_transcript_stream(spark, input_path, fmt=fmt)
+    for stage in input_stages:
+        stream = stage(stream)
     watcher = RulesetWatcher(pattern_files) if pattern_files is not None else None
     rebuild = watcher is not None or bool(dims)
     routed = stream if rebuild else pipe.routed(stream)

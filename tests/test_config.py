@@ -278,3 +278,44 @@ output:
     assert {r["sink"] for r in rows} == {"evt_idx"}
     assert all(r["matched"] for r in rows)
     assert {'"user":"alice"' in r["fields"] or '"user":"bob"' in r["fields"] for r in rows} == {True}
+
+
+def test_stream_pipeline_config_input_stages(spark, tmp_path):
+    """start_stream_pipeline applies the config's inputFilter stages to the
+    source frame — a yaml config drives batch and stream identically."""
+    import datetime as dt
+
+    from logpipe.config import load_pipeline
+    from logpipe.streaming import start_stream_pipeline
+
+    pat = write_patterns(tmp_path)
+    cfg = tmp_path / "stream.yml"
+    cfg.write_text(
+        f"""
+inputFilter:
+  grep:
+    module: grep
+    exclude: NOISE
+parser:
+  patternFiles:
+    - {pat}
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: all_idx
+"""
+    )
+    loaded = load_pipeline(str(cfg))
+    src = tmp_path / "src"
+    transcripts(spark).write.parquet(str(src))
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = start_stream_pipeline(
+        spark, str(src), str(out), str(ckpt),
+        pipe=loaded.pipe, input_stages=loaded.input_stages,
+    )
+    q.awaitTermination()
+    routed = spark.read.parquet(str(out / "routed"))
+    # the grep inputFilter ran inside the stream: every NOISE row is gone
+    want = loaded.routed(spark.read.parquet(str(src)))
+    assert routed.count() == want.count() > 0
+    assert routed.filter(F.col("message").contains("NOISE")).count() == 0
