@@ -11,6 +11,8 @@ hand-composition:
   ------------------- ----------------------- --------------------------------
   input.files         input/files.js          ConfiguredPipeline.input_paths
   inputFilter grep    input-filter/grep.js    filters.grep_filter (pre-parse)
+  inputFilter k8s-containerd
+                      kubernetesContainerd.js filters.cri_reassemble
   parser.patternFiles mergePatternFiles.js    rules.load_yaml_rules
   parser.patterns     (inline merge)          rules.build_ruleset
   hash-fields         hash-fields.js          mask.hash_fields
@@ -28,7 +30,11 @@ hand-composition:
 
 Unknown modules WARN (exactly the rules loader's contract) instead of
 failing — a config keeps driving everything that maps, and says what
-doesn't. Filter-level `matchSource` gates apply the stage only to rows of
+doesn't. Sections may be yaml mappings OR sequences (the reference walks
+both via Object.keys — list entries carry `module:` and nest options under
+`config:`, see _section_items/_effective_conf); every shipped example
+config loads (tests/test_config.py conformance sweep), the one exception
+being a tab-indented file the reference's own yaml loader rejects too. Filter-level `matchSource` gates apply the stage only to rows of
 matching sources via a conditional rebuild where the stage preserves the
 schema; schema-CHANGING stages (remove-fields) apply globally with a
 warning, because a table-native engine has one shared schema per frame
@@ -121,6 +127,51 @@ def _match_source(conf: dict) -> Optional[str]:
     return str(ms) if ms is not None else None
 
 
+def _section_items(sec, label: str) -> list[tuple[str, object]]:
+    """Normalize a config section to (name, entry) pairs. The reference
+    iterates sections with `Object.keys` (bin/logagent.js:349,371,392,479),
+    which walks yaml mappings AND yaml sequences (array indices), so
+    list-style sections (`outputFilter:\\n  - module: sql` —
+    config/examples/output-filter-sql.yml, plugin-filter-test.yml) are
+    first-class. List entries name themselves by module; non-mapping list
+    entries (e.g. a bare !!js/function) have no `module:` key and are
+    skipped exactly as the reference skips them (bin/logagent.js:481-484),
+    but loudly."""
+    if not sec:
+        return []
+    if isinstance(sec, dict):
+        return [(str(k), v) for k, v in sec.items()]
+    if isinstance(sec, (list, tuple)):
+        out: list[tuple[str, object]] = []
+        for i, entry in enumerate(sec):
+            if not isinstance(entry, dict):
+                warnings.warn(
+                    f"{label}[{i}] is not a mapping (inline JS function / "
+                    "scalar) — no module name to resolve; skipped",
+                    stacklevel=3,
+                )
+                continue
+            name = str(entry.get("configName") or entry.get("module") or f"{label}#{i}")
+            out.append((name, entry))
+        return out
+    warnings.warn(f"{label} section is neither mapping nor list — ignored", stacklevel=3)
+    return []
+
+
+def _effective_conf(entry: dict) -> dict:
+    """`filterFunctions[i].config || filterFunctions[i]`
+    (bin/logagent.js:231,240): list-style entries nest their options under a
+    `config:` sub-key while `module:` stays on the entry — unwrap and carry
+    the module name over so downstream resolution sees one flat dict."""
+    conf = entry.get("config")
+    if isinstance(conf, dict):
+        merged = dict(conf)
+        if "module" in entry:
+            merged.setdefault("module", entry["module"])
+        return merged
+    return entry
+
+
 def _algo_bits(conf: dict, default: int = 256) -> int:
     algo = str(conf.get("algorithm", f"sha{default}")).lower()
     for b in (224, 256, 384, 512):
@@ -160,7 +211,18 @@ def _output_filter_stage(name: str, conf: dict, spark: Optional[SparkSession]) -
             (),
         )
     if module == "rename-fields":
-        renames = {str(k): str(v) for k, v in (conf.get("fields") or {}).items()}
+        # rename-fields.js:14-20 takes a LIST of {fieldName, renameTo}
+        # (config/examples/output-filter-rename-fields.yml); the dict
+        # {old: new} shape is accepted too.
+        raw = conf.get("fields") or {}
+        if isinstance(raw, dict):
+            renames = {str(k): str(v) for k, v in raw.items()}
+        else:
+            renames = {
+                str(f["fieldName"]): str(f["renameTo"])
+                for f in raw
+                if isinstance(f, dict) and "fieldName" in f and "renameTo" in f
+            }
         return _gated(lambda df: mask_mod.rename_fields(df, renames), ms, name, False), ()
     if module == "lowercase-fields":
         fields = list(conf.get("fields") or []) or None
@@ -255,8 +317,9 @@ def load_pipeline(
 
     # ---- input + inputFilter --------------------------------------------
     input_conf = doc.get("input") or {}
-    input_paths = tuple(str(p) for p in (input_conf.get("files") or []))
-    for key, sec in input_conf.items():
+    files_val = input_conf.get("files") if isinstance(input_conf, dict) else None
+    input_paths = tuple(str(p) for p in (files_val or []))
+    for key, sec in _section_items(input_conf, "input"):
         if key == "files" or not isinstance(sec, dict):
             continue
         warnings.warn(
@@ -266,10 +329,11 @@ def load_pipeline(
             stacklevel=2,
         )
     input_stages: list[Stage] = []
-    for key, sec in (doc.get("inputFilter") or {}).items():
-        if not isinstance(sec, dict):
+    for key, entry in _section_items(doc.get("inputFilter"), "inputFilter"):
+        if not isinstance(entry, dict):
             continue
-        module = str(sec.get("module", key))
+        module = str(entry.get("module", key))
+        sec = _effective_conf(entry)
         if module == "grep":
             inc = sec.get("include")
             exc = sec.get("exclude")
@@ -282,16 +346,23 @@ def load_pipeline(
                     match_source=m,
                 )
             )
+        elif module in ("input-filter-k8s-containerd", "kubernetesContainerd"):
+            # CRI <time> <stream> <P|F> split + partial-line reassembly
+            # (kubernetesContainerd.js:65-124); the filename-derived k8s
+            # pod/namespace metadata the JS filter also attaches rides the
+            # enrich stage here (enrich.k8s name parse / the
+            # kubernetes-enrichment outputFilter module).
+            input_stages.append(lambda df: filters_mod.cri_reassemble(df))
         else:
             warnings.warn(f"inputFilter '{key}' (module '{module}') not mapped — skipped", stacklevel=2)
 
     # ---- outputFilter ----------------------------------------------------
     extra_stages: list[Stage] = []
     sql_queries: list[tuple[str, int]] = []
-    for key, sec in (doc.get("outputFilter") or {}).items():
-        if not isinstance(sec, dict):
+    for key, entry in _section_items(doc.get("outputFilter"), "outputFilter"):
+        if not isinstance(entry, dict):
             continue
-        stage, queries = _output_filter_stage(key, sec, spark)
+        stage, queries = _output_filter_stage(key, _effective_conf(entry), spark)
         if stage is not None:
             extra_stages.append(stage)
         sql_queries.extend(queries)
@@ -301,7 +372,7 @@ def load_pipeline(
     default_index: str | None = "default"
     drop_unrouted = False
     out_conf = doc.get("output") or {}
-    for key, sec in out_conf.items():
+    for key, sec in _section_items(out_conf, "output"):
         if not isinstance(sec, dict):
             if key == "stdout" and sec:
                 pass  # serializer concern (sinks.to_ldjson) — nothing to wire

@@ -133,6 +133,52 @@ def cri_split(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def cri_reassemble(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "tool",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """containerd partial-line reassembly (kubernetesContainerd.js:88-112):
+    a run of P-flagged chunks joined with ' ' onto the final F chunk, one
+    output row per completed line, carried on the F row's metadata; the P
+    rows are consumed. Non-CRI rows (no `<time> <stream> <P|F> ` prefix)
+    pass through untouched, and `text_col` is rewritten in place so the
+    stage is schema-preserving — the config inputFilter position.
+
+    Scale shape: ONE window partitioning on (source) — the same key the
+    per-file ordering/multiline stages already shuffle on — with a running
+    block id (sum of block starts) and an ordered collect_list bounded by a
+    single log line's chunk count (the reference buffers the same chunks in
+    driver memory per source; here the buffer is a per-block array inside
+    one partition, never a driver structure)."""
+    from pyspark.sql import Window
+
+    d = cri_split(df, text_col)
+    is_cri = F.col("cri_flag").isin("P", "F")
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    prev_flag = F.last(F.when(is_cri, F.col("cri_flag")), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (prev_flag.isNull() | (prev_flag == "F")).cast("int")
+    d = d.withColumn("_cri_blk", F.sum(F.when(is_cri, start).otherwise(F.lit(0))).over(w))
+    wb = (
+        Window.partitionBy(source_col, "_cri_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = F.array_join(
+        F.collect_list(F.when(is_cri, F.col("cri_message"))).over(wb), " "
+    )
+    d = d.withColumn(
+        text_col,
+        F.when(is_cri & (F.col("cri_flag") == "F"), joined).otherwise(F.col(text_col)),
+    )
+    return d.filter(~is_cri | (F.col("cri_flag") == "F")).drop(
+        "cri_time", "stream", "cri_flag", "cri_message", "_cri_blk"
+    )
+
+
 def validate_webhook_signature(
     df: DataFrame,
     client_secrets: list[str],

@@ -319,3 +319,140 @@ output:
     want = loaded.routed(spark.read.parquet(str(src)))
     assert routed.count() == want.count() > 0
     assert routed.filter(F.col("message").contains("NOISE")).count() == 0
+
+
+REFERENCE_EXAMPLES = "/root/reference/config/examples"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE_EXAMPLES),
+    reason="reference checkout not present",
+)
+def test_reference_example_configs_conformance():
+    """Every shipped reference example config loads through load_pipeline —
+    dict- AND list-style sections, `config:` sub-key unwrapping, js-yaml
+    regexp/function tags. The single exception is parse-parity:
+    novaSDS011-dust-sensor.yml indents with a literal TAB, which the YAML
+    spec (and js-yaml, the reference's own loader) rejects."""
+    import glob
+    import os
+    import warnings
+
+    import yaml
+
+    from logpipe.config import load_pipeline
+
+    paths = sorted(glob.glob(os.path.join(REFERENCE_EXAMPLES, "*.y*ml")))
+    paths.append("/root/reference/config/example.yml")
+    assert len(paths) > 60
+    loaded = {}
+    for p in paths:
+        name = os.path.basename(p)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            if name == "novaSDS011-dust-sensor.yml":
+                with pytest.raises(yaml.YAMLError):
+                    load_pipeline(p)
+                continue
+            loaded[name] = load_pipeline(p)
+    assert len(loaded) == len(paths) - 1
+
+    # list-style sections wire real stages, not just parse
+    pft = loaded["plugin-filter-test.yml"]
+    assert len(pft.input_stages) == 1  # grep under a config: sub-key
+    assert len(pft.sql_queries) == 1 and pft.sql_queries[0][1] == 1
+    assert len(loaded["output-filter-sql.yml"].sql_queries) == 1
+    # rename-fields list-of-{fieldName,renameTo} shape
+    rn = loaded["output-filter-rename-fields.yml"]
+    assert len(rn.pipe.extra_stages) == 1
+    # containerd CRI inputFilter maps to the reassembly stage
+    k8s = loaded["kubernetes-containerd-log-routing.yml"]
+    assert len(k8s.input_stages) == 1
+    assert k8s.input_paths == ("/var/log/*.log", "/var/log/containers/*.log")
+
+
+def test_config_list_style_sections_match_dict_style(spark, tmp_path):
+    """The same pipeline expressed list-style (config: sub-key) and
+    dict-style produces identical routed rows."""
+    pat = write_patterns(tmp_path)
+    dict_cfg = tmp_path / "d.yml"
+    dict_cfg.write_text(
+        f"""
+inputFilter:
+  grep:
+    module: grep
+    exclude: NOISE
+parser:
+  patternFiles: [{pat}]
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: all_idx
+"""
+    )
+    list_cfg = tmp_path / "l.yml"
+    list_cfg.write_text(
+        f"""
+inputFilter:
+  - module: grep
+    config:
+      exclude: NOISE
+parser:
+  patternFiles: [{pat}]
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: all_idx
+"""
+    )
+    from logpipe.config import load_pipeline
+
+    tr = transcripts(spark)
+    a = load_pipeline(str(dict_cfg)).routed(tr)
+    b = load_pipeline(str(list_cfg)).routed(tr)
+    assert sorted_rows(a) == sorted_rows(b)
+    assert a.count() > 0
+
+
+def test_config_rename_fields_list_shape(spark, tmp_path):
+    """rename-fields accepts the reference's list-of-{fieldName,renameTo}
+    (output-filter-rename-fields.yml) equivalently to the dict shape."""
+    from logpipe.config import load_pipeline
+
+    pat = write_patterns(tmp_path)
+    base = f"""
+parser:
+  patternFiles: [{pat}]
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: all_idx
+"""
+    lst = tmp_path / "lst.yml"
+    lst.write_text(
+        base
+        + """
+outputFilter:
+  - module: rename-fields
+    config:
+      fields:
+        - fieldName: message
+          renameTo: msg_renamed
+"""
+    )
+    dct = tmp_path / "dct.yml"
+    dct.write_text(
+        base
+        + """
+outputFilter:
+  rename:
+    module: rename-fields
+    fields:
+      message: msg_renamed
+"""
+    )
+    tr = transcripts(spark)
+    a = load_pipeline(str(lst)).routed(tr)
+    b = load_pipeline(str(dct)).routed(tr)
+    assert "msg_renamed" in a.columns and "message" not in a.columns
+    assert sorted_rows(a) == sorted_rows(b)

@@ -106,6 +106,30 @@ def test_cri_split(spark):
     assert r["stream"] == "stdout" and r["cri_flag"] == "F" and r["cri_message"] == "hello world"
 
 
+def test_cri_reassemble(spark):
+    """P,P,F chunk runs join with ' ' onto the F row (kubernetesContainerd.js
+    semantics); lone F lines and non-CRI lines pass through; P rows are
+    consumed; schema is preserved."""
+    rows = [
+        ("a", 1, "2020-01-01T00:00:00Z stdout P part one"),
+        ("a", 2, "2020-01-01T00:00:01Z stdout P part two"),
+        ("a", 3, "2020-01-01T00:00:02Z stdout F done"),
+        ("a", 4, "2020-01-01T00:00:03Z stderr F single line"),
+        ("a", 5, "not a cri line at all"),
+        ("b", 1, "2020-01-01T00:00:00Z stdout F other source"),
+    ]
+    df = spark.createDataFrame(rows, "tool string, turn_idx int, text string")
+    out = filters.cri_reassemble(df)
+    assert out.columns == df.columns
+    got = {(r["tool"], r["turn_idx"]): r["text"] for r in out.collect()}
+    assert got == {
+        ("a", 3): "part one part two done",
+        ("a", 4): "single line",
+        ("a", 5): "not a cri line at all",
+        ("b", 1): "other source",
+    }
+
+
 # ---------------------------------------------------------------------------
 # streaming
 # ---------------------------------------------------------------------------
