@@ -27,6 +27,13 @@ hand-composition:
   httpDeviceDetector  httpDeviceDetector.js   enrich.ua_enrich
   output.elasticsearch output/elasticsearch.js route.resolve_sink
     .index → default index, .indices → TokenMapper (precedence preserved)
+  options.includeOriginalLine → ruleset originalLine (logagent.js:581-582)
+  options.geoipEnabled  (+dimPath/geoipField)    → geoip enrich stage
+  options.printStats    printStats.js            job.py final counters
+  options.diskBufferDir logagent.js:554-560      job.py checkpoint default
+  options.maxInputRate / suppress / debug: transport-level throttle and
+    stdout verbosity — carried in ConfiguredPipeline.options, not wired
+    (micro-batch sizing / log4j config are the Spark-side knobs).
 
 Unknown modules WARN (exactly the rules loader's contract) instead of
 failing — a config keeps driving everything that maps, and says what
@@ -306,6 +313,12 @@ def load_pipeline(
         except OSError as exc:
             warnings.warn(f"{label}: patternFile {p} unreadable ({exc}) — skipped", stacklevel=2)
     inline = {k: v for k, v in parser_conf.items() if k != "patternFiles"}
+    opts = dict(doc.get("options") or {})
+    if "includeOriginalLine" in opts:
+        # options.includeOriginalLine overrides the pattern files' cfg
+        # (bin/logagent.js:581-582 sets lp.cfg.originalLine after patterns
+        # load); an explicit inline parser.originalLine still wins.
+        inline.setdefault("originalLine", bool(opts["includeOriginalLine"]))
     if inline.get("patterns") or any(k in inline for k in ("json", "autohash", "originalLine", "dateFormats")):
         docs.append((inline, f"{label}#parser"))  # inline merges LAST → wins
     if docs:
@@ -366,6 +379,21 @@ def load_pipeline(
         if stage is not None:
             extra_stages.append(stage)
         sql_queries.extend(queries)
+    if opts.get("geoipEnabled"):
+        # options.geoipEnabled pushes a geoip outputFilter exactly like the
+        # CLI flag (bin/logagent.js:466-477); field name from geoipField,
+        # the MaxMind DB becomes a parquet range dim here.
+        stage, _ = _output_filter_stage(
+            "options.geoip",
+            {
+                "module": "geoip",
+                "dimPath": opts.get("dimPath") or opts.get("maxmindDbDir"),
+                "field": opts.get("geoipField") or "client_ip",
+            },
+            spark,
+        )
+        if stage is not None:
+            extra_stages.append(stage)
 
     # ---- output: routing -------------------------------------------------
     mapper = None
@@ -413,5 +441,5 @@ def load_pipeline(
         input_paths=input_paths,
         input_stages=tuple(input_stages),
         sql_queries=tuple(sql_queries),
-        options=dict(doc.get("options") or {}),
+        options=opts,
     )

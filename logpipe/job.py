@@ -66,13 +66,25 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "stream":
         from logpipe.streaming import start_stream_pipeline
 
-        if not args.input or not args.checkpoint:
-            p.error("stream mode requires --input and --checkpoint")
+        # options.diskBufferDir is the reference's on-disk retry buffer
+        # (bin/logagent.js:554-560); the streaming analog of "survives a
+        # restart without re-shipping" is the checkpoint root, so it serves
+        # as the default when --checkpoint is not given.
+        checkpoint = args.checkpoint or (
+            str(configured.options["diskBufferDir"]) + "/checkpoint"
+            if configured is not None and configured.options.get("diskBufferDir")
+            else None
+        )
+        if not args.input or not checkpoint:
+            p.error(
+                "stream mode requires --input and --checkpoint "
+                "(or options.diskBufferDir in --config)"
+            )
         q = start_stream_pipeline(
             spark,
             args.input,
             args.out,
-            args.checkpoint,
+            checkpoint,
             pipe=pipe,
             available_now=True,
             input_stages=configured.input_stages if configured is not None else (),
@@ -127,6 +139,16 @@ def main(argv: list[str] | None = None) -> int:
     else:
         pipe.run(spark, tr, out_dir=args.out)
         print(f"batch run complete: {args.out}")
+    if configured is not None and configured.options.get("printStats"):
+        # options.printStats interval counters (bin/logagent.js:842-845,
+        # lib/core/printStats.js) — a batch run prints one final snapshot.
+        from logpipe.aggregate import throughput_stats
+
+        stats_row = throughput_stats(tr).collect()[0]
+        print(
+            f"stats: lines={stats_row['lines']} bytes={stats_row['bytes']} "
+            f"empty_lines={stats_row['empty_lines']}"
+        )
     return 0
 
 

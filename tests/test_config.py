@@ -456,3 +456,105 @@ outputFilter:
     b = load_pipeline(str(dct)).routed(tr)
     assert "msg_renamed" in a.columns and "message" not in a.columns
     assert sorted_rows(a) == sorted_rows(b)
+
+
+def test_config_options_include_original_line(spark, tmp_path):
+    """options.includeOriginalLine drives the ruleset's originalLine flag
+    (bin/logagent.js:581-582 → parser.js:511-513)."""
+    from logpipe.config import load_pipeline
+
+    pat = write_patterns(tmp_path)
+    base = f"""
+parser:
+  patternFiles: [{pat}]
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: all_idx
+"""
+    with_opt = tmp_path / "orig.yml"
+    with_opt.write_text(base + "options:\n  includeOriginalLine: true\n")
+    without = tmp_path / "noorig.yml"
+    without.write_text(base)
+    tr = transcripts(spark)
+    a = load_pipeline(str(with_opt)).routed(tr)
+    b = load_pipeline(str(without)).routed(tr)
+    assert "original_line" in a.columns
+    assert "original_line" not in b.columns
+    row = a.filter(F.col("original_line").isNotNull()).select("original_line").first()
+    assert row is not None and row[0].startswith(("EVT", "NOISE"))
+
+
+def test_config_options_geoip(spark, tmp_path):
+    """options.geoipEnabled appends a geoip enrich stage when a dim is
+    given (the CLI-flag path, bin/logagent.js:466-477), and warns loudly
+    when it is not."""
+    import warnings
+
+    from logpipe.config import load_pipeline
+
+    pat = write_patterns(tmp_path)
+    base = f"""
+parser:
+  patternFiles: [{pat}]
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: all_idx
+"""
+    dim = tmp_path / "geo_dim"
+    spark.createDataFrame(
+        [(0, 2**40, "XX")], "ip_lo long, ip_hi long, country string"
+    ).write.parquet(str(dim))
+    enabled = tmp_path / "geo.yml"
+    enabled.write_text(base + f"options:\n  geoipEnabled: true\n  dimPath: {dim}\n")
+    cp = load_pipeline(str(enabled), spark=spark)
+    assert len(cp.pipe.extra_stages) == 1
+    # no dim configured → warn, no stage
+    bare = tmp_path / "geo_bare.yml"
+    bare.write_text(base + "options:\n  geoipEnabled: true\n")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cp2 = load_pipeline(str(bare), spark=spark)
+    assert len(cp2.pipe.extra_stages) == 0
+    assert any("geoip" in str(c.message) for c in caught)
+
+
+def test_job_options_print_stats_and_disk_buffer(spark, tmp_path, capsys):
+    """job.py honors options.printStats (final counters line) and
+    options.diskBufferDir (default stream checkpoint)."""
+    from logpipe import job
+
+    pat = write_patterns(tmp_path)
+    src = tmp_path / "src"
+    transcripts(spark).write.parquet(str(src))
+    cfg = tmp_path / "job.yml"
+    cfg.write_text(
+        f"""
+parser:
+  patternFiles: [{pat}]
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: all_idx
+options:
+  printStats: 30
+  diskBufferDir: {tmp_path / "buffer"}
+"""
+    )
+    rc = job.main([
+        "--config", str(cfg), "--input", str(src),
+        "--out", str(tmp_path / "out"), "--master", "local[4]",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stats: lines=40" in out
+    # stream mode without --checkpoint falls back to diskBufferDir
+    rc = job.main([
+        "--config", str(cfg), "--input", str(src), "--mode", "stream",
+        "--out", str(tmp_path / "out_stream"), "--master", "local[4]",
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.isdir(str(tmp_path / "buffer" / "checkpoint"))
