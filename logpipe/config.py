@@ -76,6 +76,25 @@ class ConfiguredPipeline:
     input_stages: tuple[Stage, ...] = ()
     sql_queries: tuple[tuple[str, int], ...] = ()  # (query, interval_seconds)
     options: dict = dc_field(default_factory=dict)
+    pattern_files: tuple[str, ...] = ()  # raw parser.patternFiles entries
+    inline_docs: tuple[tuple[dict, str], ...] = ()  # inline parser sections
+    include_default_patterns: bool = True
+
+    def ruleset_watcher(self):
+        """Hot-reload source for a config-driven stream: a RulesetWatcher
+        over the config's patternFiles (globs resolve per micro-batch, so a
+        file appearing later is picked up) with the inline parser sections
+        merged last — exactly the merge load_pipeline performed statically.
+        None when the config names no pattern files (nothing to watch)."""
+        if not self.pattern_files:
+            return None
+        from .rules import RulesetWatcher
+
+        return RulesetWatcher(
+            list(self.pattern_files),
+            include_defaults=self.include_default_patterns,
+            extra_docs=list(self.inline_docs),
+        )
 
     def filtered(self, transcripts: DataFrame) -> DataFrame:
         df = transcripts
@@ -248,11 +267,31 @@ def _output_filter_stage(name: str, conf: dict, spark: Optional[SparkSession]) -
     if module == "geoip":
         dim_path = conf.get("dimPath") or conf.get("maxmindDbDir")
         if spark is not None and dim_path and str(conf.get("field", "client_ip")):
-            from .enrich import geo_enrich
+            from .enrich import DimWatcher, geo_enrich
 
-            geo_dim = spark.read.parquet(str(dim_path))
+            # DimWatcher, not a one-shot read: the reference refreshes its
+            # GeoIP DB hourly (maxmind-update.js:24-93) — every invocation
+            # of the stage re-resolves current(), so a rewritten dim lands
+            # in the next batch / micro-batch, last-good on a torn swap.
+            watcher = DimWatcher(spark, str(dim_path))
             ip_col = str(conf.get("field", "client_ip"))
-            return (lambda df: geo_enrich(df, geo_dim, ip_col=ip_col)), ()
+
+            def _geo_stage(df: DataFrame, _w=watcher, _ip=ip_col) -> DataFrame:
+                # geoip.js reads the parsed event's property — top-level
+                # column when present, else the open fields map (where the
+                # parse stage puts extracted captures); absent both, pass
+                # through untouched (drop-nothing).
+                if _ip in df.columns:
+                    return geo_enrich(df, _w.current(), ip_col=_ip)
+                if "fields" in df.columns:
+                    tmp = f"_geo_{_ip}"
+                    out = geo_enrich(
+                        df.withColumn(tmp, F.col("fields")[_ip]), _w.current(), ip_col=tmp
+                    )
+                    return out.drop(tmp)
+                return df
+
+            return _geo_stage, ()
         warnings.warn(
             f"{name}: geoip needs a parquet range dim (dimPath:) and a live "
             "SparkSession — section skipped",
@@ -267,12 +306,15 @@ def _output_filter_stage(name: str, conf: dict, spark: Optional[SparkSession]) -
     if module in ("docker-enrichment", "kubernetes-enrichment", "access-watch"):
         dim_path = conf.get("dimPath")
         if spark is not None and dim_path:
-            from .enrich import enrich
+            from .enrich import DimWatcher, enrich
 
-            dim = spark.read.parquet(str(dim_path))
+            # hot-swappable like geoip: the reference's k8s/docker metadata
+            # watchers hold a TTL'd live view; here the dim table re-resolves
+            # per stage invocation (see DimWatcher's failure contract).
+            watcher = DimWatcher(spark, str(dim_path))
             on = conf.get("on", "container_id" if module == "docker-enrichment" else "pod_name")
             prefix = str(conf.get("prefix", ""))
-            return (lambda df: enrich(df, dim, on=on, prefix=prefix) if (on if isinstance(on, str) else on[0]) in df.columns else df), ()
+            return (lambda df: enrich(df, watcher.current(), on=on, prefix=prefix) if (on if isinstance(on, str) else on[0]) in df.columns else df), ()
         warnings.warn(
             f"{name}: {module} is a live-API watcher in the reference; here it "
             "consumes a dimension table — set dimPath: to a parquet dim "
@@ -442,4 +484,7 @@ def load_pipeline(
         input_stages=tuple(input_stages),
         sql_queries=tuple(sql_queries),
         options=opts,
+        pattern_files=tuple(str(p) for p in pattern_files),
+        inline_docs=tuple((d, lbl) for d, lbl in docs if lbl == f"{label}#parser"),
+        include_default_patterns=include_default_patterns,
     )

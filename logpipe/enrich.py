@@ -149,14 +149,17 @@ class DimWatcher:
 
 
 def ip_to_long(col: Column) -> Column:
-    """Dotted-quad IPv4 → int64 (pure expression)."""
+    """Dotted-quad IPv4 → int64 (pure expression). try_cast, not cast:
+    a non-IP string (dirty field, hostname, empty capture) yields NULL —
+    which a range join simply doesn't match — instead of an ANSI
+    CAST_INVALID_INPUT killing the task (geoip.js:31 lookup of a bad IP
+    likewise returns nothing)."""
     parts = F.split(col, r"\.")
-    return (
-        F.element_at(parts, 1).cast("long") * 16777216
-        + F.element_at(parts, 2).cast("long") * 65536
-        + F.element_at(parts, 3).cast("long") * 256
-        + F.element_at(parts, 4).cast("long")
-    )
+
+    def _oct(i: int) -> Column:
+        return F.element_at(parts, i).try_cast("long")
+
+    return _oct(1) * 16777216 + _oct(2) * 65536 + _oct(3) * 256 + _oct(4)
 
 
 def parse_image_name(col: Column) -> Column:

@@ -88,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
             pipe=pipe,
             available_now=True,
             input_stages=configured.input_stages if configured is not None else (),
+            # a config-driven stream hot-reloads its patternFiles per
+            # micro-batch (inline parser sections merge last, as at load)
+            pattern_files=configured.ruleset_watcher() if configured is not None else None,
         )
         q.awaitTermination()
         print(f"stream drained to {args.out}")

@@ -1601,6 +1601,7 @@ def load_yaml_rules(
     include_defaults: bool = True,
     whitelist: str | None = None,
     blacklist: str | None = None,
+    extra_docs: list[tuple[dict, str]] | None = None,
 ) -> RuleSet:
     """Load patterns.yml-compatible file(s).
 
@@ -1612,13 +1613,15 @@ def load_yaml_rules(
     Transforms resolve by name via TRANSFORM_REGISTRY (built-in ports are
     pre-registered under their rule-family names); inline !!js/function
     nodes warn loudly and are skipped unless a same-named port exists.
+    `extra_docs` append AFTER the files (so they merge last and win) —
+    the config loader's inline parser sections ride hot reloads this way.
     """
     import warnings
 
     if isinstance(paths, str):
         paths = [paths]
     return build_ruleset(
-        [(_load_yaml_doc(p), p) for p in paths],
+        [(_load_yaml_doc(p), p) for p in paths] + list(extra_docs or []),
         include_defaults=include_defaults,
         whitelist=whitelist,
         blacklist=blacklist,
@@ -1750,13 +1753,17 @@ class RulesetWatcher:
         include_defaults: bool = True,
         whitelist: str | None = None,
         blacklist: str | None = None,
+        extra_docs: list[tuple[dict, str]] | None = None,
     ) -> None:
         import glob as _glob
 
         self._raw_paths = [paths] if isinstance(paths, str) else list(paths)
         self._glob = _glob
         self._kwargs = dict(
-            include_defaults=include_defaults, whitelist=whitelist, blacklist=blacklist
+            include_defaults=include_defaults,
+            whitelist=whitelist,
+            blacklist=blacklist,
+            extra_docs=list(extra_docs or []) or None,
         )
         self._stamp: tuple | None = None
         self._cached: RuleSet | None = None
@@ -1794,7 +1801,9 @@ class RulesetWatcher:
             stamp = self._stat_stamp(files)
             if self._cached is None or stamp != self._stamp:
                 self._cached = (
-                    load_yaml_rules(files, **self._kwargs) if files else DEFAULT_RULESET
+                    load_yaml_rules(files, **self._kwargs)
+                    if files or self._kwargs.get("extra_docs")
+                    else DEFAULT_RULESET
                 )
                 self._stamp = stamp
         except Exception as exc:  # noqa: BLE001 — survive partial saves/races

@@ -284,7 +284,7 @@ def start_stream_pipeline(
     pipe: TranscriptPipeline | None = None,
     available_now: bool = True,
     fmt: str = "parquet",
-    pattern_files: str | list[str] | None = None,
+    pattern_files: "str | list[str] | object | None" = None,
     dim_watchers: dict | None = None,
     dim_paths: dict[str, str] | None = None,
     input_stages: tuple[Callable[[DataFrame], DataFrame], ...] = (),
@@ -344,7 +344,14 @@ def start_stream_pipeline(
     stream = read_transcript_stream(spark, input_path, fmt=fmt)
     for stage in input_stages:
         stream = stage(stream)
-    watcher = RulesetWatcher(pattern_files) if pattern_files is not None else None
+    if pattern_files is None:
+        watcher = None
+    elif isinstance(pattern_files, RulesetWatcher):
+        # a pre-built watcher (config.ruleset_watcher()) carries inline
+        # parser sections alongside the watched files
+        watcher = pattern_files
+    else:
+        watcher = RulesetWatcher(pattern_files)
     rebuild = watcher is not None or bool(dims)
     routed = stream if rebuild else pipe.routed(stream)
 

@@ -558,3 +558,97 @@ options:
     import os
 
     assert os.path.isdir(str(tmp_path / "buffer" / "checkpoint"))
+
+
+def test_config_ruleset_watcher_hot_reload_with_inline(tmp_path):
+    """ConfiguredPipeline.ruleset_watcher() rebuilds on pattern-file change
+    and keeps merging the config's inline parser sections last (they win)."""
+    from logpipe.config import load_pipeline
+
+    pat = tmp_path / "patterns.yml"
+    pat.write_text(
+        "patterns:\n - sourceName: evtsrc\n   match:\n"
+        "    - type: evt_v1\n      regex: ^EVT (\\d+)\n      fields: [evt_id:number]\n"
+    )
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(
+        f"""
+parser:
+  patternFiles: [{pat}]
+  originalLine: true
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: idx
+"""
+    )
+    cp = load_pipeline(str(cfg))
+    w = cp.ruleset_watcher()
+    assert w is not None
+    rs1 = w.current()
+    # watcher reproduces the statically-loaded ruleset, inline merge included
+    assert rs1.original_line is True
+    assert any(r.log_type == "evt_v1" for g in rs1.groups for r in g.rules)
+    assert w.current() is rs1  # unchanged files → cached
+    # rewrite the pattern file → rebuilt ruleset, inline still wins
+    import os
+    import time
+
+    time.sleep(0.01)
+    pat.write_text(
+        "patterns:\n - sourceName: evtsrc\n   match:\n"
+        "    - type: evt_v2\n      regex: ^EVT (\\d+)\n      fields: [evt_id:number]\n"
+    )
+    os.utime(pat)
+    rs2 = w.current()
+    assert any(r.log_type == "evt_v2" for g in rs2.groups for r in g.rules)
+    assert not any(r.log_type == "evt_v1" for g in rs2.groups for r in g.rules)
+    assert rs2.original_line is True
+
+
+def test_config_geoip_dim_hot_swap(spark, tmp_path):
+    """The config-wired geoip stage re-resolves its dim per invocation
+    (DimWatcher): an overwritten dim shows up on the next routed() call
+    without reloading the config."""
+    from logpipe.config import load_pipeline
+
+    dim = tmp_path / "geo"
+    spark.createDataFrame(
+        [(0, 2**40, "AA")], "ip_lo long, ip_hi long, country string"
+    ).write.parquet(str(dim))
+    pat = tmp_path / "patterns.yml"
+    pat.write_text(
+        "patterns:\n - sourceName: evtsrc|othersrc\n   match:\n"
+        "    - type: ip_evt\n      regex: ^EVT (\\d+) user=(\\S+) ok\n"
+        "      fields: [evt_id:number, client_ip]\n"
+    )
+    cfg = tmp_path / "geo.yml"
+    cfg.write_text(
+        f"""
+parser:
+  patternFiles: [{pat}]
+outputFilter:
+  geo:
+    module: geoip
+    dimPath: {dim}
+    field: client_ip
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: idx
+"""
+    )
+    cp = load_pipeline(str(cfg), spark=spark)
+    tr = transcripts(spark)
+    routed = cp.routed(tr)
+    # the stage ran over the routed frame (fields-map fallback: the parsed
+    # 'client_ip' capture is u0..u4, not an IP → null geo, rows intact)
+    assert "country" in routed.columns
+    assert routed.count() == tr.count()
+    stage = cp.pipe.extra_stages[0]
+    ips = spark.createDataFrame([("1.2.3.4",)], "client_ip string")
+    assert stage(ips).collect()[0]["country"] == "AA"
+    spark.createDataFrame(
+        [(0, 2**40, "BB")], "ip_lo long, ip_hi long, country string"
+    ).write.mode("overwrite").parquet(str(dim))
+    assert stage(ips).collect()[0]["country"] == "BB"
