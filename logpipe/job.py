@@ -4,7 +4,13 @@
     spark-submit --py-files dist/logpipe.zip \
         logpipe/job.py --input <table-or-path> --out <dir-or-catalog-prefix> \
         [--mode batch|stream] [--checkpoint <dir>] [--generate N] \
-        [--config logagent.yml]
+        [-c logagent.yml] [-f patterns.yml ...] [-g '<glob>'] [-i index] \
+        [--skipDefaultPatterns] [-w starter.yml] [--writePatterns patterns.yml]
+
+CLI short flags mirror the reference's (lib/core/cliArgs.js:119-151): -c
+config, -f pattern files (repeatable, merge after the config's), -g raw
+log-file glob ('{a,b}' lists), -i default index, --skipDefaultPatterns,
+-w/--writeConfig + --writePatterns starter generators.
 
 `--config` is the logagent migration on-ramp (reference: `logagent -f
 config.yml`, bin/logagent.js:41-113): the yaml's inputFilter/parser/
@@ -29,11 +35,46 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="logpipe transcript pipeline")
     p.add_argument("--input", help="transcript table ident or parquet path")
     p.add_argument(
+        "-c",
         "--config",
         help="logagent-style yaml config (config/example.yml shape) — "
         "assembles filters/patterns/masks/routing via logpipe.config."
         "load_pipeline; its input.files globs are read as raw log lines "
         "when --input/--generate are absent",
+    )
+    p.add_argument(
+        "-f",
+        "--patterns",
+        action="append",
+        default=[],
+        metavar="PATTERN_FILE",
+        help="pattern definition file(s), repeatable (logagent -f) — merge "
+        "AFTER the config's patternFiles, so CLI patterns win",
+    )
+    p.add_argument(
+        "-g",
+        "--glob",
+        help="glob of raw log files to read line-by-line (logagent -g); "
+        "'{a,b}' lists multiple globs",
+    )
+    p.add_argument(
+        "-i", "--index", help="default output index/sink name (logagent -i)"
+    )
+    p.add_argument(
+        "--skipDefaultPatterns",
+        action="store_true",
+        help="skip the built-in default rule groups (logagent flag)",
+    )
+    p.add_argument(
+        "-w",
+        "--writeConfig",
+        metavar="FILE",
+        help="write a starter config to FILE (with -i substituted) and exit",
+    )
+    p.add_argument(
+        "--writePatterns",
+        metavar="FILE",
+        help="write a starter patterns.yml to FILE and exit",
     )
     p.add_argument("--out", required=True, help="output prefix (dir or catalog.db prefix)")
     p.add_argument("--mode", choices=["batch", "stream"], default="batch")
@@ -44,6 +85,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
+    if args.writeConfig or args.writePatterns:
+        from logpipe import starter
+
+        if args.writeConfig:
+            starter.write_config(args.writeConfig, index=args.index)
+            print(f"config file was generated: {args.writeConfig}")
+        if args.writePatterns:
+            starter.write_patterns(args.writePatterns)
+            print(f"patterns file was generated: {args.writePatterns}")
+        return 0
+
+    from dataclasses import replace as dc_replace
+
     from logpipe.datagen import role_dim, tool_dim, transcripts
     from logpipe.pipeline import TranscriptPipeline
     from logpipe.session import get_spark
@@ -51,17 +105,48 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("logpipe-job", master=args.master)
     configured = None
+    include_defaults = not args.skipDefaultPatterns
     if args.config:
-        from dataclasses import replace as dc_replace
-
         from logpipe.config import load_pipeline
 
-        configured = load_pipeline(args.config, spark=spark)
+        configured = load_pipeline(
+            args.config, spark=spark, include_default_patterns=include_defaults
+        )
+        if args.patterns:
+            # CLI -f files merge AFTER the config's (later wins), and the
+            # stream watcher below watches the combined set
+            configured = dc_replace(
+                configured,
+                pattern_files=configured.pattern_files + tuple(args.patterns),
+            )
+            configured = dc_replace(
+                configured,
+                pipe=dc_replace(
+                    configured.pipe, ruleset=configured.ruleset_watcher().current()
+                ),
+            )
         pipe = dc_replace(
             configured.pipe, role_dim=role_dim(spark), tool_dim=tool_dim(spark)
         )
     else:
-        pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+        from logpipe.rules import DEFAULT_RULESET, load_yaml_rules
+
+        ruleset = (
+            load_yaml_rules(args.patterns, include_defaults=include_defaults)
+            if args.patterns or args.skipDefaultPatterns
+            else DEFAULT_RULESET
+        )
+        pipe = TranscriptPipeline(
+            ruleset=ruleset, role_dim=role_dim(spark), tool_dim=tool_dim(spark)
+        )
+    if args.index:
+        # `-i index` alone sends ALL logs to that index (the reference's
+        # single-token mode); a config's output.indices routing still wins
+        pipe = dc_replace(pipe, default_index=str(args.index))
+        if configured is None:
+            from logpipe.route import TokenMapper
+
+            pipe = dc_replace(pipe, mapper=TokenMapper(indices=()))
 
     if args.mode == "stream":
         from logpipe.streaming import start_stream_pipeline
@@ -100,12 +185,24 @@ def main(argv: list[str] | None = None) -> int:
         tr = transcripts(spark, args.generate, 20)
     elif args.input:
         tr = read_table(spark, args.input)
+    elif args.glob:
+        from logpipe.sources import read_log_files
+
+        # '{a,b}' multi-glob form, cliArgs.js writeConfig:35-46
+        globs = (
+            [g.strip() for g in args.glob.strip("{}").split(",") if g.strip()]
+            if args.glob.startswith("{")
+            else [args.glob]
+        )
+        tr = read_log_files(spark, globs)
     elif configured is not None and configured.input_paths:
         from logpipe.sources import read_log_files
 
         tr = read_log_files(spark, list(configured.input_paths))
     else:
-        p.error("batch mode requires --input, --generate, or --config with input.files")
+        p.error(
+            "batch mode requires --input, --generate, --glob, or --config with input.files"
+        )
     if configured is not None:
         tr = configured.filtered(tr)
 

@@ -1645,7 +1645,9 @@ def build_ruleset(
     merged_patterns: list[tuple[dict, str]] = []
     conf: dict = {}
     for doc, path in docs:
-        if "patterns" not in doc:
+        if "patterns" not in doc and not any(
+            k in doc for k in ("json", "autohash", "originalLine", "dateFormats", "hashFunction")
+        ):
             warnings.warn(f"missing patterns section in config {path}", stacklevel=2)
         # later file's patterns first (mergePatternFiles.js:48)
         merged_patterns = [(g, path) for g in (doc.get("patterns") or [])] + merged_patterns

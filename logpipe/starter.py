@@ -1,0 +1,77 @@
+"""Starter-file generators: the reference's `logagent --writeConfig` /
+`--writePatterns` (lib/core/cliArgs.js:23-65,66-81 writeConfig/writePatterns)
+copy its shipped config/example.yml and patterns.yml as editable starting
+points. The equivalents here are embedded strings (zip-safe under
+`spark-submit --py-files`), with the same -i index substitution hook."""
+
+from __future__ import annotations
+
+EXAMPLE_CONFIG = """\
+# logpipe starter config (logagent config/example.yml shape)
+# run:  spark-submit logpipe/job.py --config this.yml --out ./out
+options:
+  includeOriginalLine: false
+  printStats: 60
+
+input:
+  files:
+    - '/var/log/**/*.log'
+
+inputFilter:
+  grep:
+    module: grep
+    # exclude: noise|debug
+
+parser:
+  patternFiles:
+    - patterns.yml
+
+outputFilter:
+  hash-fields:
+    module: hash-fields
+    matchSource: sensitive
+    algorithm: sha256
+    fields:
+      - user
+
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: YOUR_INDEX
+    indices:
+      access_logs:
+        - access.*
+"""
+
+EXAMPLE_PATTERNS = """\
+# logpipe starter patterns (logagent patterns.yml shape)
+# first-match-wins per source; fields take :number/:string type suffixes
+originalLine: false
+patterns:
+  - sourceName: access.*
+    match:
+      - type: access_common
+        regex: ^(\\S+) - (\\S+) \\[.*\\] "(\\S+) (\\S+)[^"]*" (\\d+) (\\d+|-)
+        fields: [client_ip, user, method, path, status_code:number, size:number]
+  - sourceName: .*
+    match:
+      - type: kv
+        regex: ^(\\w+)=(\\S+)
+        fields: [key, value]
+"""
+
+
+def write_config(path: str, index: str | None = None) -> None:
+    """`--writeConfig <file>` (cliArgs.js:23-65): emit the starter config,
+    substituting the -i index when given."""
+    text = EXAMPLE_CONFIG
+    if index:
+        text = text.replace("YOUR_INDEX", index)
+    with open(path, "x") as f:
+        f.write(text)
+
+
+def write_patterns(path: str) -> None:
+    """`--writePatterns <file>` (cliArgs.js:66-81): emit starter patterns."""
+    with open(path, "x") as f:
+        f.write(EXAMPLE_PATTERNS)

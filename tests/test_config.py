@@ -652,3 +652,41 @@ output:
         [(0, 2**40, "BB")], "ip_lo long, ip_hi long, country string"
     ).write.mode("overwrite").parquet(str(dim))
     assert stage(ips).collect()[0]["country"] == "BB"
+
+
+def test_job_cli_parity_flags(spark, tmp_path, monkeypatch):
+    """Reference CLI flags on job.py: -w/--writePatterns emit loadable
+    starter files; -g glob + -f patterns + -i index run end-to-end."""
+    from logpipe import job
+    from logpipe.rules import load_yaml_rules
+
+    # starter generators
+    cfg_out = tmp_path / "starter.yml"
+    pat_out = tmp_path / "patterns.yml"
+    assert job.main(["-w", str(cfg_out), "--writePatterns", str(pat_out),
+                     "-i", "my_logs", "--out", "unused"]) == 0
+    assert "index: my_logs" in cfg_out.read_text()
+    rs = load_yaml_rules(str(pat_out))
+    assert any(r.log_type == "access_common" for g in rs.groups for r in g.rules)
+    # the starter config loads (patterns.yml resolves relative to cwd)
+    monkeypatch.chdir(tmp_path)
+    from logpipe.config import load_pipeline
+
+    cp = load_pipeline(str(cfg_out))
+    assert cp.pipe.default_index == "my_logs"
+    assert cp.input_paths == ("/var/log/**/*.log",)
+
+    # -g + -f + -i end-to-end over raw log files
+    log = tmp_path / "web_access.log"
+    log.write_text('1.2.3.4 - alice [x] "GET /a HTTP/1.1" 200 123\nkey=val\n')
+    out = tmp_path / "out"
+    rc = job.main([
+        "-g", str(tmp_path / "*_access.log"), "-f", str(pat_out),
+        "-i", "cli_idx", "--out", str(out), "--master", "local[4]",
+    ])
+    assert rc == 0
+    routed = spark.read.parquet(str(out / "routed"))
+    rows = {r["log_type"]: r for r in routed.collect()}
+    assert rows["access_common"]["sink"] == "cli_idx"
+    assert '"status_code":"200"' in rows["access_common"]["fields"] or \
+        rows["access_common"]["matched"]
