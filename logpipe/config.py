@@ -27,6 +27,11 @@ hand-composition:
   httpDeviceDetector  httpDeviceDetector.js   enrich.ua_enrich
   output.elasticsearch output/elasticsearch.js route.resolve_sink
     .index → default index, .indices → TokenMapper (precedence preserved)
+  output.* payload modules (gelf / influxdb / clickhouse / slack /
+    prometheus-alertmanager / http-ldjson) → sinks serializers via
+    _output_serializer: each configured output yields a one-column
+    `payload` frame over the routed rows (ConfiguredPipeline.serialized);
+    job.py writes one text dir per output
   options.includeOriginalLine → ruleset originalLine (logagent.js:581-582)
   options.geoipEnabled  (+dimPath/geoipField)    → geoip enrich stage
   options.printStats    printStats.js            job.py final counters
@@ -79,6 +84,12 @@ class ConfiguredPipeline:
     pattern_files: tuple[str, ...] = ()  # raw parser.patternFiles entries
     inline_docs: tuple[tuple[dict, str], ...] = ()  # inline parser sections
     include_default_patterns: bool = True
+    serializers: tuple[tuple[str, Stage], ...] = ()  # (output name, routed→payload)
+
+    def serialized(self, routed: DataFrame) -> dict[str, DataFrame]:
+        """Per configured output: the serialized payload frame (one string
+        column `payload`) the reference's output plugin would ship."""
+        return {name: fn(routed) for name, fn in self.serializers}
 
     def ruleset_watcher(self):
         """Hot-reload source for a config-driven stream: a RulesetWatcher
@@ -331,6 +342,91 @@ def _output_filter_stage(name: str, conf: dict, spark: Optional[SparkSession]) -
     return None, ()
 
 
+def _output_serializer(name: str, module: str, conf: dict) -> Optional[Stage]:
+    """output module → serializer over the routed frame, producing a
+    one-string-column `payload` frame. The reference's output plugins are
+    (serialize each event) + (buffered POST/UDP transport); the transport
+    is not a table concern, so the payload column IS the plugin's data
+    shape — the same split the sink_serializers driver query proves. A
+    `matchSource` gate filters on log_source first (every output plugin
+    honors it, e.g. slack-webhook.js:13-14)."""
+    from . import sinks as sinks_mod
+
+    ms = _match_source(conf)
+
+    def _gate(df: DataFrame) -> DataFrame:
+        if ms and "log_source" in df.columns:
+            return df.filter(F.coalesce(F.col("log_source"), F.lit("")).rlike(ms))
+        return df
+
+    if module in (
+        "elasticsearch",
+        "logsene",
+        "output-aws-elasticsearch",
+        "output-http",
+        "output-sematext-events",
+        "files",
+        "output-files",
+        "stdout",
+    ):
+        ignore = [str(x) for x in (conf.get("ignoreFields") or [])]
+        return lambda df: sinks_mod.to_ldjson(_gate(df), exclude=ignore).select(
+            F.col("value").alias("payload")
+        )
+    if module in ("output-gelf", "gelf"):
+        src = str(conf.get("sourceName", "logagent"))
+        return lambda df: sinks_mod.gelf_out(_gate(df), source_name=src).select(
+            F.col("gelf").alias("payload")
+        )
+    if module == "output-influxdb":
+        meas = str(conf.get("db") or conf.get("measurement") or "logs")
+        tags = {str(k): str(v) for k, v in (conf.get("tags") or {}).items()}
+        ign = [str(x) for x in (conf.get("ignoreFields") or [])]
+
+        def _influx(df: DataFrame) -> DataFrame:
+            df = _gate(df)
+            ts = "event_ts" if "event_ts" in df.columns else None
+            return sinks_mod.influx_line(
+                df,
+                measurement=meas,
+                ts_col=ts,
+                config_tags=tags or None,
+                ignore_fields=ign or None,
+            ).select(F.col("line").alias("payload"))
+
+        return _influx
+    if module == "output-clickhouse":
+        # clickhouse.yaml `fields:` is the ordered CREATE TABLE column list;
+        # '@timestamp' maps to event_ts → epoch millis (clickhouse.js:43-59)
+        fields = [str(f) for f in (conf.get("fields") or [])]
+
+        def _ch(df: DataFrame) -> DataFrame:
+            df = _gate(df)
+            fm = {}
+            for f in fields:
+                src_col = "event_ts" if f == "@timestamp" else f
+                if src_col in df.columns:
+                    fm[src_col] = f
+            shaped = sinks_mod.clickhouse_shape(df, fm, ts_col="event_ts")
+            return sinks_mod.to_ldjson(shaped).select(F.col("value").alias("payload"))
+
+        return _ch
+    if module == "prometheus-alertmanager":
+        tpl = {k: conf[k] for k in ("labels", "annotations", "generatorURL") if k in conf}
+        return lambda df: sinks_mod.prometheus_alert(
+            _gate(df), alert_template=tpl or None
+        ).select(F.to_json("alert").alias("payload"))
+    if module in ("slack-webhook", "slack"):
+        att = conf.get("payload")
+        return lambda df: sinks_mod.slack_payload(
+            _gate(df),
+            template=conf.get("template"),
+            fmt=conf.get("format"),
+            attachments=bool(att.get("attachments")) if isinstance(att, dict) else False,
+        ).select("payload")
+    return None
+
+
 def load_pipeline(
     source: str | dict,
     spark: Optional[SparkSession] = None,
@@ -442,6 +538,7 @@ def load_pipeline(
     default_index: str | None = "default"
     drop_unrouted = False
     out_conf = doc.get("output") or {}
+    serializers: list[tuple[str, Stage]] = []
     for key, sec in _section_items(out_conf, "output"):
         if not isinstance(sec, dict):
             if key == "stdout" and sec:
@@ -458,15 +555,20 @@ def load_pipeline(
                 )
             if sec.get("dropUnrouted"):
                 drop_unrouted = True
-        elif module in ("output-files", "files"):
+            continue  # ES rows ARE the routed table; no payload serializer
+        if module in ("output-files", "files"):
             # date-patterned path → the sink name carries the pattern; the
             # YYYY/MM/DD rewrite happens in resolve_sink
             if sec.get("path"):
                 default_index = str(sec["path"])
+            continue
+        ser = _output_serializer(key, module, sec)
+        if ser is not None:
+            serializers.append((key, ser))
         else:
             warnings.warn(
-                f"output '{key}' (module '{module}') is a transport — rows for "
-                "it come from route/fan_out + sinks serializers; section noted",
+                f"output '{key}' (module '{module}') is a transport with no "
+                "payload shape to serialize — section noted, not wired",
                 stacklevel=2,
             )
 
@@ -487,4 +589,5 @@ def load_pipeline(
         pattern_files=tuple(str(p) for p in pattern_files),
         inline_docs=tuple((d, lbl) for d, lbl in docs if lbl == f"{label}#parser"),
         include_default_patterns=include_default_patterns,
+        serializers=tuple(serializers),
     )

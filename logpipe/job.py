@@ -237,7 +237,20 @@ def main(argv: list[str] | None = None) -> int:
             )
         print(f"resumable run complete: {stats}")
     else:
-        pipe.run(spark, tr, out_dir=args.out)
+        result = pipe.run(spark, tr, out_dir=args.out)
+        if configured is not None and configured.serializers:
+            from pyspark.sql import functions as F
+
+            # one text dir per configured output, each line the payload the
+            # reference's plugin would POST/send (gelf, influx line, ...)
+            for sname, frame in configured.serialized(result["routed"]).items():
+                frame.select(F.col("payload").alias("value")).write.mode(
+                    "overwrite"
+                ).text(f"{args.out}/serialized/{sname}")
+            print(
+                "serialized outputs: "
+                + ", ".join(n for n, _ in configured.serializers)
+            )
         print(f"batch run complete: {args.out}")
     if configured is not None and configured.options.get("printStats"):
         # options.printStats interval counters (bin/logagent.js:842-845,

@@ -690,3 +690,74 @@ def test_job_cli_parity_flags(spark, tmp_path, monkeypatch):
     assert rows["access_common"]["sink"] == "cli_idx"
     assert '"status_code":"200"' in rows["access_common"]["fields"] or \
         rows["access_common"]["matched"]
+
+
+def test_config_output_serializers(spark, tmp_path):
+    """Configured output modules with a data shape (gelf, influxdb,
+    clickhouse, slack, prometheus) become payload serializers over the
+    routed frame; matchSource gates them; job.py writes one text dir per
+    output."""
+    import json
+
+    from logpipe import job
+    from logpipe.config import load_pipeline
+
+    pat = write_patterns(tmp_path)
+    src = tmp_path / "src"
+    transcripts(spark).write.parquet(str(src))
+    cfg = tmp_path / "outs.yml"
+    cfg.write_text(
+        f"""
+parser:
+  patternFiles: [{pat}]
+output:
+  es:
+    module: elasticsearch
+    index: all_idx
+  gelf_udp:
+    module: output-gelf
+    sourceName: myapp
+  metrics:
+    module: output-influxdb
+    db: turns
+    tags:
+      region: eu
+  wide_events:
+    module: output-clickhouse
+    fields:
+      - severity
+      - message
+      - '@timestamp'
+  alerts:
+    module: slack-webhook
+    matchSource: evtsrc
+    template: "saw {{log_type}} from {{log_source}}"
+"""
+    )
+    cp = load_pipeline(str(cfg), spark=spark)
+    assert {n for n, _ in cp.serializers} == {"gelf_udp", "metrics", "wide_events", "alerts"}
+    routed = cp.routed(transcripts(spark))
+    out = cp.serialized(routed)
+    g = json.loads(out["gelf_udp"].first()["payload"])
+    assert g["short_message"] == "src:logagent-myapp" and "timestamp" in g
+    line = out["metrics"].first()["payload"]
+    assert line.startswith("turns,") and "region=eu" in line
+    ch = json.loads(out["wide_events"].first()["payload"])
+    assert set(ch) <= {"severity", "message", "@timestamp"} and "message" in ch
+    # matchSource gate: alerts only over evtsrc rows
+    n_evt = routed.filter("log_source = 'evtsrc'").count()
+    assert out["alerts"].count() == n_evt > 0
+    assert "saw " in json.loads(out["alerts"].first()["payload"])["text"]
+
+    # job.py end-to-end: serialized text dirs land under out/serialized/
+    rc = job.main([
+        "--config", str(cfg), "--input", str(src),
+        "--out", str(tmp_path / "jobout"), "--master", "local[4]",
+    ])
+    assert rc == 0
+    import os
+
+    written = sorted(os.listdir(tmp_path / "jobout" / "serialized"))
+    assert written == ["alerts", "gelf_udp", "metrics", "wide_events"]
+    lines = spark.read.text(str(tmp_path / "jobout" / "serialized" / "metrics"))
+    assert lines.count() == routed.count()
