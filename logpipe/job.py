@@ -176,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
             # a config-driven stream hot-reloads its patternFiles per
             # micro-batch (inline parser sections merge last, as at load)
             pattern_files=configured.ruleset_watcher() if configured is not None else None,
+            serializers=configured.serializers if configured is not None else (),
         )
         q.awaitTermination()
         print(f"stream drained to {args.out}")

@@ -288,6 +288,7 @@ def start_stream_pipeline(
     dim_watchers: dict | None = None,
     dim_paths: dict[str, str] | None = None,
     input_stages: tuple[Callable[[DataFrame], DataFrame], ...] = (),
+    serializers: tuple[tuple[str, Callable[[DataFrame], DataFrame]], ...] = (),
 ):
     """readStream → parse/mask/enrich/route (batch stage functions, unchanged)
     → foreachBatch fan-out + per-batch metrics.
@@ -373,6 +374,16 @@ def start_stream_pipeline(
             .write.mode("overwrite")
             .parquet(f"{out_dir}/batch_metrics/batch_id={batch_id}")
         )
+        # configured output payloads (config.ConfiguredPipeline.serializers):
+        # one text dir per output per batch — batch_id-scoped paths keep the
+        # foreachBatch write idempotent under epoch replay, same as routed
+        for sname, ser in serializers:
+            (
+                ser(batch_df)
+                .select(F.col("payload").alias("value"))
+                .write.mode("overwrite")
+                .text(f"{out_dir}/serialized/{sname}/batch_id={batch_id}")
+            )
 
     writer = (
         routed.writeStream.outputMode("append")

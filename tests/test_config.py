@@ -761,3 +761,48 @@ output:
     assert written == ["alerts", "gelf_udp", "metrics", "wide_events"]
     lines = spark.read.text(str(tmp_path / "jobout" / "serialized" / "metrics"))
     assert lines.count() == routed.count()
+
+
+def test_stream_serialized_outputs_match_batch(spark, tmp_path):
+    """The same config's output serializers run inside the stream's
+    foreachBatch — serialized payload lines match the batch path's."""
+    from logpipe import job
+    from logpipe.config import load_pipeline
+
+    pat = write_patterns(tmp_path)
+    src = tmp_path / "src"
+    transcripts(spark).write.parquet(str(src))
+    cfg = tmp_path / "s.yml"
+    cfg.write_text(
+        f"""
+parser:
+  patternFiles: [{pat}]
+output:
+  es:
+    module: elasticsearch
+    index: all_idx
+  metrics:
+    module: output-influxdb
+    db: turns
+    ignoreFields: [fields]
+"""
+    )
+    rc = job.main([
+        "--config", str(cfg), "--input", str(src), "--mode", "stream",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--out", str(tmp_path / "sout"), "--master", "local[4]",
+    ])
+    assert rc == 0
+    got = spark.read.text(str(tmp_path / "sout" / "serialized" / "metrics"), recursiveFileLookup=True)
+    from dataclasses import replace as dc_replace
+
+    from logpipe.datagen import role_dim, tool_dim
+
+    cp = load_pipeline(str(cfg), spark=spark)
+    pipe = dc_replace(cp.pipe, role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+    routed = pipe.routed(cp.filtered(spark.read.parquet(str(src))))
+    want = dict(cp.serializers)["metrics"](routed)
+    assert sorted(r["value"] for r in got.collect()) == sorted(
+        r["payload"] for r in want.collect()
+    )
+    assert got.count() > 0
