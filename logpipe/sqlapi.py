@@ -1,0 +1,53 @@
+"""SQL-facing surface: use the engine from `spark.sql` alone.
+
+The reference exposes its parser to SQL-ish consumers through the alasql
+outputFilter (lib/plugins/output-filter/sql.js); Spark's native analog is a
+registered function + temp views, so a SQL-only user (notebook, JDBC
+gateway, `spark.sql(...)` scripts) can run the full first-match cascade
+without touching the Python API:
+
+    from logpipe.sqlapi import register_sql_functions, parsed_view
+    register_sql_functions(spark)
+    spark.sql("SELECT p.* FROM (SELECT logpipe_parse(text, tool, ts) p FROM raw)")
+
+    parsed_view(spark, df, "parsed")   # full parse_text semantics as a view
+    spark.sql("SELECT log_type, count(*) FROM parsed GROUP BY log_type")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .parse import make_parse_udf, parse_text
+from .rules import DEFAULT_RULESET, RuleSet
+
+
+def register_sql_functions(
+    spark: SparkSession,
+    ruleset: RuleSet = DEFAULT_RULESET,
+    name: str = "logpipe_parse",
+) -> None:
+    """Register the vectorized parse UDF for SQL: `name(text, source, ts)`
+    returns the PARSED_STRUCT (event_ts, message, log_type, severity,
+    matched, fields). NOTE unmatched rows return matched=false with NULL
+    message/event_ts/fields — the JVM-side fallback materialization (raw
+    line as message, input ts as event_ts, empty fields) is a projection
+    parse_text/parsed_view add on top; SQL callers who want fallback rows
+    should COALESCE on matched, or use parsed_view, which bakes it in."""
+    spark.udf.register(name, make_parse_udf(ruleset))
+
+
+def parsed_view(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str = "parsed",
+    ruleset: RuleSet = DEFAULT_RULESET,
+    **parse_kwargs,
+) -> DataFrame:
+    """Create-or-replace a temp view with FULL parse_text semantics
+    (fallback rows included) and return its frame. The view is lazy — a
+    plain logical plan, so downstream spark.sql queries still get pushdown
+    and pruning through it."""
+    out = parse_text(df, ruleset=ruleset, **parse_kwargs)
+    out.createOrReplaceTempView(name)
+    return out

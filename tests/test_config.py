@@ -806,3 +806,32 @@ output:
         r["payload"] for r in want.collect()
     )
     assert got.count() > 0
+
+
+def test_sql_api_registered_parse(spark, tmp_path):
+    """register_sql_functions makes the cascade callable from spark.sql;
+    parsed_view matches parse_text row-for-row including fallback rows."""
+    from logpipe.rules import load_yaml_rules
+    from logpipe.sqlapi import parsed_view, register_sql_functions
+
+    rs = load_yaml_rules(write_patterns(tmp_path))
+    tr = transcripts(spark)
+    register_sql_functions(spark, ruleset=rs, name="lp_parse")
+    tr.createOrReplaceTempView("raw_t")
+    sql_rows = spark.sql(
+        "SELECT conv_id, turn_idx, p.log_type, p.matched, p.fields['user'] AS u "
+        "FROM (SELECT conv_id, turn_idx, lp_parse(text, tool, ts) AS p FROM raw_t)"
+    ).collect()
+    matched = [r for r in sql_rows if r["matched"]]
+    assert matched and all(r["log_type"] == "evt" for r in matched)
+    assert all(r["u"].startswith("u") for r in matched)
+    # unmatched rows keep matched=False; their message/fields are the
+    # null-until-fallback raw-UDF contract documented in register_sql_functions
+    assert any(r["matched"] is False for r in sql_rows)
+
+    view = parsed_view(spark, tr, "parsed_t", ruleset=rs)
+    from_sql = spark.sql("SELECT log_type, count(*) AS n FROM parsed_t GROUP BY log_type")
+    got = {r["log_type"]: r["n"] for r in from_sql.collect()}
+    want = {r["log_type"]: r["n"] for r in
+            view.groupBy("log_type").agg(F.count("*").alias("n")).collect()}
+    assert got == want and sum(got.values()) == tr.count()
