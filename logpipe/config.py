@@ -36,9 +36,10 @@ hand-composition:
   options.geoipEnabled  (+dimPath/geoipField)    → geoip enrich stage
   options.printStats    printStats.js            job.py final counters
   options.diskBufferDir logagent.js:554-560      job.py checkpoint default
-  options.maxInputRate / suppress / debug: transport-level throttle and
-    stdout verbosity — carried in ConfiguredPipeline.options, not wired
-    (micro-batch sizing / log4j config are the Spark-side knobs).
+  options.maxInputRate  throttle.js             stream maxBytesPerTrigger
+    (bytes/s → bytes per trigger; job.py stream mode)
+  options.suppress / debug: stdout verbosity — carried in
+    ConfiguredPipeline.options, not wired (log4j config is the Spark knob).
 
 Unknown modules WARN (exactly the rules loader's contract) instead of
 failing — a config keeps driving everything that maps, and says what

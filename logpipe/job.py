@@ -177,6 +177,13 @@ def main(argv: list[str] | None = None) -> int:
             # micro-batch (inline parser sections merge last, as at load)
             pattern_files=configured.ruleset_watcher() if configured is not None else None,
             serializers=configured.serializers if configured is not None else (),
+            # options.maxInputRate bytes/s → bytes admitted per trigger
+            # (lib/util/throttle.js restated as micro-batch sizing)
+            max_bytes_per_trigger=(
+                int(configured.options["maxInputRate"])
+                if configured is not None and configured.options.get("maxInputRate")
+                else None
+            ),
         )
         q.awaitTermination()
         print(f"stream drained to {args.out}")

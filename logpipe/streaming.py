@@ -38,14 +38,23 @@ def read_transcript_stream(
     path: str,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a transcript directory (the tail+glob analog:
     files.js re-globs every 10 s; the file source lists new files per
     trigger, offsets live in the checkpoint instead of
-    logagentTailPointers.json)."""
+    logagentTailPointers.json).
+
+    `max_bytes_per_trigger` is the micro-batch restatement of the
+    reference's `maxInputRate` bytes/s throttle (lib/util/throttle.js): a
+    token-bucket has no meaning when a trigger drains a batch at once, but
+    bounding the bytes admitted per trigger bounds the same resource — at a
+    nominal 1 s trigger cadence the two knobs are numerically equal."""
     r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger:
+        r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return r.format(fmt).load(path)
 
 
@@ -289,6 +298,7 @@ def start_stream_pipeline(
     dim_paths: dict[str, str] | None = None,
     input_stages: tuple[Callable[[DataFrame], DataFrame], ...] = (),
     serializers: tuple[tuple[str, Callable[[DataFrame], DataFrame]], ...] = (),
+    max_bytes_per_trigger: int | None = None,
 ):
     """readStream → parse/mask/enrich/route (batch stage functions, unchanged)
     → foreachBatch fan-out + per-batch metrics.
@@ -342,7 +352,9 @@ def start_stream_pipeline(
             f"dim watcher keys {sorted(unknown)} are not TranscriptPipeline "
             f"fields (valid: {sorted(valid)})"
         )
-    stream = read_transcript_stream(spark, input_path, fmt=fmt)
+    stream = read_transcript_stream(
+        spark, input_path, fmt=fmt, max_bytes_per_trigger=max_bytes_per_trigger
+    )
     for stage in input_stages:
         stream = stage(stream)
     if pattern_files is None:

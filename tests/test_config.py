@@ -835,3 +835,38 @@ def test_sql_api_registered_parse(spark, tmp_path):
     want = {r["log_type"]: r["n"] for r in
             view.groupBy("log_type").agg(F.count("*").alias("n")).collect()}
     assert got == want and sum(got.values()) == tr.count()
+
+
+def test_stream_max_input_rate_bounds_batches(spark, tmp_path):
+    """options.maxInputRate bounds bytes admitted per trigger: a multi-file
+    input drains over MULTIPLE micro-batches instead of one."""
+    from logpipe import job
+
+    pat = write_patterns(tmp_path)
+    src = tmp_path / "src"
+    transcripts(spark).repartition(4).write.parquet(str(src))
+    cfg = tmp_path / "rate.yml"
+    cfg.write_text(
+        f"""
+parser:
+  patternFiles: [{pat}]
+output:
+  es:
+    module: elasticsearch
+    index: all_idx
+options:
+  maxInputRate: 1
+"""
+    )
+    rc = job.main([
+        "--config", str(cfg), "--input", str(src), "--mode", "stream",
+        "--checkpoint", str(tmp_path / "ck"), "--out", str(tmp_path / "o"),
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    import os
+
+    batches = [d for d in os.listdir(tmp_path / "o" / "routed") if d.startswith("batch_id=")]
+    assert len(batches) >= 2  # throttle split the backlog
+    total = spark.read.parquet(str(tmp_path / "o" / "routed")).count()
+    assert total == 40
