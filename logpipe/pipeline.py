@@ -67,7 +67,16 @@ class TranscriptPipeline:
         return parse_text(transcripts, self.ruleset, source_col="tool")
 
     def routed(self, transcripts: DataFrame) -> DataFrame:
-        df = self.parsed(transcripts)
+        return self.routed_parsed(self.parsed(transcripts))
+
+    def routed_parsed(self, df: DataFrame) -> DataFrame:
+        """The structured-object fast path (bin/logagent.js:715-727): inputs
+        that already emit structured rows (DB pollers, ES bulk receiver,
+        k8s events → `data.object`) skip input-filters AND the parser and
+        enter at the output-filter chain. `df` must carry the parsed shape
+        (message, log_type, severity, matched, fields map, event_ts, and
+        log_source for routing) — e.g. sources.jdbc_poll output after a
+        column mapping, or this pipeline's own parsed() result."""
         if not self.carry_text and "text" in df.columns:
             df = df.drop("text")
         # masking precedes enrichment like the shipped config order

@@ -199,3 +199,39 @@ def test_resume_fileset_change_reprocesses(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 600  # nothing skipped, nothing duplicated
     assert got.select("conv_id", "turn_idx").distinct().count() == 600
+
+
+def test_routed_parsed_fast_path(spark):
+    """Structured-object fast path (bin/logagent.js:715-727): a pre-parsed
+    frame enters at the output-filter chain — routed() is exactly
+    routed_parsed(parsed()), and an externally-structured frame (DB-poller
+    shape) routes without ever touching the parser."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from logpipe.pipeline import TranscriptPipeline
+
+    pipe = TranscriptPipeline()
+    rows = [
+        ("c1", 1, "user", 'nginx GET /a 200', "nginx", datetime.datetime(2024, 1, 1)),
+        ("c1", 2, "user", '{"level":30,"msg":"ok"}', "json", datetime.datetime(2024, 1, 1)),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    a = pipe.routed(tr)
+    b = pipe.routed_parsed(pipe.parsed(tr))
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+    structured = spark.createDataFrame(
+        [("c9", 1, "poll", datetime.datetime(2024, 1, 1), "db ok", "db_row", "info",
+          True, {"table": "t1"}, "mysql")],
+        "conv_id string, turn_idx int, role string, event_ts timestamp, "
+        "message string, log_type string, severity string, matched boolean, "
+        "fields map<string,string>, log_source string",
+    )
+    out = pipe.routed_parsed(structured)
+    r = out.collect()[0]
+    assert r["sink"] == "datastore-logs" and r["log_type"] == "db_row"
+    assert r["fields"]["table"] == "t1"
