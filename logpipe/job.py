@@ -160,18 +160,27 @@ def main(argv: list[str] | None = None) -> int:
             if configured is not None and configured.options.get("diskBufferDir")
             else None
         )
-        if not args.input or not checkpoint:
+        stream_input: "str | list[str] | None" = args.input
+        stream_fmt = "parquet"
+        if not stream_input and args.glob:
+            stream_input, stream_fmt = [args.glob], "lines"
+        if not stream_input and configured is not None and configured.input_paths:
+            # the config's input.files tail as raw lines — the reference's
+            # primary mode, under readStream with checkpointed offsets
+            stream_input, stream_fmt = list(configured.input_paths), "lines"
+        if not stream_input or not checkpoint:
             p.error(
-                "stream mode requires --input and --checkpoint "
-                "(or options.diskBufferDir in --config)"
+                "stream mode requires an input (--input / --glob / config "
+                "input.files) and --checkpoint (or options.diskBufferDir)"
             )
         q = start_stream_pipeline(
             spark,
-            args.input,
+            stream_input,
             args.out,
             checkpoint,
             pipe=pipe,
             available_now=True,
+            fmt=stream_fmt,
             input_stages=configured.input_stages if configured is not None else (),
             # a config-driven stream hot-reloads its patternFiles per
             # micro-batch (inline parser sections merge last, as at load)

@@ -172,6 +172,44 @@ def read_log_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     )
 
 
+def read_log_lines_stream(
+    spark: SparkSession,
+    paths: list[str] | str,
+    max_bytes_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming analog of read_log_files — the reference's PRIMARY mode
+    (files.js tails globs continuously; new files picked up by the re-glob,
+    here by the file source's per-trigger listing, offsets in the
+    checkpoint). One row per raw line: conv_id/tool = file basename
+    (sourceName); turn_idx is a placeholder 0 — neither windows nor
+    monotonically_increasing_id are legal on a streaming frame, so
+    start_stream_pipeline(fmt='lines') stamps read positions and restores
+    per-file line order inside foreachBatch, where the batch is static.
+    Multiple globs union — one file-source stream each, same checkpoint."""
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def _one(p: str) -> DataFrame:
+        r = spark.readStream
+        if max_bytes_per_trigger:
+            r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+        raw = r.text(p)
+        fname = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
+        return raw.select(
+            fname.alias("conv_id"),
+            F.lit(0).alias("turn_idx"),  # restored per batch from _pos
+            F.lit("log").alias("role"),
+            F.col("value").alias("text"),
+            fname.alias("tool"),
+            F.current_timestamp().cast("timestamp_ntz").alias("ts"),
+        )
+
+    out = _one(paths[0])
+    for p in paths[1:]:
+        out = out.unionByName(_one(p))
+    return out
+
+
 def rate_transcript_stream(
     spark: SparkSession,
     rows_per_second: int = 1000,

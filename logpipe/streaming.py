@@ -287,7 +287,7 @@ def streaming_multiline(
 
 def start_stream_pipeline(
     spark: SparkSession,
-    input_path: str,
+    input_path: "str | list[str]",
     out_dir: str,
     checkpoint_dir: str,
     pipe: TranscriptPipeline | None = None,
@@ -352,9 +352,20 @@ def start_stream_pipeline(
             f"dim watcher keys {sorted(unknown)} are not TranscriptPipeline "
             f"fields (valid: {sorted(valid)})"
         )
-    stream = read_transcript_stream(
-        spark, input_path, fmt=fmt, max_bytes_per_trigger=max_bytes_per_trigger
-    )
+    raw_lines = fmt == "lines"
+    if raw_lines:
+        # the reference's primary mode: tail raw log files (config
+        # input.files) — per-file line order is restored per micro-batch
+        # below, where the batch frame is static and a window is legal
+        from .sources import read_log_lines_stream
+
+        stream = read_log_lines_stream(
+            spark, input_path, max_bytes_per_trigger=max_bytes_per_trigger
+        )
+    else:
+        stream = read_transcript_stream(
+            spark, input_path, fmt=fmt, max_bytes_per_trigger=max_bytes_per_trigger
+        )
     for stage in input_stages:
         stream = stage(stream)
     if pattern_files is None:
@@ -365,11 +376,24 @@ def start_stream_pipeline(
         watcher = pattern_files
     else:
         watcher = RulesetWatcher(pattern_files)
-    rebuild = watcher is not None or bool(dims)
+    rebuild = watcher is not None or bool(dims) or raw_lines
     routed = stream if rebuild else pipe.routed(stream)
 
     def _write_batch(batch_df: DataFrame, batch_id: int):
         if rebuild:
+            if raw_lines:
+                from pyspark.sql import Window
+
+                # the batch frame is static here, so the position stamp +
+                # window are legal; same one-exchange shape (and the same
+                # split-order assumption) as sources.read_log_files — the
+                # window key (file) is the key multiline/order needs anyway
+                w_ord = Window.partitionBy("conv_id").orderBy("_pos")
+                batch_df = (
+                    batch_df.withColumn("_pos", F.monotonically_increasing_id())
+                    .withColumn("turn_idx", F.row_number().over(w_ord).cast("int"))
+                    .drop("_pos")
+                )
             repl = {fld: w.current() for fld, w in dims.items()}
             if watcher is not None:
                 repl["ruleset"] = watcher.current()

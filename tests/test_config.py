@@ -870,3 +870,61 @@ options:
     assert len(batches) >= 2  # throttle split the backlog
     total = spark.read.parquet(str(tmp_path / "o" / "routed")).count()
     assert total == 40
+
+
+def test_stream_raw_log_files_matches_batch(spark, tmp_path):
+    """Stream mode over the config's input.files raw log lines (the
+    reference's tail mode): routed rows match the batch path over the same
+    files — per-file line order restored per micro-batch."""
+    from logpipe import job
+    from logpipe.config import load_pipeline
+
+    pat = write_patterns(tmp_path)
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "evtsrc.log").write_text(
+        "".join(f"EVT {i} user=u{i % 3} ok\n" for i in range(30)) + "NOISE tail\n"
+    )
+    (logs / "othersrc.log").write_text("EVT 99 user=u9 ok\nplain line\n")
+    cfg = tmp_path / "tail.yml"
+    cfg.write_text(
+        f"""
+input:
+  files:
+    - {logs}/*.log
+inputFilter:
+  grep:
+    module: grep
+    exclude: NOISE
+parser:
+  patternFiles: [{pat}]
+output:
+  es:
+    module: elasticsearch
+    index: tail_idx
+"""
+    )
+    rc = job.main([
+        "--config", str(cfg), "--mode", "stream",
+        "--checkpoint", str(tmp_path / "ck"), "--out", str(tmp_path / "o"),
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "o" / "routed"))
+    # batch path over the same config + files
+    from logpipe.sources import read_log_files
+
+    cp = load_pipeline(str(cfg), spark=spark)
+    want = cp.routed(read_log_files(spark, [f"{logs}/*.log"]))
+    assert got.count() == want.count() == 32  # 33 lines - 1 NOISE
+    assert {r["sink"] for r in got.select("sink").distinct().collect()} == {"tail_idx"}
+    # per-file order restored: turn_idx is 1..N per conv within the batch
+    evt = got.filter("conv_id = 'evtsrc'").select("turn_idx").collect()
+    assert sorted(r["turn_idx"] for r in evt) == list(range(1, 31))
+    # matched parse content identical to batch (ts differs: ingestion
+    # time; the stream writer stores fields as JSON — parse it back)
+    import json
+
+    g = {(r["conv_id"], r["turn_idx"]): json.loads(r["fields"]) for r in got.collect()}
+    w = {(r["conv_id"], r["turn_idx"]): dict(r["fields"]) for r in want.collect()}
+    assert g == w
