@@ -327,3 +327,44 @@ def test_influx_line_escaping_roundtrip(spark, rows):
         assert tagmap["zone"] == v
         fkv = dict(f.split("=", 1) for f in split_unescaped(fields, ","))
         assert int(fkv["metric"]) == n and int(fkv["row_id"]) == i
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["P", "F", "N"]), st.text("abcxyz ", min_size=0, max_size=8)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_cri_reassemble_matches_python_reference(spark, seq):
+    """cri_reassemble == the reference's sequential buffer semantics
+    (kubernetesContainerd.js:88-118) for ANY P/F/non-CRI interleaving:
+    P-chunks buffer, F flushes the joined line on the F row, non-CRI rows
+    pass through, an unterminated P-run at EOF emits nothing."""
+    from logpipe.filters import cri_reassemble
+
+    rows, texts = [], []
+    for i, (flag, payload) in enumerate(seq):
+        if flag == "N":
+            text = f"plain {payload}"
+        else:
+            text = f"2020-01-01T00:00:{i % 60:02d}Z stdout {flag} {payload}"
+        rows.append(("f1", i, text))
+        texts.append((flag, payload, i))
+
+    # sequential python reference
+    expected, buf = {}, []
+    for flag, payload, i in texts:
+        if flag == "N":
+            expected[i] = f"plain {payload}"
+        elif flag == "P":
+            buf.append(payload)
+        else:  # F
+            buf.append(payload)
+            expected[i] = " ".join(buf)
+            buf = []
+
+    df = spark.createDataFrame(rows, "tool string, turn_idx int, text string")
+    got = {r["turn_idx"]: r["text"] for r in cri_reassemble(df).collect()}
+    assert got == expected
