@@ -132,6 +132,68 @@ def kafka_stream(
     )
 
 
+def stamp_file_line_numbers(spark: SparkSession, raw: DataFrame) -> DataFrame:
+    """Per-file line numbers with ZERO shuffle of the (wide) text column.
+
+    `raw` must carry (text, _file, _block) where _file/_block come from the
+    file source's `_metadata.file_path` / `file_block_start`. Line order is
+    (block byte offset, physical row order within the block) — the line
+    reader attributes each line to the split containing its start, so this
+    is exact FILE order regardless of how Spark bin-packs splits into
+    partitions (splits are sorted by LENGTH for packing, so partition id is
+    NOT a valid order key for multi-split files). A tiny count aggregate
+    per (file, block) — thousands of rows, never the data — builds
+    cumulative start offsets on the driver; an Arrow-batched mapInPandas
+    then stamps `turn_idx = offset + running index`, narrowly, keeping the
+    scan's full parallelism through the parse stage (a per-FILE window here
+    would collapse parallelism to the file count AND shuffle every byte of
+    raw text). turn_idx is int: per-file line numbers, so 2^31 lines per
+    single file is the only bound."""
+    from collections import defaultdict
+
+    counts = raw.groupBy("_file", "_block").count().collect()
+    per_file: dict = defaultdict(list)
+    for r in counts:
+        per_file[r["_file"]].append((r["_block"], r["count"]))
+    offsets: dict = {}
+    for f, blocks in per_file.items():
+        acc = 0
+        for blk, c in sorted(blocks):
+            offsets[(f, blk)] = acc
+            acc += c
+    bcast = spark.sparkContext.broadcast(offsets)
+
+    def _stamp(batches):
+        import pandas as pd
+
+        running: dict = {}
+        for pdf in batches:
+            off = bcast.value
+            idx = []
+            for key in zip(pdf["_file"], pdf["_block"]):
+                base = running.get(key)
+                if base is None:
+                    base = off.get(key)
+                    if base is None:  # split planning drifted between jobs
+                        raise RuntimeError(f"no line-offset entry for {key}")
+                idx.append(base + 1)
+                running[key] = base + 1
+            yield pd.DataFrame(
+                {"_file": pdf["_file"], "turn_idx": idx, "text": pdf["text"]}
+            )
+
+    stamped = raw.mapInPandas(_stamp, "_file string, turn_idx int, text string")
+    fname = F.regexp_extract(F.col("_file"), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
+    return stamped.select(
+        fname.alias("conv_id"),
+        "turn_idx",
+        F.lit("log").alias("role"),
+        "text",
+        fname.alias("tool"),
+        F.current_timestamp().cast("timestamp_ntz").alias("ts"),
+    )
+
+
 def read_log_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """Batch analog of the reference's file-glob input
     (lib/plugins/input/files.js:55-93 glob scan; config `input.files`):
@@ -139,37 +201,15 @@ def read_log_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     (files.js stamps sourceName with the path) and `ts` = ingestion time
     (parser.js:520 — absent timestamps become `now`; the parser cascade
     then extracts the real event time from the line where a rule matches).
-
-    Scale shape: `spark.read.text` splits large files; the per-file
-    `row_number` restores the reference's within-file line order with ONE
-    shuffle on the file name — the SAME key the multiline/ordering stage
-    partitions by next, so at 100 TB the exchange is work the pipeline
-    needed anyway, not overhead. turn_idx is int per the transcript schema:
-    per-FILE line numbers (the window key), not a global counter, so 2^31
-    lines per single file is the only bound."""
-    from pyspark.sql import Window
-
+    Line numbering is shuffle-free — see stamp_file_line_numbers."""
     if isinstance(paths, str):
         paths = [paths]
-    raw = spark.read.text(paths)
-    fname = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
-    w = Window.partitionBy("conv_id").orderBy("_pos")
-    return (
-        raw.select(
-            fname.alias("conv_id"),
-            F.monotonically_increasing_id().alias("_pos"),
-            F.col("value").alias("text"),
-        )
-        .withColumn("turn_idx", F.row_number().over(w).cast("int"))
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.lit("log").alias("role"),
-            "text",
-            F.col("conv_id").alias("tool"),
-            F.current_timestamp().cast("timestamp_ntz").alias("ts"),
-        )
+    raw = spark.read.text(paths).select(
+        F.col("value").alias("text"),
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.file_block_start").alias("_block"),
     )
+    return stamp_file_line_numbers(spark, raw)
 
 
 def read_log_lines_stream(
@@ -180,11 +220,11 @@ def read_log_lines_stream(
     """Streaming analog of read_log_files — the reference's PRIMARY mode
     (files.js tails globs continuously; new files picked up by the re-glob,
     here by the file source's per-trigger listing, offsets in the
-    checkpoint). One row per raw line: conv_id/tool = file basename
-    (sourceName); turn_idx is a placeholder 0 — neither windows nor
-    monotonically_increasing_id are legal on a streaming frame, so
-    start_stream_pipeline(fmt='lines') stamps read positions and restores
-    per-file line order inside foreachBatch, where the batch is static.
+    checkpoint). Emits the RAW (text, _file, _block) shape — per-file line
+    numbering and the transcript projection happen per micro-batch via
+    stamp_file_line_numbers inside start_stream_pipeline's foreachBatch
+    (neither windows nor the count-collect are legal on a streaming frame,
+    and numbering must precede inputFilters to match the batch path).
     Multiple globs union — one file-source stream each, same checkpoint."""
     if isinstance(paths, str):
         paths = [paths]
@@ -193,15 +233,10 @@ def read_log_lines_stream(
         r = spark.readStream
         if max_bytes_per_trigger:
             r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
-        raw = r.text(p)
-        fname = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
-        return raw.select(
-            fname.alias("conv_id"),
-            F.lit(0).alias("turn_idx"),  # restored per batch from _pos
-            F.lit("log").alias("role"),
+        return r.text(p).select(
             F.col("value").alias("text"),
-            fname.alias("tool"),
-            F.current_timestamp().cast("timestamp_ntz").alias("ts"),
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.file_block_start").alias("_block"),
         )
 
     out = _one(paths[0])

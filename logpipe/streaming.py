@@ -355,8 +355,9 @@ def start_stream_pipeline(
     raw_lines = fmt == "lines"
     if raw_lines:
         # the reference's primary mode: tail raw log files (config
-        # input.files) — per-file line order is restored per micro-batch
-        # below, where the batch frame is static and a window is legal
+        # input.files) — per-file line numbers AND input filters apply per
+        # micro-batch below (numbering precedes filtering, matching the
+        # batch path; the stamp needs a static frame)
         from .sources import read_log_lines_stream
 
         stream = read_log_lines_stream(
@@ -366,8 +367,8 @@ def start_stream_pipeline(
         stream = read_transcript_stream(
             spark, input_path, fmt=fmt, max_bytes_per_trigger=max_bytes_per_trigger
         )
-    for stage in input_stages:
-        stream = stage(stream)
+        for stage in input_stages:
+            stream = stage(stream)
     if pattern_files is None:
         watcher = None
     elif isinstance(pattern_files, RulesetWatcher):
@@ -382,18 +383,14 @@ def start_stream_pipeline(
     def _write_batch(batch_df: DataFrame, batch_id: int):
         if rebuild:
             if raw_lines:
-                from pyspark.sql import Window
+                from .sources import stamp_file_line_numbers
 
-                # the batch frame is static here, so the position stamp +
-                # window are legal; same one-exchange shape (and the same
-                # split-order assumption) as sources.read_log_files — the
-                # window key (file) is the key multiline/order needs anyway
-                w_ord = Window.partitionBy("conv_id").orderBy("_pos")
-                batch_df = (
-                    batch_df.withColumn("_pos", F.monotonically_increasing_id())
-                    .withColumn("turn_idx", F.row_number().over(w_ord).cast("int"))
-                    .drop("_pos")
-                )
+                # static frame here: the shuffle-free block-offset stamp
+                # applies as-is, then the config inputFilters (numbering
+                # first, exactly like the batch path)
+                batch_df = stamp_file_line_numbers(spark, batch_df)
+                for stage in input_stages:
+                    batch_df = stage(batch_df)
             repl = {fld: w.current() for fld, w in dims.items()}
             if watcher is not None:
                 repl["ruleset"] = watcher.current()
