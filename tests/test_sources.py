@@ -232,3 +232,28 @@ def test_rate_transcript_stream_matches_batch(spark, tmp_path):
     }
     for r in got:
         assert batch[(r["conv_id"], r["turn_idx"])] == (r["role"], r["text"], r["tool"], r["ts"])
+
+
+def test_read_log_files_order_across_forced_splits(spark, tmp_path):
+    """Line order must be exact when ONE file splits into MANY blocks —
+    the case where partition ids do not track file offsets (Spark bin-packs
+    splits by length). Forced by shrinking maxPartitionBytes."""
+    from logpipe.sources import read_log_files
+
+    p = tmp_path / "big.log"
+    n = 50_000
+    p.write_text("".join(f"line {i:07d} payload padding padding\n" for i in range(n)))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))  # ~30 blocks
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        df = read_log_files(spark, [str(p)])
+        rows = df.orderBy("turn_idx").select("turn_idx", "text").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+    assert len(rows) == n
+    assert [r["turn_idx"] for r in rows] == list(range(1, n + 1))
+    # turn_idx k carries the file's k-th line, for every k
+    assert all(r["text"] == f"line {i:07d} payload padding padding" for i, r in enumerate(rows))

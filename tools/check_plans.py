@@ -92,6 +92,26 @@ def main() -> int:
                      [f"exactly one Exchange ({n_exch} found) — the per-sink groupBy",
                       "partial_count before the exchange = map-side combine"]))
 
+    # 3b. raw log-file ingestion: line numbering must be SHUFFLE-FREE
+    # (stamp_file_line_numbers: block-offset stamp, not a per-file window)
+    import tempfile
+
+    from logpipe.sources import read_log_files
+
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/probe.log", "w") as fh:
+            fh.write("GET /a 200\nGET /b 404\n")
+        raw_routed = pipe.routed(read_log_files(spark, [f"{td}/probe.log"]))
+        p = plan_of(raw_routed)
+    n_exch = len(re.findall(r"(?<!Broadcast)Exchange \(\d", p))
+    if n_exch != 0:
+        problems.append(f"raw_ingest: expected 0 exchanges, found {n_exch}")
+    if re.search(r"Window", p):
+        problems.append("raw_ingest: a Window survived in the line-number path")
+    sections.append(("Raw file ingestion (read_log_files→routed)", p,
+                     ["ZERO exchanges — block-offset line numbering is narrow",
+                      "no Window node: parallelism is not collapsed to the file count"]))
+
     # 4. similarity top-k is TWO-PHASE: the full corpus×|Q| scored set is
     # first windowed by (q_id, bucket) — spread across |Q|×buckets reducers,
     # never concentrated into |Q| partitions (round-1 scale-killer); phase 2
