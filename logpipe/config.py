@@ -314,6 +314,19 @@ def _output_filter_stage(name: str, conf: dict, spark: Optional[SparkSession]) -
         from .enrich import ua_enrich
 
         ua_col = str(conf.get("field", "user_agent"))
+        dim_path = conf.get("dimPath")
+        if spark is not None and dim_path:
+            # full device-database mode: the regex DB rides a hot-swappable
+            # dim (the reference re-downloads device-detector's DB; here a
+            # rewritten parquet dim lands on the next batch)
+            from .enrich import DimWatcher, ua_enrich_dim
+
+            watcher = DimWatcher(spark, str(dim_path))
+            return (
+                lambda df: ua_enrich_dim(df, watcher.current(), ua_col=ua_col)
+                if ua_col in df.columns
+                else df
+            ), ()
         return (lambda df: ua_enrich(df, ua_col=ua_col) if ua_col in df.columns else df), ()
     if module in ("docker-enrichment", "kubernetes-enrichment", "access-watch"):
         dim_path = conf.get("dimPath")

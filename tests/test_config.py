@@ -928,3 +928,49 @@ output:
     g = {(r["conv_id"], r["turn_idx"]): json.loads(r["fields"]) for r in got.collect()}
     w = {(r["conv_id"], r["turn_idx"]): dict(r["fields"]) for r in want.collect()}
     assert g == w
+
+
+def test_config_ua_device_db_dim(spark, tmp_path):
+    """httpDeviceDetector with dimPath uses the full device-database regex
+    dim (hot-swappable via DimWatcher) instead of the coarse rules."""
+    from logpipe.config import load_pipeline
+
+    dim = tmp_path / "ua_db"
+    spark.createDataFrame(
+        [(0, r"(?i)iphone", "mobile", "iPhone"),
+         (1, r"(?i)windows nt", "desktop", "Windows PC")],
+        "priority int, pattern string, device_type string, device_name string",
+    ).write.parquet(str(dim))
+    pat = write_patterns(tmp_path)
+    cfg = tmp_path / "ua.yml"
+    cfg.write_text(
+        f"""
+parser:
+  patternFiles: [{pat}]
+outputFilter:
+  ua:
+    module: httpDeviceDetector
+    field: user_agent
+    dimPath: {dim}
+output:
+  es:
+    module: elasticsearch
+    index: idx
+"""
+    )
+    cp = load_pipeline(str(cfg), spark=spark)
+    stage = cp.pipe.extra_stages[0]
+    ua = spark.createDataFrame(
+        [("Mozilla/5.0 (iPhone; CPU iPhone OS 15_0)",), ("curl/8.1",)],
+        "user_agent string",
+    )
+    rows = {r["user_agent"]: r for r in stage(ua).collect()}
+    assert rows["Mozilla/5.0 (iPhone; CPU iPhone OS 15_0)"]["device_name"] == "iPhone"
+    assert rows["curl/8.1"]["device_name"] is None
+    # dim hot-swap: overwrite -> next invocation sees the new DB
+    spark.createDataFrame(
+        [(0, r"(?i)curl", "bot", "curl client")],
+        "priority int, pattern string, device_type string, device_name string",
+    ).write.mode("overwrite").parquet(str(dim))
+    rows2 = {r["user_agent"]: r for r in stage(ua).collect()}
+    assert rows2["curl/8.1"]["device_name"] == "curl client"
