@@ -162,7 +162,18 @@ def _gated(stage: Stage, match_source: Optional[str], label: str, schema_preserv
 
 def _match_source(conf: dict) -> Optional[str]:
     ms = conf.get("matchSource")
-    return str(ms) if ms is not None else None
+    if ms is None:
+        return None
+    s = str(ms)
+    # a match-everything regex (the examples ship `!!js/regexp /.*/i`) is no
+    # gate at all — normalize to None so schema-changing stages don't warn
+    # about a split that cannot occur
+    bare = s
+    while bare[:4] in ("(?i)", "(?s)", "(?m)"):
+        bare = bare[4:]
+    if bare in ("", ".*", "^.*", ".*$", "^.*$"):
+        return None
+    return s
 
 
 def _section_items(sec, label: str) -> list[tuple[str, object]]:
@@ -218,7 +229,9 @@ def _algo_bits(conf: dict, default: int = 256) -> int:
     return default
 
 
-def _output_filter_stage(name: str, conf: dict, spark: Optional[SparkSession]) -> tuple[Optional[Stage], tuple]:
+def _output_filter_stage(
+    name: str, conf: dict, spark: Optional[SparkSession], ruleset=None
+) -> tuple[Optional[Stage], tuple]:
     """One outputFilter section → (stage, sql_queries). Module resolution =
     explicit `module:` key, else the section name (bin/logagent.js:340-358
     useModuleName fallback)."""
@@ -328,7 +341,80 @@ def _output_filter_stage(name: str, conf: dict, spark: Optional[SparkSession]) -
                 else df
             ), ()
         return (lambda df: ua_enrich(df, ua_col=ua_col) if ua_col in df.columns else df), ()
-    if module in ("docker-enrichment", "kubernetes-enrichment", "access-watch"):
+    if module == "journald-format":
+        from .formats import journald_format
+
+        parse_msg = conf.get("parseMessageField") is True
+
+        def _journald_stage(df: DataFrame, _parse=parse_msg, _rs=ruleset) -> DataFrame:
+            if "fields" not in df.columns:
+                return df
+            # the mapper reads case-insensitively (input-journald-upload
+            # lowercases field names; raw systemd ships uppercase)
+            return journald_format(df, parse_message=_parse, ruleset=_rs)
+
+        return _gated(_journald_stage, ms, name, False), ()
+    if module == "heroku-format":
+        from .formats import heroku_format
+
+        return (
+            _gated(
+                lambda df: heroku_format(df) if "fields" in df.columns and "message" in df.columns else df,
+                ms, name, True,
+            ),
+            (),
+        )
+    if module == "cloudfoundry-format":
+        from .formats import cloudfoundry_format
+
+        return (
+            _gated(
+                lambda df: cloudfoundry_format(df) if "fields" in df.columns and "message" in df.columns else df,
+                ms, name, True,
+            ),
+            (),
+        )
+    if module == "aws-ecs-format":
+        from .formats import aws_ecs_format
+
+        return (
+            _gated(
+                lambda df: aws_ecs_format(df) if "fields" in df.columns and "message" in df.columns else df,
+                ms, name, False,
+            ),
+            (),
+        )
+    if module == "vercel-format":
+        from .github import vercel_format
+
+        msg_col = str(conf.get("field", "message"))
+        return (
+            _gated(
+                lambda df, _mc=msg_col: vercel_format(df, message_col=_mc) if _mc in df.columns else df,
+                ms, name, False,
+            ),
+            (),
+        )
+    if module in ("github-events-format", "github-logs-format"):
+        from . import github as github_mod
+
+        fmt = (
+            github_mod.github_events_format
+            if module == "github-events-format"
+            else github_mod.github_logs_format
+        )
+        ev_col = str(conf.get("eventField", "event"))
+        body_col = str(conf.get("bodyField", "body"))
+        return (
+            _gated(
+                lambda df, _f=fmt, _e=ev_col, _b=body_col: _f(df, event_col=_e, body_col=_b)
+                if _e in df.columns and _b in df.columns
+                else df,
+                ms, name, False,
+            ),
+            (),
+        )
+    if module in ("docker-enrichment", "docker-log-enrichment", "kubernetes-enrichment", "access-watch"):
         dim_path = conf.get("dimPath")
         if spark is not None and dim_path:
             from .enrich import DimWatcher, enrich
@@ -337,7 +423,7 @@ def _output_filter_stage(name: str, conf: dict, spark: Optional[SparkSession]) -
             # watchers hold a TTL'd live view; here the dim table re-resolves
             # per stage invocation (see DimWatcher's failure contract).
             watcher = DimWatcher(spark, str(dim_path))
-            on = conf.get("on", "container_id" if module == "docker-enrichment" else "pod_name")
+            on = conf.get("on", "container_id" if module.startswith("docker") else "pod_name")
             prefix = str(conf.get("prefix", ""))
             return (lambda df: enrich(df, watcher.current(), on=on, prefix=prefix) if (on if isinstance(on, str) else on[0]) in df.columns else df), ()
         warnings.warn(
@@ -527,7 +613,7 @@ def load_pipeline(
     for key, entry in _section_items(doc.get("outputFilter"), "outputFilter"):
         if not isinstance(entry, dict):
             continue
-        stage, queries = _output_filter_stage(key, _effective_conf(entry), spark)
+        stage, queries = _output_filter_stage(key, _effective_conf(entry), spark, ruleset=ruleset)
         if stage is not None:
             extra_stages.append(stage)
         sql_queries.extend(queries)

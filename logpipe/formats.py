@@ -44,13 +44,33 @@ def _merge_last_wins(left: Column, right: Column) -> Column:
     return F.map_concat(pruned, right)
 
 
-def journald_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
+def journald_format(
+    df: DataFrame,
+    fields_col: str = "fields",
+    parse_message: bool = False,
+    message_col: str = "message",
+    ruleset=None,
+) -> DataFrame:
     """systemd-journald fields → Sematext common schema
     (journald-format.js:75-121):
       _HOSTNAME → os_host; __REALTIME_TIMESTAMP (µs) → event_ts;
       PRIORITY/SYSLOG_FACILITY → severity/facility words;
-      CONTAINER_* → container struct; _PID family → process struct."""
-    m = F.col(fields_col)
+      CONTAINER_* → container struct; _PID family → process struct.
+
+    parse_message mirrors the plugin's `parseMessageField: true`
+    (journald-format.js:118-139): the message column re-runs the pattern
+    cascade with sourceName = container tag/name else _SYSTEMD_UNIT, and a
+    match's captures land under the matched type as dotted-path keys in the
+    open fields map (`log[type] = {data}` in the JS; dotted paths ARE
+    nesting in this schema — see mask.rename_map_fields).
+
+    Lookups read through an UPPERCASE-normalized view of the map: systemd
+    ships canonical uppercase names, but the reference plugin reads
+    lowercase because input-journald-upload lowercases everything before it
+    runs (journald-format.js:7-16) — both casings must map identically. The
+    stored fields column is never rewritten (a map carrying the same key in
+    two casings is malformed input and fails loudly on the dedup policy)."""
+    m = F.transform_keys(F.col(fields_col), lambda k, _v: F.upper(k))
     sev_arr = F.array(*[F.lit(s) for s in SYSLOG_SEVERITY])
     fac_arr = F.array(*[F.lit(s) for s in SYSLOG_FACILITY])
     rt = F.coalesce(_mget(m, "__REALTIME_TIMESTAMP"), _mget(m, "__SOURCE_REALTIME_TIMESTAMP"))
@@ -103,6 +123,27 @@ def journald_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
             ),
         )
     )
+    if parse_message and message_col in df.columns:
+        from .parse import make_parse_udf
+        from .rules import DEFAULT_RULESET
+
+        udf = make_parse_udf(ruleset if ruleset is not None else DEFAULT_RULESET)
+        source = F.coalesce(
+            F.col("container.tag"), F.col("container.name"), _mget(m, "_SYSTEMD_UNIT")
+        )
+        nested = udf(F.col(message_col), source, F.col("event_ts"))
+        out = out.withColumn("_jp", nested)
+        typed = F.transform_keys(
+            F.col("_jp.fields"),
+            lambda k, _v: F.concat(F.col("_jp.log_type"), F.lit("."), k),
+        )
+        out = out.withColumn(
+            fields_col,
+            F.when(
+                F.col("_jp.matched") & F.col("_jp.log_type").isNotNull(),
+                _merge_last_wins(F.col(fields_col), typed),
+            ).otherwise(F.col(fields_col)),
+        ).drop("_jp")
     return out
 
 

@@ -1530,6 +1530,12 @@ class _JsFunction:
     def __init__(self, src: str):
         self.src = src
 
+    def __str__(self) -> str:  # readable in skip warnings / section labels
+        head = (self.src or "").strip().splitlines()
+        return f"<inline !!js/function: {head[0][:60]}>" if head else "<inline !!js/function>"
+
+    __repr__ = __str__
+
 
 def _register_builtin_transforms() -> None:
     for name, fn in {

@@ -369,6 +369,13 @@ def test_reference_example_configs_conformance():
     k8s = loaded["kubernetes-containerd-log-routing.yml"]
     assert len(k8s.input_stages) == 1
     assert k8s.input_paths == ("/var/log/*.log", "/var/log/containers/*.log")
+    # format-mapper outputFilters wire the formats/github stages
+    assert len(loaded["heroku-elasticsearch.yml"].pipe.extra_stages) == 1
+    assert len(loaded["cloudfoundry-elasticsearch.yml"].pipe.extra_stages) == 1
+    assert len(loaded["aws-ecs-input-es-output.yml"].pipe.extra_stages) == 1
+    assert len(loaded["vercel-input-es-output.yml"].pipe.extra_stages) == 1
+    # journald-format + remove-fields
+    assert len(loaded["journald-upload-receiver.yaml"].pipe.extra_stages) == 2
 
 
 def test_config_list_style_sections_match_dict_style(spark, tmp_path):
@@ -974,3 +981,88 @@ output:
     ).write.mode("overwrite").parquet(str(dim))
     rows2 = {r["user_agent"]: r for r in stage(ua).collect()}
     assert rows2["curl/8.1"]["device_name"] == "curl client"
+
+
+def test_config_format_mapper_output_filters(spark):
+    """The reference's format-mapper outputFilters (journald-format /
+    heroku-format / cloudfoundry-format / aws-ecs-format / vercel-format /
+    github-*-format, journald-upload-receiver.yaml etc.) wire the
+    formats/github stage functions instead of warning. journald-format
+    accepts the LOWERCASED field names input-journald-upload ships
+    (journald-format.js reads lowercase keys because its input lowercases)
+    and honors parseMessageField by re-running the pattern cascade."""
+    from logpipe.config import _match_source, load_pipeline
+
+    # a match-everything gate (the examples ship !!js/regexp /.*/i) is no gate
+    assert _match_source({"matchSource": "(?i).*"}) is None
+    assert _match_source({"matchSource": ".*"}) is None
+    assert _match_source({"matchSource": "web\\d+"}) == "web\\d+"
+
+    df = spark.createDataFrame(
+        [
+            (
+                "c0",
+                {
+                    "_hostname": "nodeX",
+                    "__realtime_timestamp": "1704067200000000",
+                    "priority": "3",
+                    "syslog_facility": "1",
+                    "_systemd_unit": "nginx.service",
+                },
+                '192.168.0.9 - - [12/Dec/2023:10:01:02 +0000] "GET /x HTTP/1.1" 200 123 "-" "curl/8"',
+            ),
+            ("c1", {"_hostname": "nodeY", "priority": "6"}, "plain text line"),
+        ],
+        "conv_id string, fields map<string,string>, message string",
+    )
+    cp = load_pipeline(
+        {
+            "outputFilter": {
+                "journald-format": {
+                    "module": "journald-format",
+                    "parseMessageField": True,
+                    "matchSource": "(?i).*",
+                }
+            }
+        }
+    )
+    assert len(cp.pipe.extra_stages) == 1
+    got = {r["conv_id"]: r for r in cp.pipe.extra_stages[0](df).collect()}
+    assert got["c0"]["os_host"] == "nodeX"  # lowercase keys map like uppercase
+    assert got["c0"]["severity"] == "err"
+    assert got["c0"]["facility"] == "user"
+    assert str(got["c0"]["event_ts"]).startswith("2024-01-01 00:00:00")
+    assert got["c1"]["severity"] == "info"
+    # parseMessageField: the access-log message re-parses with
+    # sourceName = _SYSTEMD_UNIT and the captures land under the matched
+    # type as dotted keys (journald-format.js:118-139 `log[type] = data`)
+    dotted = {k: v for k, v in got["c0"]["fields"].items() if "." in k}
+    assert any(k.endswith(".status_code") for k in dotted), dotted
+    assert "200" in dotted.values()
+    assert not any("." in k for k in got["c1"]["fields"])  # no match → untouched
+
+    # heroku-format via a list-style section
+    hp = load_pipeline({"outputFilter": [{"module": "heroku-format"}]})
+    assert len(hp.pipe.extra_stages) == 1
+    hdf = spark.createDataFrame(
+        [
+            (
+                {"app": "web", "host": "h1", "dyno": "web.1", "junk": "x"},
+                '{"message": "inner msg", "lvl": "info"}',
+            )
+        ],
+        "fields map<string,string>, message string",
+    )
+    hr = hp.pipe.extra_stages[0](hdf).collect()[0]
+    assert hr["message"] == "inner msg"  # JSON message replaces message
+    assert hr["fields"]["lvl"] == "info"  # JSON keys merge into fields
+    assert "junk" not in hr["fields"]  # non-keep fields pruned
+
+    # the remaining mappers wire stages (not warnings) and pass through
+    # frames missing their input columns untouched (drop-nothing)
+    for mod in ("cloudfoundry-format", "aws-ecs-format", "vercel-format",
+                "github-events-format", "github-logs-format"):
+        one = load_pipeline({"outputFilter": {mod: {"module": mod}}})
+        assert len(one.pipe.extra_stages) == 1, mod
+        bare = spark.createDataFrame([("x",)], "other string")
+        assert one.pipe.extra_stages[0](bare).collect() == bare.collect(), mod
