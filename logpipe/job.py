@@ -193,6 +193,9 @@ def main(argv: list[str] | None = None) -> int:
                 if configured is not None and configured.options.get("maxInputRate")
                 else None
             ),
+            # sql outputFilter queries run per micro-batch (the micro-batch
+            # is the reference's interval buffer, output-filter/sql.js)
+            sql_queries=configured.sql_queries if configured is not None else (),
         )
         q.awaitTermination()
         print(f"stream drained to {args.out}")
@@ -268,6 +271,15 @@ def main(argv: list[str] | None = None) -> int:
                 "serialized outputs: "
                 + ", ".join(n for n, _ in configured.serializers)
             )
+        if configured is not None and configured.sql_queries:
+            # the sql outputFilter's queries over the routed table — a batch
+            # run is one interval, so each query writes one result dir
+            # (output-filter/sql.js emits the rows as events per interval)
+            for qi, frame in enumerate(
+                configured.sql_results(spark, result["routed"])
+            ):
+                frame.write.mode("overwrite").parquet(f"{args.out}/sql/q{qi}")
+            print(f"sql results: {len(configured.sql_queries)} -> {args.out}/sql")
         print(f"batch run complete: {args.out}")
     if configured is not None and configured.options.get("printStats"):
         # options.printStats interval counters (bin/logagent.js:842-845,

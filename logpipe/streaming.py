@@ -299,6 +299,7 @@ def start_stream_pipeline(
     input_stages: tuple[Callable[[DataFrame], DataFrame], ...] = (),
     serializers: tuple[tuple[str, Callable[[DataFrame], DataFrame]], ...] = (),
     max_bytes_per_trigger: int | None = None,
+    sql_queries: tuple[tuple[str, int], ...] = (),
 ):
     """readStream → parse/mask/enrich/route (batch stage functions, unchanged)
     → foreachBatch fan-out + per-batch metrics.
@@ -417,6 +418,20 @@ def start_stream_pipeline(
                 .write.mode("overwrite")
                 .text(f"{out_dir}/serialized/{sname}/batch_id={batch_id}")
             )
+        # configured interval-SQL (sql.js buffers events and runs its
+        # queries every interval; the micro-batch IS that buffer here) —
+        # one result dir per query per batch, idempotent like the rest
+        if sql_queries:
+            from .aggregate import interval_sql
+
+            for qi, (q, iv) in enumerate(sql_queries):
+                (
+                    # batch_df lives in the cloned micro-batch session — the
+                    # temp view must register THERE, not in the outer one
+                    interval_sql(batch_df.sparkSession, batch_df, q, interval_seconds=iv)
+                    .write.mode("overwrite")
+                    .parquet(f"{out_dir}/sql/q{qi}/batch_id={batch_id}")
+                )
 
     writer = (
         routed.writeStream.outputMode("append")

@@ -1066,3 +1066,66 @@ def test_config_format_mapper_output_filters(spark):
         assert len(one.pipe.extra_stages) == 1, mod
         bare = spark.createDataFrame([("x",)], "other string")
         assert one.pipe.extra_stages[0](bare).collect() == bare.collect(), mod
+
+
+def test_job_config_sql_queries_execute(spark, tmp_path, monkeypatch):
+    """A config's sql outputFilter actually RUNS in job.py: batch mode writes
+    one parquet result dir per query under out/sql; stream mode writes them
+    per micro-batch (the micro-batch is the reference's interval buffer,
+    output-filter/sql.js)."""
+    from logpipe import job
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    (logdir / "evt.log").write_text(
+        "EVT 1 user=alice ok\nEVT 2 user=bob ok\nEVT 3 user=alice ok\n"
+    )
+    pat = tmp_path / "patterns.yml"
+    pat.write_text(
+        "patterns:\n"
+        " - sourceName: evt\n   match:\n"
+        "    - type: evtline\n"
+        "      regex: ^EVT (\\d+) user=(\\S+) ok\n"
+        "      fields: [evt_id:number, user]\n"
+    )
+    cfg = tmp_path / "logagent.yml"
+    cfg.write_text(
+        f"""
+input:
+  files:
+    - {logdir}/*.log
+parser:
+  patternFiles:
+    - {pat}
+outputFilter:
+  sql:
+    module: sql
+    config:
+      interval: 3600
+      queries:
+        - SELECT sink, COUNT(*) AS cnt FROM buffer GROUP BY sink
+output:
+  elasticsearch:
+    module: elasticsearch
+    index: evt_idx
+"""
+    )
+    monkeypatch.setattr("logpipe.session.get_spark", lambda *a, **k: spark)
+
+    out_b = tmp_path / "out_batch"
+    assert job.main(["--config", str(cfg), "--out", str(out_b)]) == 0
+    q0 = spark.read.parquet(str(out_b / "sql" / "q0")).collect()
+    assert [(r["sink"], r["cnt"]) for r in q0] == [("evt_idx", 3)]
+
+    out_s = tmp_path / "out_stream"
+    assert (
+        job.main(
+            [
+                "--config", str(cfg), "--out", str(out_s), "--mode", "stream",
+                "--checkpoint", str(tmp_path / "ckpt"),
+            ]
+        )
+        == 0
+    )
+    sq0 = spark.read.parquet(str(out_s / "sql" / "q0")).collect()
+    assert [(r["sink"], r["cnt"]) for r in sq0] == [("evt_idx", 3)]
