@@ -136,9 +136,17 @@ class ConfiguredPipeline:
 
 def _gated(stage: Stage, match_source: Optional[str], label: str, schema_preserving: bool) -> Stage:
     """Apply `stage` only to rows whose log_source matches (the reference's
-    per-plugin matchSource gate). Schema-preserving stages rebuild
-    conditionally (matching rows transformed ∪ the rest); schema-changing
-    ones apply globally with a warning — one shared schema per frame."""
+    per-plugin matchSource gate). Schema-preserving stages rebuild per ROW:
+    the original columns ride along under temp names, the stage transforms
+    every row in one pass, and a final projection keeps the transformed
+    value only where the gate matched. (The obvious alternative —
+    stage(df.filter(m)).union(df.filter(~m)) — duplicates the ENTIRE
+    upstream lineage into both branches; Catalyst does no cross-branch CSE,
+    so k gated stages after the parse UDF would run the parse cascade 2^k
+    times.) Gated stages must therefore be row-preserving column rewrites —
+    every current one is (hash/aes/ip-truncate/lowercase-fields,
+    heroku/cloudfoundry formats). Schema-changing stages apply globally
+    with a warning — one shared schema per frame."""
     if not match_source:
         return stage
     if not schema_preserving:
@@ -153,9 +161,26 @@ def _gated(stage: Stage, match_source: Optional[str], label: str, schema_preserv
     def _g(df: DataFrame) -> DataFrame:
         if "log_source" not in df.columns:
             return stage(df)
+        cols = list(df.columns)
         m = F.coalesce(F.col("log_source"), F.lit("")).rlike(match_source)
-        hit = stage(df.filter(m))
-        return hit.unionByName(df.filter(~m))
+        saved = df.withColumns(
+            {"_ms_hit": m, **{f"_ms_orig_{c}": F.col(c) for c in cols}}
+        )
+        out = stage(saved)
+        missing = [c for c in cols if c not in out.columns]
+        if missing:
+            raise ValueError(
+                f"{label}: matchSource-gated stage dropped columns {missing} — "
+                "gated stages must be row-preserving column rewrites"
+            )
+        return out.select(
+            *[
+                F.when(F.col("_ms_hit"), F.col(c))
+                .otherwise(F.col(f"_ms_orig_{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
 
     return _g
 
@@ -459,14 +484,15 @@ def _output_serializer(name: str, module: str, conf: dict) -> Optional[Stage]:
             return df.filter(F.coalesce(F.col("log_source"), F.lit("")).rlike(ms))
         return df
 
+    # NOTE: elasticsearch and files/output-files never reach here —
+    # load_pipeline's output loop `continue`s them (their rows ARE the
+    # routed table / the date-patterned sink path); only the POST-payload
+    # transports get an ldjson serializer.
     if module in (
-        "elasticsearch",
         "logsene",
         "output-aws-elasticsearch",
         "output-http",
         "output-sematext-events",
-        "files",
-        "output-files",
         "stdout",
     ):
         ignore = [str(x) for x in (conf.get("ignoreFields") or [])]
@@ -672,14 +698,21 @@ def load_pipeline(
                 stacklevel=2,
             )
 
+    if mapper is None:
+        # a config with `index:` but no `indices:` sends ALL events to that
+        # single index (the reference's single-token mode, elasticsearch.js) —
+        # and a config with NO routing section routes everything to the
+        # default sink. Either way the demo DEFAULT_MAPPER must not apply:
+        # its built-in source rules would silently misroute nginx/redis/...
+        # rows of a user corpus to sinks the config never named.
+        mapper = TokenMapper(indices=())
     pipe = TranscriptPipeline(
         ruleset=ruleset,
         default_index=default_index,
         drop_unrouted=drop_unrouted,
         extra_stages=tuple(extra_stages),
+        mapper=mapper,
     )
-    if mapper is not None:
-        pipe = dc_replace(pipe, mapper=mapper)
     return ConfiguredPipeline(
         pipe=pipe,
         input_paths=input_paths,

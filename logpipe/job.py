@@ -258,28 +258,41 @@ def main(argv: list[str] | None = None) -> int:
         print(f"resumable run complete: {stats}")
     else:
         result = pipe.run(spark, tr, out_dir=args.out)
-        if configured is not None and configured.serializers:
-            from pyspark.sql import functions as F
+        routed = result["routed"]
+        extra_passes = configured is not None and (
+            configured.serializers or configured.sql_queries
+        )
+        if extra_passes:
+            # run() unpersisted routed after its own writes; every serializer
+            # and sql query below is one more full pass — re-pin it so they
+            # read the cache instead of re-running the parse cascade each
+            routed = routed.persist()
+        try:
+            if configured is not None and configured.serializers:
+                from pyspark.sql import functions as F
 
-            # one text dir per configured output, each line the payload the
-            # reference's plugin would POST/send (gelf, influx line, ...)
-            for sname, frame in configured.serialized(result["routed"]).items():
-                frame.select(F.col("payload").alias("value")).write.mode(
-                    "overwrite"
-                ).text(f"{args.out}/serialized/{sname}")
-            print(
-                "serialized outputs: "
-                + ", ".join(n for n, _ in configured.serializers)
-            )
-        if configured is not None and configured.sql_queries:
-            # the sql outputFilter's queries over the routed table — a batch
-            # run is one interval, so each query writes one result dir
-            # (output-filter/sql.js emits the rows as events per interval)
-            for qi, frame in enumerate(
-                configured.sql_results(spark, result["routed"])
-            ):
-                frame.write.mode("overwrite").parquet(f"{args.out}/sql/q{qi}")
-            print(f"sql results: {len(configured.sql_queries)} -> {args.out}/sql")
+                # one text dir per configured output, each line the payload
+                # the reference's plugin would POST/send (gelf, influx, ...)
+                for sname, frame in configured.serialized(routed).items():
+                    frame.select(F.col("payload").alias("value")).write.mode(
+                        "overwrite"
+                    ).text(f"{args.out}/serialized/{sname}")
+                print(
+                    "serialized outputs: "
+                    + ", ".join(n for n, _ in configured.serializers)
+                )
+            if configured is not None and configured.sql_queries:
+                # the sql outputFilter's queries over the routed table — a
+                # batch run is one interval, so each query writes one result
+                # dir (output-filter/sql.js emits rows as events per interval)
+                for qi, frame in enumerate(
+                    configured.sql_results(spark, routed)
+                ):
+                    frame.write.mode("overwrite").parquet(f"{args.out}/sql/q{qi}")
+                print(f"sql results: {len(configured.sql_queries)} -> {args.out}/sql")
+        finally:
+            if extra_passes:
+                routed.unpersist()
         print(f"batch run complete: {args.out}")
     if configured is not None and configured.options.get("printStats"):
         # options.printStats interval counters (bin/logagent.js:842-845,

@@ -225,14 +225,20 @@ def read_log_lines_stream(
     stamp_file_line_numbers inside start_stream_pipeline's foreachBatch
     (neither windows nor the count-collect are legal on a streaming frame,
     and numbering must precede inputFilters to match the batch path).
-    Multiple globs union — one file-source stream each, same checkpoint."""
+    Multiple globs union — one file-source stream each, same checkpoint.
+    `max_bytes_per_trigger` bounds the TOTAL admitted per trigger: each
+    unioned source gets an equal share, otherwise K globs would over-admit
+    K× the configured throttle (options.maxInputRate)."""
     if isinstance(paths, str):
         paths = [paths]
+    per_source = (
+        max(1, max_bytes_per_trigger // len(paths)) if max_bytes_per_trigger else None
+    )
 
     def _one(p: str) -> DataFrame:
         r = spark.readStream
-        if max_bytes_per_trigger:
-            r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+        if per_source:
+            r = r.option("maxBytesPerTrigger", str(per_source))
         return r.text(p).select(
             F.col("value").alias("text"),
             F.col("_metadata.file_path").alias("_file"),

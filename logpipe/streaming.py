@@ -333,9 +333,12 @@ def start_stream_pipeline(
 
     `input_stages`: schema-preserving pre-parse filters (the reference's
     inputFilter chain, e.g. config.load_pipeline's grep sections) applied
-    to the SOURCE frame before the parse/route stages — same position as
-    the batch path's ConfiguredPipeline.filtered, so a yaml config drives
-    batch and stream identically."""
+    per micro-batch before the parse/route stages — same position as the
+    batch path's ConfiguredPipeline.filtered, so a yaml config drives batch
+    and stream identically. They run INSIDE foreachBatch (not on the
+    streaming frame) because stages like cri_reassemble use window
+    functions the streaming planner rejects; on the static batch frame
+    every batch-path stage applies unchanged."""
     from dataclasses import fields as _dc_fields
     from dataclasses import replace as _dc_replace
 
@@ -368,8 +371,6 @@ def start_stream_pipeline(
         stream = read_transcript_stream(
             spark, input_path, fmt=fmt, max_bytes_per_trigger=max_bytes_per_trigger
         )
-        for stage in input_stages:
-            stream = stage(stream)
     if pattern_files is None:
         watcher = None
     elif isinstance(pattern_files, RulesetWatcher):
@@ -378,7 +379,11 @@ def start_stream_pipeline(
         watcher = pattern_files
     else:
         watcher = RulesetWatcher(pattern_files)
-    rebuild = watcher is not None or bool(dims) or raw_lines
+    # input_stages always defer into foreachBatch: stages like
+    # cri_reassemble use window functions the streaming planner rejects
+    # ([NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING]) — inside foreachBatch
+    # the frame is static and every batch-path stage applies as-is.
+    rebuild = watcher is not None or bool(dims) or raw_lines or bool(input_stages)
     routed = stream if rebuild else pipe.routed(stream)
 
     def _write_batch(batch_df: DataFrame, batch_id: int):
@@ -387,51 +392,59 @@ def start_stream_pipeline(
                 from .sources import stamp_file_line_numbers
 
                 # static frame here: the shuffle-free block-offset stamp
-                # applies as-is, then the config inputFilters (numbering
-                # first, exactly like the batch path)
+                # applies as-is (numbering precedes filtering, exactly like
+                # the batch path)
                 batch_df = stamp_file_line_numbers(spark, batch_df)
-                for stage in input_stages:
-                    batch_df = stage(batch_df)
+            for stage in input_stages:
+                batch_df = stage(batch_df)
             repl = {fld: w.current() for fld, w in dims.items()}
             if watcher is not None:
                 repl["ruleset"] = watcher.current()
             batch_df = _dc_replace(pipe, **repl).routed(batch_df)
-        df = batch_df.withColumn("fields", F.to_json("fields"))
-        (
-            df.write.mode("overwrite")
-            .partitionBy("sink")
-            .parquet(f"{out_dir}/routed/batch_id={batch_id}")
-        )
-        (
-            df.groupBy("sink")
-            .agg(F.count("*").alias("rows"))
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/batch_metrics/batch_id={batch_id}")
-        )
-        # configured output payloads (config.ConfiguredPipeline.serializers):
-        # one text dir per output per batch — batch_id-scoped paths keep the
-        # foreachBatch write idempotent under epoch replay, same as routed
-        for sname, ser in serializers:
+        # every write below re-reads this frame (routed parquet, metrics
+        # aggregate, one pass per serializer, one per sql query) — without a
+        # persist each pass re-runs the parse cascade over the batch
+        batch_df = batch_df.persist()
+        try:
+            df = batch_df.withColumn("fields", F.to_json("fields"))
             (
-                ser(batch_df)
-                .select(F.col("payload").alias("value"))
-                .write.mode("overwrite")
-                .text(f"{out_dir}/serialized/{sname}/batch_id={batch_id}")
+                df.write.mode("overwrite")
+                .partitionBy("sink")
+                .parquet(f"{out_dir}/routed/batch_id={batch_id}")
             )
-        # configured interval-SQL (sql.js buffers events and runs its
-        # queries every interval; the micro-batch IS that buffer here) —
-        # one result dir per query per batch, idempotent like the rest
-        if sql_queries:
-            from .aggregate import interval_sql
-
-            for qi, (q, iv) in enumerate(sql_queries):
+            (
+                df.groupBy("sink")
+                .agg(F.count("*").alias("rows"))
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/batch_metrics/batch_id={batch_id}")
+            )
+            # configured output payloads (config.ConfiguredPipeline.
+            # serializers): one text dir per output per batch —
+            # batch_id-scoped paths keep the foreachBatch write idempotent
+            # under epoch replay, same as routed
+            for sname, ser in serializers:
                 (
-                    # batch_df lives in the cloned micro-batch session — the
-                    # temp view must register THERE, not in the outer one
-                    interval_sql(batch_df.sparkSession, batch_df, q, interval_seconds=iv)
+                    ser(batch_df)
+                    .select(F.col("payload").alias("value"))
                     .write.mode("overwrite")
-                    .parquet(f"{out_dir}/sql/q{qi}/batch_id={batch_id}")
+                    .text(f"{out_dir}/serialized/{sname}/batch_id={batch_id}")
                 )
+            # configured interval-SQL (sql.js buffers events and runs its
+            # queries every interval; the micro-batch IS that buffer here) —
+            # one result dir per query per batch, idempotent like the rest
+            if sql_queries:
+                from .aggregate import interval_sql
+
+                for qi, (q, iv) in enumerate(sql_queries):
+                    (
+                        # batch_df lives in the cloned micro-batch session —
+                        # the temp view must register THERE, not the outer one
+                        interval_sql(batch_df.sparkSession, batch_df, q, interval_seconds=iv)
+                        .write.mode("overwrite")
+                        .parquet(f"{out_dir}/sql/q{qi}/batch_id={batch_id}")
+                    )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         routed.writeStream.outputMode("append")

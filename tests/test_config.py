@@ -1129,3 +1129,76 @@ output:
     )
     sq0 = spark.read.parquet(str(out_s / "sql" / "q0")).collect()
     assert [(r["sink"], r["cnt"]) for r in sq0] == [("evt_idx", 3)]
+
+
+def test_config_single_index_routes_everything_there(spark, tmp_path):
+    """output.elasticsearch with `index:` and NO `indices:` sends ALL events
+    to that index (the reference's single-token mode) — the demo
+    DEFAULT_MAPPER must not leak its built-in source rules into a
+    config-driven pipeline and misroute e.g. nginx rows to 'web-logs'."""
+    from logpipe.config import load_pipeline
+
+    cfg = {
+        "output": {
+            "elasticsearch": {"module": "elasticsearch", "index": "myindex"}
+        }
+    }
+    loaded = load_pipeline(cfg)
+    df = spark.createDataFrame(
+        [
+            ("c0", 0, "user",
+             '10.0.0.1 - - [12/Dec/2023:10:01:02 +0000] "GET /x HTTP/1.1" 200 5 "-" "curl/8"',
+             "access", datetime.datetime(2024, 1, 1)),
+            ("c1", 1, "user", "redis 123", "redis", datetime.datetime(2024, 1, 1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    sinks = {r["sink"] for r in loaded.routed(df).select("sink").collect()}
+    assert sinks == {"myindex"}
+    # and a config with NO output section routes everything to the default
+    plain = load_pipeline({})
+    sinks2 = {r["sink"] for r in plain.routed(df).select("sink").collect()}
+    assert sinks2 == {"default"}
+
+
+def test_stream_window_input_stage_runs_in_foreach_batch(spark, tmp_path):
+    """A window-using inputFilter (cri_reassemble) must not kill a
+    non-'lines' stream: input_stages defer into foreachBatch where the
+    frame is static, so the same stage that works in batch works in stream
+    ([NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING] otherwise)."""
+    import datetime as dt
+
+    from logpipe.config import load_pipeline
+    from logpipe.streaming import start_stream_pipeline
+
+    cfg = {
+        "inputFilter": {
+            "k8s": {"module": "kubernetesContainerd"}
+        },
+        "output": {"elasticsearch": {"module": "elasticsearch", "index": "cri_idx"}},
+    }
+    loaded = load_pipeline(cfg)
+    assert len(loaded.input_stages) == 1
+    rows = [
+        ("c0", 1, "user", "2024-01-01T00:00:01.0Z stdout P partial ", "app", dt.datetime(2024, 1, 1)),
+        ("c0", 2, "user", "2024-01-01T00:00:01.5Z stdout F line end", "app", dt.datetime(2024, 1, 1)),
+        ("c0", 3, "user", "2024-01-01T00:00:02.0Z stderr F whole line", "app", dt.datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    src = tmp_path / "src"
+    df.write.parquet(str(src))
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = start_stream_pipeline(
+        spark, str(src), str(out), str(ckpt),
+        pipe=loaded.pipe, input_stages=loaded.input_stages,
+    )
+    q.awaitTermination()
+    routed = spark.read.parquet(str(out / "routed"))
+    got = sorted(r["message"] for r in routed.collect())
+    want = sorted(r["message"] for r in loaded.routed(df).collect())
+    assert got == want  # stream == batch, P/F reassembly applied
+    assert any("partial" in m and "line end" in m for m in got)  # P+F joined
+    assert len(got) == 2  # 3 CRI lines -> 2 logical lines
