@@ -86,6 +86,11 @@ class ConfiguredPipeline:
     inline_docs: tuple[tuple[dict, str], ...] = ()  # inline parser sections
     include_default_patterns: bool = True
     serializers: tuple[tuple[str, Stage], ...] = ()  # (output name, routed→payload)
+    # shared mutable cell backing the ruleset provider of stages that
+    # RE-PARSE (journald parseMessageField, aws-ecs): ruleset_watcher()
+    # registers itself here so the second-pass parse tracks hot reloads
+    # exactly like the main parse (see _format_mapper_stage)
+    rs_cell: dict = dc_field(default_factory=dict, compare=False, repr=False)
 
     def serialized(self, routed: DataFrame) -> dict[str, DataFrame]:
         """Per configured output: the serialized payload frame (one string
@@ -102,11 +107,17 @@ class ConfiguredPipeline:
             return None
         from .rules import RulesetWatcher
 
-        return RulesetWatcher(
+        watcher = RulesetWatcher(
             list(self.pattern_files),
             include_defaults=self.include_default_patterns,
             extra_docs=list(self.inline_docs),
         )
+        # re-parsing stages (journald parseMessageField, aws-ecs) resolve
+        # their ruleset through rs_cell per call — registering the watcher
+        # here makes their second-pass parse hot-reload in lockstep with
+        # the main parse that start_stream_pipeline rebuilds per batch
+        self.rs_cell["watcher"] = watcher
+        return watcher
 
     def filtered(self, transcripts: DataFrame) -> DataFrame:
         df = transcripts
@@ -163,6 +174,10 @@ def _gated(stage: Stage, match_source: Optional[str], label: str, schema_preserv
             return stage(df)
         cols = list(df.columns)
         m = F.coalesce(F.col("log_source"), F.lit("")).rlike(match_source)
+        if any(c == "_ms_hit" or c.startswith("_ms_orig_") for c in cols):
+            # temp-name collision — fall back to the filter/union rebuild,
+            # which is correct for ANY column names (just slower upstream)
+            return stage(df.filter(m)).unionByName(df.filter(~m))
         saved = df.withColumns(
             {"_ms_hit": m, **{f"_ms_orig_{c}": F.col(c) for c in cols}}
         )
@@ -252,6 +267,69 @@ def _algo_bits(conf: dict, default: int = 256) -> int:
         if str(b) in algo:
             return b
     return default
+
+
+def _format_mapper_stage(module: str, conf: dict, ruleset) -> tuple[Optional[Stage], bool]:
+    """Resolve a format-mapper outputFilter module to (stage, schema_preserving),
+    or (None, True) when `module` is not a format mapper. One table instead of
+    six copy-paste branches: each mapper differs only in the stage function,
+    its required input columns (missing → row passes through untouched,
+    drop-nothing), and whether it preserves the schema.
+
+    `ruleset` may be a RuleSet or a zero-arg provider returning one — the
+    journald/aws-ecs message re-parse resolves it PER CALL, so it tracks the
+    same ruleset the main parse uses under CLI -f merge and per-micro-batch
+    pattern hot-reload (the reference's second-pass parseLine goes through
+    the one shared parser, which hot-reloads globally; a load-time snapshot
+    here would silently diverge from the main parse in the same batch)."""
+
+    def _rs():
+        return ruleset() if callable(ruleset) else ruleset
+
+    if module == "journald-format":
+        from .formats import journald_format
+
+        parse_msg = conf.get("parseMessageField") is True
+        fn = lambda df: journald_format(df, parse_message=parse_msg, ruleset=_rs())  # noqa: E731
+        needs, preserving = ("fields",), False
+    elif module == "heroku-format":
+        from .formats import heroku_format
+
+        fn, needs, preserving = heroku_format, ("fields", "message"), True
+    elif module == "cloudfoundry-format":
+        from .formats import cloudfoundry_format
+
+        fn, needs, preserving = cloudfoundry_format, ("fields", "message"), True
+    elif module == "aws-ecs-format":
+        from .formats import aws_ecs_format
+
+        fn = lambda df: aws_ecs_format(df, ruleset=_rs())  # noqa: E731
+        needs, preserving = ("fields", "message"), False
+    elif module == "vercel-format":
+        from .github import vercel_format
+
+        mc = str(conf.get("field", "message"))
+        fn = lambda df: vercel_format(df, message_col=mc)  # noqa: E731
+        needs, preserving = (mc,), False
+    elif module in ("github-events-format", "github-logs-format"):
+        from . import github as github_mod
+
+        base = (
+            github_mod.github_events_format
+            if module == "github-events-format"
+            else github_mod.github_logs_format
+        )
+        ev = str(conf.get("eventField", "event"))
+        body = str(conf.get("bodyField", "body"))
+        fn = lambda df: base(df, event_col=ev, body_col=body)  # noqa: E731
+        needs, preserving = (ev, body), False
+    else:
+        return None, True
+
+    def _stage(df: DataFrame, _fn=fn, _needs=needs) -> DataFrame:
+        return _fn(df) if all(c in df.columns for c in _needs) else df
+
+    return _stage, preserving
 
 
 def _output_filter_stage(
@@ -366,79 +444,9 @@ def _output_filter_stage(
                 else df
             ), ()
         return (lambda df: ua_enrich(df, ua_col=ua_col) if ua_col in df.columns else df), ()
-    if module == "journald-format":
-        from .formats import journald_format
-
-        parse_msg = conf.get("parseMessageField") is True
-
-        def _journald_stage(df: DataFrame, _parse=parse_msg, _rs=ruleset) -> DataFrame:
-            if "fields" not in df.columns:
-                return df
-            # the mapper reads case-insensitively (input-journald-upload
-            # lowercases field names; raw systemd ships uppercase)
-            return journald_format(df, parse_message=_parse, ruleset=_rs)
-
-        return _gated(_journald_stage, ms, name, False), ()
-    if module == "heroku-format":
-        from .formats import heroku_format
-
-        return (
-            _gated(
-                lambda df: heroku_format(df) if "fields" in df.columns and "message" in df.columns else df,
-                ms, name, True,
-            ),
-            (),
-        )
-    if module == "cloudfoundry-format":
-        from .formats import cloudfoundry_format
-
-        return (
-            _gated(
-                lambda df: cloudfoundry_format(df) if "fields" in df.columns and "message" in df.columns else df,
-                ms, name, True,
-            ),
-            (),
-        )
-    if module == "aws-ecs-format":
-        from .formats import aws_ecs_format
-
-        return (
-            _gated(
-                lambda df: aws_ecs_format(df) if "fields" in df.columns and "message" in df.columns else df,
-                ms, name, False,
-            ),
-            (),
-        )
-    if module == "vercel-format":
-        from .github import vercel_format
-
-        msg_col = str(conf.get("field", "message"))
-        return (
-            _gated(
-                lambda df, _mc=msg_col: vercel_format(df, message_col=_mc) if _mc in df.columns else df,
-                ms, name, False,
-            ),
-            (),
-        )
-    if module in ("github-events-format", "github-logs-format"):
-        from . import github as github_mod
-
-        fmt = (
-            github_mod.github_events_format
-            if module == "github-events-format"
-            else github_mod.github_logs_format
-        )
-        ev_col = str(conf.get("eventField", "event"))
-        body_col = str(conf.get("bodyField", "body"))
-        return (
-            _gated(
-                lambda df, _f=fmt, _e=ev_col, _b=body_col: _f(df, event_col=_e, body_col=_b)
-                if _e in df.columns and _b in df.columns
-                else df,
-                ms, name, False,
-            ),
-            (),
-        )
+    fmt_stage, fmt_preserving = _format_mapper_stage(module, conf, ruleset)
+    if fmt_stage is not None:
+        return _gated(fmt_stage, ms, name, fmt_preserving), ()
     if module in ("docker-enrichment", "docker-log-enrichment", "kubernetes-enrichment", "access-watch"):
         dim_path = conf.get("dimPath")
         if spark is not None and dim_path:
@@ -592,6 +600,16 @@ def load_pipeline(
 
         ruleset = DEFAULT_RULESET
 
+    # re-parsing stages resolve their ruleset through this cell at CALL
+    # time: static pipelines see the load-time ruleset; once
+    # ruleset_watcher() registers a watcher (stream hot-reload), the
+    # second-pass parse follows it batch-for-batch like the main parse
+    rs_cell: dict = {"ruleset": ruleset}
+
+    def _live_ruleset():
+        w = rs_cell.get("watcher")
+        return w.current() if w is not None else rs_cell["ruleset"]
+
     # ---- input + inputFilter --------------------------------------------
     input_conf = doc.get("input") or {}
     files_val = input_conf.get("files") if isinstance(input_conf, dict) else None
@@ -639,7 +657,7 @@ def load_pipeline(
     for key, entry in _section_items(doc.get("outputFilter"), "outputFilter"):
         if not isinstance(entry, dict):
             continue
-        stage, queries = _output_filter_stage(key, _effective_conf(entry), spark, ruleset=ruleset)
+        stage, queries = _output_filter_stage(key, _effective_conf(entry), spark, ruleset=_live_ruleset)
         if stage is not None:
             extra_stages.append(stage)
         sql_queries.extend(queries)
@@ -723,4 +741,5 @@ def load_pipeline(
         inline_docs=tuple((d, lbl) for d, lbl in docs if lbl == f"{label}#parser"),
         include_default_patterns=include_default_patterns,
         serializers=tuple(serializers),
+        rs_cell=rs_cell,
     )

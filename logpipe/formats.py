@@ -31,6 +31,20 @@ def _mget(map_col: Column, key: str) -> Column:
     return F.element_at(map_col, F.lit(key))
 
 
+def _mget_ci(map_col: Column, key: str) -> Column:
+    """Case-insensitive journald lookup: canonical UPPERCASE first, then the
+    lowercase form input-journald-upload ships (journald-format.js:7-16
+    reads lowercase because its input lowercases everything). Per-key
+    coalesce rather than uppercasing the whole map — transform_keys(upper)
+    would throw the mapKeyDedupPolicy exception on any row whose map
+    carries two casings of one key, killing the task (and with it the whole
+    batch/stream) for one malformed event."""
+    return F.coalesce(
+        F.element_at(map_col, F.lit(key.upper())),
+        F.element_at(map_col, F.lit(key.lower())),
+    )
+
+
 def _merge_last_wins(left: Column, right: Column) -> Column:
     """JS-spread merge `{...left, ...right}`: right overwrites left on key
     collision (heroku-format.js:52, cloudfoundry-format.js JSON merge).
@@ -64,18 +78,17 @@ def journald_format(
     open fields map (`log[type] = {data}` in the JS; dotted paths ARE
     nesting in this schema — see mask.rename_map_fields).
 
-    Lookups read through an UPPERCASE-normalized view of the map: systemd
-    ships canonical uppercase names, but the reference plugin reads
-    lowercase because input-journald-upload lowercases everything before it
-    runs (journald-format.js:7-16) — both casings must map identically. The
-    stored fields column is never rewritten (a map carrying the same key in
-    two casings is malformed input and fails loudly on the dedup policy)."""
-    m = F.transform_keys(F.col(fields_col), lambda k, _v: F.upper(k))
+    Lookups are case-insensitive (see _mget_ci): systemd ships canonical
+    uppercase names, the reference plugin reads lowercase because
+    input-journald-upload lowercases everything before it runs — both
+    casings must map identically, without rewriting or re-keying the stored
+    fields column."""
+    m = F.col(fields_col)
     sev_arr = F.array(*[F.lit(s) for s in SYSLOG_SEVERITY])
     fac_arr = F.array(*[F.lit(s) for s in SYSLOG_FACILITY])
-    rt = F.coalesce(_mget(m, "__REALTIME_TIMESTAMP"), _mget(m, "__SOURCE_REALTIME_TIMESTAMP"))
-    prio = _mget(m, "PRIORITY").try_cast("int")
-    fac = _mget(m, "SYSLOG_FACILITY").try_cast("int")
+    rt = F.coalesce(_mget_ci(m, "__REALTIME_TIMESTAMP"), _mget_ci(m, "__SOURCE_REALTIME_TIMESTAMP"))
+    prio = _mget_ci(m, "PRIORITY").try_cast("int")
+    fac = _mget_ci(m, "SYSLOG_FACILITY").try_cast("int")
     # epoch µs → TIMESTAMP_NTZ via interval arithmetic: unlike
     # timestamp_millis (LTZ), the value is independent of the session tz
     rt_ms = (rt.try_cast("long") / 1000).cast("long")
@@ -83,7 +96,7 @@ def journald_format(
         F.lit(0), F.lit(0), F.lit(0), rt_ms.cast("double") / 1000.0
     )
     out = (
-        df.withColumn("os_host", _mget(m, "_HOSTNAME"))
+        df.withColumn("os_host", _mget_ci(m, "_HOSTNAME"))
         .withColumn(
             "event_ts",
             F.coalesce(
@@ -104,21 +117,21 @@ def journald_format(
         .withColumn(
             "container",
             F.when(
-                _mget(m, "CONTAINER_ID_FULL").isNotNull()
-                | _mget(m, "CONTAINER_NAME").isNotNull(),
+                _mget_ci(m, "CONTAINER_ID_FULL").isNotNull()
+                | _mget_ci(m, "CONTAINER_NAME").isNotNull(),
                 F.struct(
-                    F.coalesce(_mget(m, "CONTAINER_ID_FULL"), _mget(m, "CONTAINER_ID")).alias("id"),
-                    _mget(m, "CONTAINER_NAME").alias("name"),
-                    _mget(m, "CONTAINER_TAG").alias("tag"),
+                    F.coalesce(_mget_ci(m, "CONTAINER_ID_FULL"), _mget_ci(m, "CONTAINER_ID")).alias("id"),
+                    _mget_ci(m, "CONTAINER_NAME").alias("name"),
+                    _mget_ci(m, "CONTAINER_TAG").alias("tag"),
                 ),
             ),
         )
         .withColumn(
             "process",
             F.when(
-                _mget(m, "_PID").isNotNull(),
+                _mget_ci(m, "_PID").isNotNull(),
                 F.struct(
-                    *[_mget(m, src).alias(dst) for src, dst in _JOURNALD_PROCESS_FIELDS.items()]
+                    *[_mget_ci(m, src).alias(dst) for src, dst in _JOURNALD_PROCESS_FIELDS.items()]
                 ),
             ),
         )
@@ -129,7 +142,7 @@ def journald_format(
 
         udf = make_parse_udf(ruleset if ruleset is not None else DEFAULT_RULESET)
         source = F.coalesce(
-            F.col("container.tag"), F.col("container.name"), _mget(m, "_SYSTEMD_UNIT")
+            F.col("container.tag"), F.col("container.name"), _mget_ci(m, "_SYSTEMD_UNIT")
         )
         nested = udf(F.col(message_col), source, F.col("event_ts"))
         out = out.withColumn("_jp", nested)
@@ -200,10 +213,15 @@ def cloudfoundry_format(df: DataFrame, fields_col: str = "fields") -> DataFrame:
     return out
 
 
-def aws_ecs_format(df: DataFrame, fields_col: str = "fields", reparse: bool = True) -> DataFrame:
+def aws_ecs_format(
+    df: DataFrame, fields_col: str = "fields", reparse: bool = True, ruleset=None
+) -> DataFrame:
     """aws-ecs-format.js:43-80: container stream → severity (stderr→err,
     stdout→info); JSON messages merge into fields; non-JSON messages are
-    re-parsed with the pattern parser keyed by the original source."""
+    re-parsed with the pattern parser keyed by the original source
+    (`ruleset` defaults to the built-in rules; config-driven callers pass
+    their loaded patterns so the re-parse sees the same rules as the main
+    parse)."""
     m = F.col(fields_col)
     stream = _mget(m, "source")
     out = df.withColumn(
@@ -228,7 +246,7 @@ def aws_ecs_format(df: DataFrame, fields_col: str = "fields", reparse: bool = Tr
         from .parse import make_parse_udf
         from .rules import DEFAULT_RULESET
 
-        udf = make_parse_udf(DEFAULT_RULESET)
+        udf = make_parse_udf(ruleset if ruleset is not None else DEFAULT_RULESET)
         ts_col = F.col("event_ts") if "event_ts" in out.columns else F.col("ts")
         nested = udf(F.col("message"), _mget(m, "source"), ts_col)
         out = out.withColumn("_ecs", F.when(~is_json, nested))

@@ -108,23 +108,22 @@ def main(argv: list[str] | None = None) -> int:
     include_defaults = not args.skipDefaultPatterns
     if args.config:
         from logpipe.config import load_pipeline
+        from logpipe.rules import _load_yaml_doc
 
-        configured = load_pipeline(
-            args.config, spark=spark, include_default_patterns=include_defaults
-        )
+        doc = _load_yaml_doc(args.config)
         if args.patterns:
-            # CLI -f files merge AFTER the config's (later wins), and the
-            # stream watcher below watches the combined set
-            configured = dc_replace(
-                configured,
-                pattern_files=configured.pattern_files + tuple(args.patterns),
-            )
-            configured = dc_replace(
-                configured,
-                pipe=dc_replace(
-                    configured.pipe, ruleset=configured.ruleset_watcher().current()
-                ),
-            )
+            # CLI -f files merge AFTER the config's (later wins) BEFORE
+            # assembly, so everything derived from the ruleset — the main
+            # parse, the journald/aws-ecs re-parse stages, and the stream
+            # watcher's file set — sees one merged pattern list
+            parser_sec = dict(doc.get("parser") or {})
+            parser_sec["patternFiles"] = list(
+                parser_sec.get("patternFiles") or []
+            ) + list(args.patterns)
+            doc["parser"] = parser_sec
+        configured = load_pipeline(
+            doc, spark=spark, include_default_patterns=include_defaults
+        )
         pipe = dc_replace(
             configured.pipe, role_dim=role_dim(spark), tool_dim=tool_dim(spark)
         )
@@ -257,16 +256,16 @@ def main(argv: list[str] | None = None) -> int:
             )
         print(f"resumable run complete: {stats}")
     else:
-        result = pipe.run(spark, tr, out_dir=args.out)
-        routed = result["routed"]
         extra_passes = configured is not None and (
             configured.serializers or configured.sql_queries
         )
-        if extra_passes:
-            # run() unpersisted routed after its own writes; every serializer
-            # and sql query below is one more full pass — re-pin it so they
-            # read the cache instead of re-running the parse cascade each
-            routed = routed.persist()
+        # keep_routed_persisted: the serializer/sql passes below read the
+        # cache run() already filled instead of paying one full recompute
+        # to refill it; this path owns the unpersist
+        result = pipe.run(
+            spark, tr, out_dir=args.out, keep_routed_persisted=bool(extra_passes)
+        )
+        routed = result["routed"]
         try:
             if configured is not None and configured.serializers:
                 from pyspark.sql import functions as F

@@ -107,7 +107,13 @@ class TranscriptPipeline:
         spark: SparkSession,
         transcripts: DataFrame,
         out_dir: str | None = None,
+        keep_routed_persisted: bool = False,
     ) -> dict[str, DataFrame]:
+        """keep_routed_persisted leaves the routed cache ALIVE in the
+        returned frame — for callers with more passes to make (config
+        serializers, sql queries) who would otherwise pay one full
+        parse/route recomputation just to refill the cache run() dropped.
+        Such callers own the unpersist()."""
         routed = self.routed(transcripts)
         if out_dir:
             routed = routed.persist()
@@ -119,6 +125,7 @@ class TranscriptPipeline:
             )
             aggs = self.aggregates(routed)
             aggs.write.mode("overwrite").parquet(f"{out_dir}/aggregates")
-            routed.unpersist()
+            if not keep_routed_persisted:
+                routed.unpersist()
             return {"routed": routed, "aggregates": aggs, "sinks": sinks}
         return {"routed": routed, "aggregates": self.aggregates(routed)}

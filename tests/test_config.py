@@ -1202,3 +1202,53 @@ def test_stream_window_input_stage_runs_in_foreach_batch(spark, tmp_path):
     assert got == want  # stream == batch, P/F reassembly applied
     assert any("partial" in m and "line end" in m for m in got)  # P+F joined
     assert len(got) == 2  # 3 CRI lines -> 2 logical lines
+
+
+def test_journald_reparse_tracks_pattern_hot_reload(spark, tmp_path):
+    """The journald parseMessageField re-parse resolves its ruleset at CALL
+    time through the same watcher the stream pipeline uses — a pattern-file
+    edit lands in the stage's next invocation, in lockstep with the main
+    parse (the reference's second-pass parseLine shares the one hot-
+    reloading parser)."""
+    import os
+
+    from logpipe.config import load_pipeline
+
+    pat = tmp_path / "p.yml"
+    pat.write_text(
+        "patterns:\n"
+        " - sourceName: myunit\n   match:\n"
+        "    - type: v1\n"
+        "      regex: ^EVT (\\d+)\n"
+        "      fields: [eid:number]\n"
+    )
+    cfg = {
+        "parser": {"patternFiles": [str(pat)]},
+        "outputFilter": {
+            "journald-format": {"module": "journald-format", "parseMessageField": True}
+        },
+        "output": {"elasticsearch": {"module": "elasticsearch", "index": "i"}},
+    }
+    loaded = load_pipeline(cfg)
+    assert loaded.ruleset_watcher() is not None  # registers in rs_cell
+    df = spark.createDataFrame(
+        [("c0", {"_systemd_unit": "myunit", "priority": "6"}, "EVT 42")],
+        "conv_id string, fields map<string,string>, message string",
+    )
+    stage = loaded.pipe.extra_stages[0]
+    f1 = stage(df).collect()[0]["fields"]
+    assert any(k.startswith("v1.") for k in f1), f1
+    # rewrite the pattern file: new type name → the NEXT stage invocation
+    # must re-parse with the new rules, no reload/restart
+    pat.write_text(
+        "patterns:\n"
+        " - sourceName: myunit\n   match:\n"
+        "    - type: v2\n"
+        "      regex: ^EVT (\\d+)\n"
+        "      fields: [eid:number]\n"
+    )
+    st = os.stat(pat)
+    os.utime(pat, (st.st_atime + 5, st.st_mtime + 5))
+    f2 = stage(df).collect()[0]["fields"]
+    assert any(k.startswith("v2.") for k in f2), f2
+    assert not any(k.startswith("v1.") for k in f2)
