@@ -70,13 +70,24 @@ def _drop_hot_buckets(exploded: DataFrame, bucket_cols: list[str], max_bucket: i
 # ---------------------------------------------------------------------------
 
 
+def content_fingerprint(cols: list[str]) -> Column:
+    """sha256 over the NUL-joined stringified columns — THE content identity
+    used by exact_dedup, duplicate_stats, and the streaming exact dedup
+    (one definition so the three can't silently diverge; the DuckDB oracles
+    replicate this exact expression)."""
+    return F.sha2(
+        F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]),
+        256,
+    )
+
+
 def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep_col: str | None = None) -> DataFrame:
     """Keep one row per exact content hash (hash-groupBy, map-side combinable).
 
     With keep_col set, keeps the row minimizing keep_col (deterministic
     winner); else a plain dropDuplicates on the hash."""
     cols = cols or ["text"]
-    fingerprint = F.sha2(F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]), 256)
+    fingerprint = content_fingerprint(cols)
     out = df.withColumn("_fp", fingerprint)
     if keep_col is None:
         return out.dropDuplicates(["_fp"]).drop("_fp")
@@ -88,7 +99,7 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep_col: str | No
 def duplicate_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """rows, distinct contents, dup rate — one aggregate pass."""
     cols = cols or ["text"]
-    fp = F.sha2(F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]), 256)
+    fp = content_fingerprint(cols)
     return df.select(fp.alias("_fp")).agg(
         F.count("*").alias("rows"),
         F.countDistinct("_fp").alias("distinct_rows"),

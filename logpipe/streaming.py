@@ -35,7 +35,7 @@ from .schema import TRANSCRIPT_SCHEMA
 
 def read_transcript_stream(
     spark: SparkSession,
-    path: str,
+    path: "str | list[str]",
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
@@ -50,6 +50,30 @@ def read_transcript_stream(
     token-bucket has no meaning when a trigger drains a batch at once, but
     bounding the bytes admitted per trigger bounds the same resource — at a
     nominal 1 s trigger cadence the two knobs are numerically equal."""
+    if isinstance(path, (list, tuple)):
+        # DataStreamReader.load takes ONE path — a list unions one
+        # file-source stream per entry (same shape as read_log_lines_stream),
+        # with the byte bound split so the TOTAL stays as configured
+        if len(path) == 1:
+            path = path[0]
+        else:
+            per = (
+                max(1, max_bytes_per_trigger // len(path))
+                if max_bytes_per_trigger
+                else None
+            )
+            parts = [
+                read_transcript_stream(
+                    spark, p, fmt=fmt,
+                    max_files_per_trigger=max_files_per_trigger,
+                    max_bytes_per_trigger=per,
+                )
+                for p in path
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
     r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -117,7 +141,6 @@ def windowed_session_counts(
 
 
 def start_sql_filter_stream(
-    spark: SparkSession,
     stream: DataFrame,
     query: str,
     out_dir: str,
@@ -216,7 +239,7 @@ def make_multiline_state_fn(
                         {
                             "conv_id": conv_id,
                             "turn_idx": turn_idx,
-                            "text": buf,
+                            "text": buf if buf is not None else "",
                             "tool": tool,
                             "flushed_by_timeout": True,
                         }
@@ -225,8 +248,14 @@ def make_multiline_state_fn(
             return
         out = []
         cur = list(state.get) if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx")
+        # the group's rows arrive as SEVERAL Arrow chunks in arbitrary
+        # shuffle order — sorting each chunk alone would interleave blocks
+        # whenever a conv spans chunks (>maxRecordsPerBatch rows), so the
+        # whole group buffers and sorts once. Groups are conv-sized by
+        # construction, the same bound the batch path's collect_list holds.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("turn_idx")
             for turn_idx, text, tool in zip(pdf["turn_idx"], pdf["text"], pdf["tool"]):
                 bs = _block_start_re(tool)
                 if text is not None and bs.search(text):
@@ -235,24 +264,24 @@ def make_multiline_state_fn(
                             {
                                 "conv_id": conv_id,
                                 "turn_idx": cur[0],
-                                "text": cur[1],
+                                "text": cur[1] if cur[1] is not None else "",
                                 "tool": cur[2],
                                 "flushed_by_timeout": False,
                             }
                         )
                     cur = [int(turn_idx), text, tool]
                 elif cur is not None:
-                    cur[1] = f"{cur[1]}\n{text}"
-                else:  # continuation with no head: emit as its own block
-                    out.append(
-                        {
-                            "conv_id": conv_id,
-                            "turn_idx": int(turn_idx),
-                            "text": text,
-                            "tool": tool,
-                            "flushed_by_timeout": False,
-                        }
-                    )
+                    # null texts attach silently — the batch path's
+                    # array_join skips null elements, and f-string'ing None
+                    # would inject a literal 'None' line into the block
+                    if text is not None:
+                        cur[1] = text if cur[1] is None else f"{cur[1]}\n{text}"
+                else:
+                    # headless continuation OPENS a block: the batch path
+                    # groups every line before the first blockStart into
+                    # one _block_id=0 block, so the stream must buffer
+                    # them together too (one row per line would diverge)
+                    cur = [int(turn_idx), text, tool]
         if cur is not None:
             state.update(tuple(cur))
             state.setTimeoutDuration(timeout_ms)
@@ -382,8 +411,16 @@ def start_stream_pipeline(
     # input_stages always defer into foreachBatch: stages like
     # cri_reassemble use window functions the streaming planner rejects
     # ([NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING]) — inside foreachBatch
-    # the frame is static and every batch-path stage applies as-is.
-    rebuild = watcher is not None or bool(dims) or raw_lines or bool(input_stages)
+    # the frame is static and every batch-path stage applies as-is. A
+    # multiline pipe defers for the same reason (reassemble_multiline's
+    # running-sum window).
+    rebuild = (
+        watcher is not None
+        or bool(dims)
+        or raw_lines
+        or bool(input_stages)
+        or pipe.multiline
+    )
     routed = stream if rebuild else pipe.routed(stream)
 
     def _write_batch(batch_df: DataFrame, batch_id: int):
@@ -468,9 +505,9 @@ def stream_exact_dedup(
     dedup, but re-delivered lines are exactly what its disk-buffer/retransmit
     loop produces on sink failure, elasticsearch.js:156-163)."""
     cols = cols or ["text"]
-    fp = F.sha2(
-        F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]), 256
-    )
+    from .dedup import content_fingerprint
+
+    fp = content_fingerprint(cols)
     return (
         stream.withColumn("_fp", fp)
         .withColumn("_evt", F.col(ts_col).cast("timestamp"))  # watermark needs LTZ
@@ -560,6 +597,22 @@ def near_dedup_batch(
     from logpipe import dedup as _dedup
 
     spark = batch_df.sparkSession
+    if batch_ts is None:
+        # an all-null-ts batch must NOT produce a NULL horizon: `ts >= NULL`
+        # is never true, so the seen-filter would drop EVERY state row — a
+        # silent full state wipe — and the new rows would be stamped null,
+        # excluded by every future horizon too. Carry the newest existing
+        # state stamp forward (retention holds steady); epoch for a fresh
+        # state (nothing to prune yet).
+        import datetime as _dt
+
+        _sp = _resolve_state_dir(state_dir)
+        prev = (
+            spark.read.parquet(_sp).agg(F.max("ts")).collect()[0][0]
+            if _sp is not None
+            else None
+        )
+        batch_ts = prev if prev is not None else _dt.datetime(1970, 1, 1)
     # persist the signatures HERE (not inside minhash_lsh_pairs) so this
     # function can unpersist them at the end — a long-running stream must
     # not leak one cached frame per micro-batch
@@ -655,13 +708,23 @@ def start_near_dedup_stream(
     stream = spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir)
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_ts = batch_df.agg(F.max(F.col(ts_col))).collect()[0][0]
-        kept = near_dedup_batch(
-            batch_df, state_dir, batch_ts, batch_id=batch_id, **dedup_kwargs
-        )
-        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        # several consumers re-read this frame (count+max aggregate, the
+        # signature UDF scan, the kept anti-join, the kept write) — persist
+        # once like start_stream_pipeline's _write_batch, and fold the
+        # emptiness probe into the max-ts aggregate (one job, not two)
+        batch_df = batch_df.persist()
+        try:
+            n_rows, batch_ts = batch_df.agg(
+                F.count(F.lit(1)), F.max(F.col(ts_col))
+            ).collect()[0]
+            if not n_rows:
+                return
+            kept = near_dedup_batch(
+                batch_df, state_dir, batch_ts, batch_id=batch_id, **dedup_kwargs
+            )
+            kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        finally:
+            batch_df.unpersist()
 
     writer = (
         stream.writeStream.outputMode("append")

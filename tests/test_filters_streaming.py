@@ -409,7 +409,6 @@ def test_stream_sql_filter_buffer(spark, tmp_path):
     transcripts(spark, 500, 20).write.parquet(src)
     out = str(tmp_path / "out_sql")
     q = start_sql_filter_stream(
-        spark,
         read_transcript_stream(spark, src),
         "SELECT tool, count(*) AS events, sum(length(text)) AS bytes FROM buffer GROUP BY tool",
         out,
@@ -634,3 +633,105 @@ def test_stream_dim_hot_reload(spark, tmp_path):
         assert wait_rows(200) == {"team_v2"}  # last-good dim kept serving
     finally:
         q.stop()
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState (the attrs the fn uses)."""
+
+    def __init__(self):
+        self.hasTimedOut = False
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+    def remove(self):
+        self._v = None
+        self.exists = False
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_multiline_state_fn_cross_chunk_order_and_nulls():
+    """The state fn must behave identically however Arrow chunks the group:
+    (a) a conv whose rows span chunks in shuffled order reassembles in
+    turn_idx order (per-chunk sorting would interleave blocks); (b) null
+    continuation texts attach silently like the batch path's array_join
+    (no literal 'None' lines); (c) headless continuations buffer into ONE
+    block like batch _block_id=0, not one row each."""
+    import pandas as pd
+
+    from logpipe.streaming import make_multiline_state_fn
+
+    fn = make_multiline_state_fn()
+
+    # (a) chunk 2 carries EARLIER turn_idx values than chunk 1
+    c1 = pd.DataFrame({"turn_idx": [3, 4], "text": ["  cont-of-2", "head3 x"], "tool": ["app", "app"]})
+    c2 = pd.DataFrame({"turn_idx": [1, 2], "text": ["head1 x", "head2 x"], "tool": ["app", "app"]})
+    st = _FakeGroupState()
+    out = pd.concat(list(fn(("c0",), iter([c1, c2]), st)), ignore_index=True)
+    assert list(out["text"]) == ["head1 x", "head2 x\n  cont-of-2"]
+    assert st.get[1] == "head3 x"  # open buffer
+
+    # (b) null continuation attaches silently (batch array_join skips nulls)
+    st2 = _FakeGroupState()
+    d = pd.DataFrame({"turn_idx": [1, 2, 3, 4],
+                      "text": ["head1 a", None, "  tail", "head2 b"],
+                      "tool": ["app"] * 4})
+    out2 = pd.concat(list(fn(("c1",), iter([d]), st2)), ignore_index=True)
+    assert list(out2["text"]) == ["head1 a\n  tail"]  # no 'None' injected
+    assert st2.get[1] == "head2 b"
+
+    # (c) headless continuations buffer into one block (batch block 0)
+    st3 = _FakeGroupState()
+    h = pd.DataFrame({"turn_idx": [1, 2, 3],
+                      "text": ["  no-head-1", "  no-head-2", "headX y"],
+                      "tool": ["app"] * 3})
+    out3 = pd.concat(list(fn(("c2",), iter([h]), st3)), ignore_index=True)
+    assert list(out3["text"]) == ["  no-head-1\n  no-head-2"]
+    assert st3.get[1] == "headX y"
+
+    # timeout flush emits the open buffer
+    st3.hasTimedOut = True
+    out4 = pd.concat(list(fn(("c2",), iter([]), st3)), ignore_index=True)
+    assert list(out4["text"]) == ["headX y"]
+    assert bool(out4["flushed_by_timeout"][0]) is True
+
+
+def test_near_dedup_batch_null_ts_keeps_state(spark, tmp_path):
+    """An all-null-ts micro-batch must NOT wipe the near-dup state: a NULL
+    horizon would drop every state row from the seen-filter and stamp the
+    new rows null (excluded by all future horizons). The fallback carries
+    the newest existing state stamp forward."""
+    import datetime as dt
+
+    from logpipe.streaming import near_dedup_batch
+
+    state = str(tmp_path / "state")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    kept0 = near_dedup_batch(b0, state, t0, batch_id=0)
+    assert kept0.count() == 1
+    rows_before = spark.read.parquet(state).count()
+    assert rows_before > 0
+
+    # batch 1: same text (near-dup) but NULL batch_ts
+    b1 = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    kept1 = near_dedup_batch(b1, state, None, batch_id=1)
+    assert kept1.count() == 0  # still deduped against surviving state
+    after = spark.read.parquet(state)
+    assert after.count() >= rows_before  # state NOT wiped
+    assert after.filter(F.col("ts").isNull()).count() == 0  # no null stamps
