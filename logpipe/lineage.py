@@ -62,7 +62,12 @@ def unit_key(files: list[str]) -> str:
 
 
 def completed_units(spark: SparkSession, lineage_dir: str, run_id: str) -> set[tuple[int, str]]:
-    """(unit, unit_key) pairs marked done for run_id."""
+    """(unit, unit_key) pairs marked done for run_id. Only a MISSING lineage
+    dir means 'no prior run' — any other read failure (credentials, throttle,
+    corrupt footer) must surface, not silently restart the whole run from
+    scratch and append duplicate rows over hours of redundant work."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = (
             spark.read.schema(LINEAGE_SCHEMA)
@@ -72,8 +77,10 @@ def completed_units(spark: SparkSession, lineage_dir: str, run_id: str) -> set[t
             .collect()
         )
         return {(r["unit"], r["unit_key"]) for r in rows}
-    except Exception:
-        return set()
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return set()
+        raise
 
 
 def _process_unit(
@@ -119,7 +126,11 @@ def file_units(spark: SparkSession, input_path: str, n_units: int = 16) -> list[
     new ones). On an Iceberg bucket(conv_id) table this groups bucket data
     files, so units are closed under conv_id."""
     files = sorted(spark.read.parquet(input_path).inputFiles())
-    n_units = min(n_units, max(len(files), 1))
+    # the modulus is the REQUESTED n_units, never clamped to the file
+    # count: clamping would make every file's unit depend on how many other
+    # files exist (one added file reshuffles most groups → near-total
+    # re-run on resume), which is exactly the invariant above
+    n_units = max(n_units, 1)
     groups: list[list[str]] = [[] for _ in range(n_units)]
     for f in files:
         h = int.from_bytes(hashlib.sha256(f.encode()).digest()[:8], "big")
@@ -147,13 +158,22 @@ def run_resumable_files(
     done = completed_units(spark, lineage_dir, run_id)
     processed, skipped = [], []
     for unit, files in enumerate(groups):
-        if not files:
-            continue
-        if (unit, unit_key(files)) in done:
+        key = unit_key(files)
+        if (unit, key) in done:
             skipped.append(unit)
             continue
-        part = spark.read.parquet(*files)
-        _process_unit(spark, part, process, out_dir, lineage_dir, run_id, unit, unit_key(files))
+        # EMPTY units process too (an empty frame through the same path):
+        # a unit whose file group emptied — files deleted, compacted, or
+        # moved to another group by a fileset change — must OVERWRITE its
+        # previous output, or the stale rows double-count against the new
+        # home of the moved files. Cost on a fresh run: one metadata-only
+        # empty write per empty unit.
+        part = (
+            spark.read.parquet(*files)
+            if files
+            else spark.read.parquet(input_path).limit(0)
+        )
+        _process_unit(spark, part, process, out_dir, lineage_dir, run_id, unit, key)
         processed.append(unit)
         if fail_after_unit is not None and unit >= fail_after_unit:
             raise RuntimeError(f"injected failure after unit {unit}")
@@ -174,7 +194,9 @@ def run_resumable(
     """Hash-bucket resumable run over an in-memory frame (test/fallback
     path; prefer `run_resumable_files` for on-table inputs — a bucket filter
     cannot prune parquet scans, so this variant re-scans the input once per
-    unit)."""
+    unit). `n_units` is part of the bucket identity: changing it between
+    invocations of the same run_id is undefined (old unit dirs beyond the
+    new count are not cleaned) — use a fresh run_id and out_dir instead."""
     done = completed_units(spark, lineage_dir, run_id)
     with_unit = df.withColumn("_unit", unit_column(key, n_units))
     # hash buckets have no file-list identity; the bucket definition itself
@@ -196,12 +218,11 @@ def run_resumable(
 
 def _append_lineage(spark, lineage_dir, run_id, unit, unit_key, status, rows_in, rows_out, wall_ms):
     row = [(run_id, unit, unit_key, status, rows_in, rows_out, wall_ms)]
+    # write schema = LINEAGE_SCHEMA minus the appended finished_at — derived,
+    # not re-declared, so the reader and writer cannot silently drift
+    write_schema = LINEAGE_SCHEMA.rsplit(", finished_at", 1)[0]
     (
-        spark.createDataFrame(
-            row,
-            "run_id string, unit int, unit_key string, status string, rows_in long, "
-            "rows_out long, wall_ms long",
-        )
+        spark.createDataFrame(row, write_schema)
         .withColumn("finished_at", F.current_timestamp())
         .coalesce(1)
         .write.mode("append")
@@ -210,15 +231,25 @@ def _append_lineage(spark, lineage_dir, run_id, unit, unit_key, status, rows_in,
 
 
 def metrics_table(spark: SparkSession, lineage_dir: str) -> DataFrame:
-    """The metrics view over lineage (replaces printStats heartbeats)."""
-    return (
+    """The metrics view over lineage (replaces printStats heartbeats).
+
+    Lineage is append-only and a unit legitimately re-runs under the same
+    run_id when its fileset changes (new unit_key) — only the LATEST row
+    per (run_id, unit) describes the data actually sitting in the unit
+    directory, so the aggregate reads that row, not the sum of history."""
+    latest = (
         spark.read.schema(LINEAGE_SCHEMA)
         .parquet(lineage_dir)
-        .groupBy("run_id")
+        .groupBy("run_id", "unit")
         .agg(
-            F.count("*").alias("units"),
-            F.sum("rows_in").alias("rows_in"),
-            F.sum("rows_out").alias("rows_out"),
-            F.sum("wall_ms").alias("wall_ms"),
+            F.max_by(
+                F.struct("rows_in", "rows_out", "wall_ms"), F.col("finished_at")
+            ).alias("_last")
         )
+    )
+    return latest.groupBy("run_id").agg(
+        F.count("*").alias("units"),
+        F.sum("_last.rows_in").alias("rows_in"),
+        F.sum("_last.rows_out").alias("rows_out"),
+        F.sum("_last.wall_ms").alias("wall_ms"),
     )

@@ -53,6 +53,13 @@ def jdbc_poll_options(
         opts["user"] = user
     if password is not None:
         opts["password"] = password
+    if partition_column is None and any(
+        v is not None for v in (num_partitions, lower_bound, upper_bound)
+    ):
+        # the symmetric error: bounds/partition-count WITHOUT the column
+        # would silently produce an unparallelized single-partition scan —
+        # exactly the scale-killer the docstring warns about
+        raise ValueError("num_partitions/bounds require partition_column")
     if partition_column is not None:
         if lower_bound is None or upper_bound is None or num_partitions is None:
             raise ValueError("partition_column requires lower/upper bounds and num_partitions")
@@ -120,15 +127,33 @@ def kafka_stream(
     wiring is covered by the option-builder unit tests)."""
     opts = kafka_stream_options(bootstrap_servers, topics, **kwargs)
     raw = spark.readStream.format("kafka").options(**opts).load()
+    src = F.col("topic") if source_from_topic else F.lit("kafka")
     return raw.select(
         F.col("value").cast("string").alias("text"),
-        (F.col("topic") if source_from_topic else F.lit("kafka")).alias("log_source"),
+        src.alias("log_source"),
         F.col("timestamp").alias("ts"),
         F.col("key").cast("string").alias("conv_id"),
         # kafka offsets are long and routinely exceed 2^31 on long-lived
         # partitions — an int cast would CAST_OVERFLOW under ANSI (or wrap
         # negative with ANSI off), so turn_idx stays wide here
         F.col("offset").alias("turn_idx"),
+        # TranscriptPipeline's parse stage reads source_col='tool' and the
+        # role dim joins on 'role' — without them routed() fails at plan
+        # time with UNRESOLVED_COLUMN, so the bus source carries both
+        src.alias("tool"),
+        F.lit("log").alias("role"),
+    )
+
+
+def _raw_line_projection(reader_df):
+    """The raw-line source shape shared by batch and stream readers:
+    (text, _file, _block) from the file source's metadata columns — ONE
+    definition so stamp_file_line_numbers' offset keys can never diverge
+    between the two paths."""
+    return reader_df.select(
+        F.col("value").alias("text"),
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.file_block_start").alias("_block"),
     )
 
 
@@ -169,23 +194,47 @@ def stamp_file_line_numbers(spark: SparkSession, raw: DataFrame) -> DataFrame:
         running: dict = {}
         for pdf in batches:
             off = bcast.value
-            idx = []
-            for key in zip(pdf["_file"], pdf["_block"]):
+            # vectorized: cumcount numbers each (file, block) group's rows
+            # by encounter order — identical to the previous per-row loop —
+            # and a per-KEY loop (block count, not row count) resolves each
+            # key's base; no per-row Python iteration on the hot path
+            kdf = pdf[["_file", "_block"]]
+            grouped = kdf.groupby(["_file", "_block"], sort=False)
+            cum = grouped.cumcount()
+            bases = {}
+            for key, cnt in grouped.size().items():
                 base = running.get(key)
                 if base is None:
                     base = off.get(key)
                     if base is None:  # split planning drifted between jobs
                         raise RuntimeError(f"no line-offset entry for {key}")
-                idx.append(base + 1)
-                running[key] = base + 1
+                bases[key] = base
+                running[key] = base + int(cnt)
+            bdf = pd.DataFrame(
+                [(f, b, v) for (f, b), v in bases.items()],
+                columns=["_file", "_block", "_base"],
+            )
+            merged = kdf.merge(bdf, on=["_file", "_block"], how="left")
             yield pd.DataFrame(
-                {"_file": pdf["_file"], "turn_idx": idx, "text": pdf["text"]}
+                {
+                    "_file": pdf["_file"],
+                    "turn_idx": merged["_base"].to_numpy() + cum.to_numpy() + 1,
+                    "text": pdf["text"],
+                }
             )
 
     stamped = raw.mapInPandas(_stamp, "_file string, turn_idx int, text string")
+    # conv_id = the FULL path: distinct files must never share a key, or
+    # their independently-numbered turn_idx values collide and the
+    # (conv_id, turn_idx) ordering window interleaves two files' lines
+    # (rotated app.log/app.log.1 or same-named files in two dirs would
+    # collide on basename). files.js stamps sourceName with the full path
+    # for the same reason. tool keeps the readable basename — rule
+    # source_name patterns are substring searches, so 'access' still
+    # matches either form.
     fname = F.regexp_extract(F.col("_file"), r"([^/]+?)(\.[A-Za-z0-9]+)?$", 1)
     return stamped.select(
-        fname.alias("conv_id"),
+        F.col("_file").alias("conv_id"),
         "turn_idx",
         F.lit("log").alias("role"),
         "text",
@@ -204,11 +253,7 @@ def read_log_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     Line numbering is shuffle-free — see stamp_file_line_numbers."""
     if isinstance(paths, str):
         paths = [paths]
-    raw = spark.read.text(paths).select(
-        F.col("value").alias("text"),
-        F.col("_metadata.file_path").alias("_file"),
-        F.col("_metadata.file_block_start").alias("_block"),
-    )
+    raw = _raw_line_projection(spark.read.text(paths))
     return stamp_file_line_numbers(spark, raw)
 
 
@@ -239,11 +284,7 @@ def read_log_lines_stream(
         r = spark.readStream
         if per_source:
             r = r.option("maxBytesPerTrigger", str(per_source))
-        return r.text(p).select(
-            F.col("value").alias("text"),
-            F.col("_metadata.file_path").alias("_file"),
-            F.col("_metadata.file_block_start").alias("_block"),
-        )
+        return _raw_line_projection(r.text(p))
 
     out = _one(paths[0])
     for p in paths[1:]:

@@ -207,20 +207,32 @@ outputFilter:
 
 def test_read_log_files_shape_and_order(spark, tmp_path):
     """sources.read_log_files: one row per raw line, per-file turn_idx in
-    line order, log-source key = basename (files.js sourceName analog)."""
+    line order, conv_id = the FULL path (distinct files must never share a
+    key — two app.log files in different dirs or a rotated app.log.1 would
+    collide on basename and interleave under the (conv_id, turn_idx)
+    window; files.js stamps sourceName with the full path too), tool = the
+    readable basename."""
     from logpipe.sources import read_log_files
 
     a = tmp_path / "access.log"
     a.write_text("".join(f"GET /p{i} 200\n" for i in range(5)))
     b = tmp_path / "app.log"
     b.write_text("boot ok\nready\n")
-    df = read_log_files(spark, [str(a), str(b)])
-    assert df.count() == 7
+    # same basename in a sibling dir: must NOT collide with b
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    c = sub / "app.log"
+    c.write_text("other boot\n")
+    df = read_log_files(spark, [str(a), str(b), str(c)])
+    assert df.count() == 8
     assert set(df.schema.fieldNames()) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
-    acc = df.filter("conv_id = 'access'").orderBy("turn_idx").collect()
+    acc = df.filter(F.col("conv_id").endswith("/access.log")).orderBy("turn_idx").collect()
     assert [r["text"] for r in acc] == [f"GET /p{i} 200" for i in range(5)]
     assert [r["turn_idx"] for r in acc] == [1, 2, 3, 4, 5]
     assert {r["tool"] for r in df.collect()} == {"access", "app"}
+    # the two app.log files keep distinct keys with independent numbering
+    assert df.select("conv_id").distinct().count() == 3
+    assert df.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
 
 
 def test_job_main_config_driven_end_to_end(spark, tmp_path, monkeypatch):
@@ -926,7 +938,8 @@ output:
     assert got.count() == want.count() == 32  # 33 lines - 1 NOISE
     assert {r["sink"] for r in got.select("sink").distinct().collect()} == {"tail_idx"}
     # per-file order restored: turn_idx is 1..N per conv within the batch
-    evt = got.filter("conv_id = 'evtsrc'").select("turn_idx").collect()
+    # (conv_id carries the FULL path — distinct files must never collide)
+    evt = got.filter(F.col("conv_id").endswith("/evtsrc.log")).select("turn_idx").collect()
     assert sorted(r["turn_idx"] for r in evt) == list(range(1, 31))
     # matched parse content identical to batch (ts differs: ingestion
     # time; the stream writer stores fields as JSON — parse it back)

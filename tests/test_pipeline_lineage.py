@@ -100,9 +100,10 @@ def test_resume_file_units_single_pass(spark, tmp_path):
     with pytest.raises(RuntimeError):
         run_resumable_files(spark, src, process, out_dir, lin_dir, n_units=4, fail_after_unit=1)
     res = run_resumable_files(spark, src, process, out_dir, lin_dir, n_units=4)
-    nonempty = {u for u, g in enumerate(groups) if g}
     assert res["skipped"]  # units done before the injected failure stay done
-    assert set(res["skipped"]) | set(res["processed"]) == nonempty
+    # EVERY unit is accounted for — empty units process too (they must
+    # overwrite a previously-nonempty directory after a fileset change)
+    assert set(res["skipped"]) | set(res["processed"]) == set(range(4))
     assert not set(res["skipped"]) & set(res["processed"])
     assert spark.read.parquet(out_dir).count() == 800
     m = metrics_table(spark, lin_dir).collect()[0]
@@ -235,3 +236,40 @@ def test_routed_parsed_fast_path(spark):
     r = out.collect()[0]
     assert r["sink"] == "datastore-logs" and r["log_type"] == "db_row"
     assert r["fields"]["table"] == "t1"
+
+
+def test_resume_fileset_change_no_double_count(spark, tmp_path):
+    """The resume guarantee survives a FILESET change under one run_id: a
+    file removed (deleted/compacted/moved between groups) must not leave its
+    old rows in the emptied unit's directory — empty units overwrite too —
+    and metrics read the LATEST lineage row per unit, not the sum of the
+    unit's history."""
+    import glob
+    import os
+
+    from logpipe.lineage import metrics_table, run_resumable_files
+
+    src = str(tmp_path / "src")
+    transcripts(spark, 600, 10, partitions=6).write.mode("overwrite").parquet(src)
+    out_dir, lin_dir = str(tmp_path / "out"), str(tmp_path / "lineage")
+
+    run_resumable_files(spark, src, lambda d: d, out_dir, lin_dir, n_units=8)
+    assert spark.read.parquet(out_dir).count() == 600
+
+    # drop one input file: its unit's group changes (possibly to empty)
+    victim = sorted(glob.glob(os.path.join(src, "part-*")))[0]
+    lost = spark.read.parquet(victim).count()
+    os.remove(victim)
+    assert lost > 0
+
+    res = run_resumable_files(spark, src, lambda d: d, out_dir, lin_dir, n_units=8)
+    assert res["processed"]  # the victim's unit re-ran
+    remaining = spark.read.parquet(src).count()
+    assert remaining == 600 - lost
+    got = spark.read.parquet(out_dir)
+    # no stale rows from the deleted file anywhere in out_dir
+    assert got.count() == remaining
+    assert got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    # metrics: latest row per unit — the re-run unit is not double-counted
+    m = metrics_table(spark, lin_dir).collect()[0]
+    assert m["rows_in"] == remaining and m["rows_out"] == remaining

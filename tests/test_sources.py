@@ -164,7 +164,10 @@ def test_kafka_stream_builds_unbound(spark):
 
     try:
         df = kafka_stream(spark, "broker:9092", "topic")
-        assert set(df.columns) == {"text", "log_source", "ts", "conv_id", "turn_idx"}
+        # tool + role included: TranscriptPipeline.routed() needs both
+        assert set(df.columns) == {
+            "text", "log_source", "ts", "conv_id", "turn_idx", "tool", "role"
+        }
     except Exception as e:  # kafka package absent in this sandbox
         assert "kafka" in str(e).lower() or "DATA_SOURCE_NOT_FOUND" in str(e)
 
