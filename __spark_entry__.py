@@ -40,6 +40,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance an unsplittable scan across the executor cores.
+
+    The sf tables are single-file, single-row-group parquet, so Spark plans
+    exactly ONE scan split regardless of maxPartitionBytes — every downstream
+    per-row-expensive stage (pandas-UDF shingling/signatures, regex cascades)
+    then runs on one core of local[N] (guide §2.5 "input skew: one huge
+    unsplittable file → repartition immediately after the read"). One
+    round-robin exchange of the narrow pre-UDF columns costs ~ms at these
+    sizes and parallelizes the expensive stage N×. Scale-adaptive: sized
+    from defaultParallelism, never a constant; values are row-wise
+    deterministic so results are identical under any partitioning."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # Router over event_type (ordered, first-match-wins — logSourceToIndexMapper
 # semantics re-keyed to the events stream).
 EVENT_MAPPER = TokenMapper.from_dict(
@@ -121,7 +136,7 @@ def q_parse_grok_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vectorized pandas-UDF regex parser on synthesized access-log lines
     (same cascade as the transcripts pipeline), verified against an oracle
     that derives the fields arithmetically."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     lines = ev.select(
         "event_id",
         "ts",
@@ -732,7 +747,7 @@ GROUP BY 1
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -762,7 +777,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components (iterative min-label
     propagation) over the jaccard near-dup pairs; oracle = recursive CTE
     transitive closure in DuckDB."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
     return dedup.duplicate_clusters(pairs).select(
         F.col("id").cast("bigint").alias("id"),
@@ -801,7 +816,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, seeded permutation params), so the DuckDB oracle REPLICATES it in
     SQL end-to-end — signatures, banding, candidate join, estimator — and the
     driver hash-checks the whole approximate pipeline, not just row counts."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(docs, num_hashes=64)
     return dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.5, num_hashes=64)
 
@@ -860,7 +875,7 @@ def q_dedup_near_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from logpipe import streaming
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     state_dir = os.path.join(tempfile.mkdtemp(prefix="logpipe_near_replay_"), "state")
     parts = []
     for b in range(3):
@@ -959,7 +974,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with 4-block Hamming LSH (pigeonhole full recall at hamming≤3);
     deterministic md5 word hashes → the oracle replicates bit voting, blocking
     and verification in SQL."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return dedup.simhash_near_dups(dedup.simhash(docs), max_hamming=3, n_blocks=4)
 
 
@@ -1021,7 +1036,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # random synthetic embeddings have no 0.95-dups; 0.3 keeps the check
     # non-trivial (bucket join + exact verify still exercised). The sign-LSH
     # planes are integer-LCG-derived, so the oracle replicates the bucketing.
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = _spread(_t(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return dedup.embedding_near_dups(emb, threshold=0.3)

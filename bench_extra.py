@@ -1,0 +1,150 @@
+"""Round-6 optimization harness (bench.py stays FROZEN — this file is the
+guide §1 measurement rig, cited by OPTIMIZATION_r06.md).
+
+Per-query cold/warm timing with the noop sink (guide §1.4) plus count()
+(the frozen bench's action), job labels (guide §1.5), and optional
+explain("formatted") capture for plans/r06/.
+
+Usage:
+  python bench_extra.py                          # all bench queries, cold+warm
+  python bench_extra.py parse_grok_status ...    # subset
+  python bench_extra.py --plans plans/r06 --tag before [names...]
+  python bench_extra.py --pipeline               # transcript pipeline stage split
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from logpipe.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "flagship_parse_route_agg",
+    "parse_grok_status",
+    "mask_hash_fields",
+    "mask_content_redact",
+    "agg_interval_window",
+    "sessionize_blocks",
+    "session_window_gap",
+    "enrich_broadcast_join",
+    "tpch_q1_pricing",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "similarity_ivf_topk",
+    "textstats_quality",
+    "token_counts",
+    "multimodal_features",
+]
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    plans_dir = None
+    tag = "before"
+    pipeline_split = False
+    names: list[str] = []
+    it = iter(args)
+    for a in it:
+        if a == "--plans":
+            plans_dir = next(it)
+        elif a == "--tag":
+            tag = next(it)
+        elif a == "--pipeline":
+            pipeline_split = True
+        else:
+            names.append(a)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("logpipe-bench-extra", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.bench_queries()
+    sc = spark.sparkContext
+
+    # warmup parity with bench.py
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    if pipeline_split:
+        from logpipe.datagen import role_dim, tool_dim, transcripts
+        from logpipe.pipeline import TranscriptPipeline
+
+        n_turns = int(os.environ.get("LOGPIPE_BENCH_TURNS", "4000000"))
+        parts = max(cpus * 2, (n_turns + 32767) // 32768)
+        tr = transcripts(spark, n_turns, 20, partitions=parts)
+        pipe = TranscriptPipeline(role_dim=role_dim(spark), tool_dim=tool_dim(spark))
+        stages = {
+            "gen_only": tr,
+            "parsed": pipe.parsed(tr),
+            "routed": pipe.routed(tr),
+            "agg": pipe.aggregates(pipe.routed(tr)),
+        }
+        out = {}
+        for name, df in stages.items():
+            sc.setJobDescription(f"pipeline-split:{name}:warm")
+            _noop(df)  # warm plan
+            ts = []
+            for i in range(2):
+                sc.setJobDescription(f"pipeline-split:{name}:{i}")
+                t0 = time.time()
+                _noop(df)
+                ts.append(round(time.time() - t0, 3))
+            out[name] = min(ts)
+            # count() variant for the agg stage (what bench.py does)
+        sc.setJobDescription("pipeline-split:agg-count")
+        agg = pipe.aggregates(pipe.routed(tr))
+        agg.count()
+        t0 = time.time()
+        agg.count()
+        out["agg_count"] = round(time.time() - t0, 3)
+        print(json.dumps({"pipeline_split": out, "n_turns": n_turns}))
+        spark.stop()
+        return
+
+    names = names or BENCH_QUERIES
+    results = {}
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        if plans_dir:
+            os.makedirs(plans_dir, exist_ok=True)
+            with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as fh:
+                fh.write(plan_of(df))
+        sc.setJobDescription(f"{name}:cold-count")
+        t0 = time.time()
+        df.count()
+        cold = round(time.time() - t0, 3)
+        sc.setJobDescription(f"{name}:warm-count")
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        warm_count = round(time.time() - t0, 3)
+        sc.setJobDescription(f"{name}:warm-noop")
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        warm_noop = round(time.time() - t0, 3)
+        results[name] = {"cold": cold, "warm_count": warm_count, "warm_noop": warm_noop}
+        sc.setJobDescription(None)
+    print(json.dumps({"queries": results, "sf_dir": sf_dir, "cpus": cpus}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
