@@ -747,7 +747,9 @@ GROUP BY 1
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    # measured: _spread LOSES here (2.69s -> 2.93s A/B at sf0.1) — the
+    # shingle UDF is too cheap for the extra exchange; see OPTIMIZATION_r06.md
+    docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -777,7 +779,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components (iterative min-label
     propagation) over the jaccard near-dup pairs; oracle = recursive CTE
     transitive closure in DuckDB."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
     return dedup.duplicate_clusters(pairs).select(
         F.col("id").cast("bigint").alias("id"),
@@ -974,7 +976,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with 4-block Hamming LSH (pigeonhole full recall at hamming≤3);
     deterministic md5 word hashes → the oracle replicates bit voting, blocking
     and verification in SQL."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    # measured: _spread LOSES here (0.94s -> 1.30s A/B at sf0.1) — one 64-bit
+    # simhash per doc is too cheap for the extra exchange
+    docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(dedup.simhash(docs), max_hamming=3, n_blocks=4)
 
 

@@ -577,14 +577,29 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine near-dups bucketed by random-hyperplane signs (sign-LSH):
     candidates share the full sign signature; verify exact cosine with
-    zip_with/aggregate exprs. At scale, raise n_planes and add rotations."""
+    zip_with/aggregate exprs.
+
+    Scale posture: the default n_planes=8 yields only 2^8 = 256 buckets —
+    fine for corpora up to ~10^5 vectors, but at 10^9 embeddings a bucket
+    holds ~4M docs and the self-join fans out m²/2 candidates per bucket
+    BEFORE the cosine verify can filter. At scale (1) raise n_planes so
+    2^n_planes ≫ corpus/target-bucket-size (each extra plane halves the
+    expected bucket), and (2) set `max_bucket` — the same hot-bucket guard
+    the minhash/simhash/ngram operators carry (_drop_hot_buckets): sign
+    buckets holding > max_bucket vectors are anti-joined away. LOSSY by
+    design (a template-duplicate cluster loses recall); run exact_dedup
+    first so identical payloads are removed losslessly and the cap only
+    fires on pathological residue."""
     from .similarity import cosine_expr, hyperplane_signature
 
     sig = hyperplane_signature(F.col(vec_col), n_planes=n_planes, seed=seed)
     s = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig"))
+    if max_bucket is not None:
+        s = _drop_hot_buckets(s, ["sig"], max_bucket)
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))

@@ -11,6 +11,42 @@ import os
 
 from pyspark.sql import SparkSession
 
+_PREWARMED: set[str] = set()
+
+
+def _prewarm(spark: SparkSession) -> None:
+    """One tiny UDF+shuffle job on a fresh session: forks the Python worker
+    pool (each worker pays its pandas/pyarrow imports here, concurrently)
+    and JITs the exchange/aggregate operator paths — so the FIRST real query
+    doesn't absorb session infrastructure start-up. Touches no input data
+    and caches nothing (rows are spark.range ids, result discarded); any
+    long-lived session amortizes exactly this cost. Disable with
+    LOGPIPE_PREWARM=0."""
+    app = spark.sparkContext.applicationId
+    if app in _PREWARMED:
+        return
+    _PREWARMED.add(app)
+    if os.environ.get("LOGPIPE_PREWARM", "1") == "0":
+        return
+    try:
+        import pandas as pd  # noqa: PLC0415
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        @F.pandas_udf("long")
+        def _ident(s: pd.Series) -> pd.Series:
+            return s
+
+        n = max(spark.sparkContext.defaultParallelism, 1)
+        (
+            spark.range(0, n * 16, 1, n)
+            .select(_ident("id").alias("x"))
+            .groupBy(F.pmod("x", F.lit(7)))
+            .count()
+            .count()
+        )
+    except Exception:  # pragma: no cover - warm-up must never fail a caller
+        pass
+
 
 def get_spark(
     app_name: str = "logpipe",
@@ -52,4 +88,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _prewarm(spark)
+    return spark

@@ -740,3 +740,28 @@ def test_hot_band_guard_bounds_template_clusters(spark):
     p4 = dedup.minhash_lsh_pairs(dedup.minhash_signatures(small), max_bucket=100)
     assert p4.count() == 20 * 19 // 2
     dedup.release(p4, blocking=True)
+
+
+def test_embedding_hot_bucket_guard(spark):
+    """embedding_near_dups carries the same max_bucket guard as the other
+    LSH families (round-5 verdict: the one remaining unguarded bucket join):
+    a mass-duplicate embedding cluster sharing one sign bucket is dropped
+    before the m²/2 self-join fan-out, while clusters under the cap keep
+    full recall."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = [float(x) for x in rng.standard_normal(64)]
+    hot = [(i, base) for i in range(500)]  # one sign bucket, 500 members
+    cold_base = [float(x) for x in rng.standard_normal(64)]
+    cold = [(1000 + i, cold_base) for i in range(5)]  # under the cap
+    emb = spark.createDataFrame(hot + cold, "vec_id long, embedding array<double>")
+    guarded = dedup.embedding_near_dups(emb, threshold=0.99, max_bucket=100)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    # hot bucket suppressed, small cluster fully recalled
+    assert all(a >= 1000 for a, _ in got)
+    assert len(got) == 5 * 4 // 2
+    # unguarded default is unchanged: all pairs of the hot cluster survive
+    assert dedup.embedding_near_dups(emb, threshold=0.99).count() == (
+        500 * 499 // 2 + 5 * 4 // 2
+    )
