@@ -235,14 +235,15 @@ def ngram_jaccard_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    # |A∪B| = |A| + |B| - |A∩B| exactly (the shingle arrays are distinct by
+    # construction: np.unique), so the union needs no second hash-set build
+    # per candidate — array_union measured ~40% of the verify stage at 82k
+    # candidates/5k docs (round 6); same doubles, same rounded jaccard.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     pairs = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        .withColumn("jaccard", inter / (F.size("sh_a") + F.size("sh_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -146,6 +146,14 @@ def cri_reassemble(
     pass through untouched, and `text_col` is rewritten in place so the
     stage is schema-preserving — the config inputFilter position.
 
+    Partition key: when the frame carries `conv_id` (the full source path —
+    sources.py stamps it collision-free per file) and the caller left
+    `source_col` at its default, the windows partition on conv_id. The
+    extension-stripped basename in `tool` collides for same-named files
+    (every /var/log/pods/**/0.log → '0'), and a collision would let one
+    file's P-chunks join onto another file's F row — the reference buffers
+    by the full context.sourceName path (kubernetesContainerd.js:88-112).
+
     Scale shape: ONE window partitioning on (source) — the same key the
     per-file ordering/multiline stages already shuffle on — with a running
     block id (sum of block starts) and an ordered collect_list bounded by a
@@ -154,6 +162,8 @@ def cri_reassemble(
     one partition, never a driver structure)."""
     from pyspark.sql import Window
 
+    if source_col == "tool" and "conv_id" in df.columns:
+        source_col = "conv_id"
     d = cri_split(df, text_col)
     is_cri = F.col("cri_flag").isin("P", "F")
     w = Window.partitionBy(source_col).orderBy(order_col)

@@ -130,6 +130,26 @@ def test_cri_reassemble(spark):
     }
 
 
+def test_cri_reassemble_same_basename_files_stay_separate(spark):
+    """Two files sharing an extension-stripped basename (every
+    /var/log/pods/**/0.log → tool '0') must buffer independently: chunks
+    are keyed on conv_id (the collision-free full path) when present — a
+    tool-keyed window would join file A's P-chunks onto file B's F row
+    (round-5 advice, kubernetesContainerd.js buffers per sourceName)."""
+    rows = [
+        ("/var/log/pods/podA/0.log", "0", 1, "2020-01-01T00:00:00Z stdout P alpha"),
+        ("/var/log/pods/podB/0.log", "0", 1, "2020-01-01T00:00:00Z stdout P bravo"),
+        ("/var/log/pods/podA/0.log", "0", 2, "2020-01-01T00:00:01Z stdout F a-end"),
+        ("/var/log/pods/podB/0.log", "0", 2, "2020-01-01T00:00:01Z stdout F b-end"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, tool string, turn_idx int, text string")
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in filters.cri_reassemble(df).collect()}
+    assert got == {
+        ("/var/log/pods/podA/0.log", 2): "alpha a-end",
+        ("/var/log/pods/podB/0.log", 2): "bravo b-end",
+    }
+
+
 # ---------------------------------------------------------------------------
 # streaming
 # ---------------------------------------------------------------------------
