@@ -40,7 +40,16 @@ _TOOLS = [
 
 
 def _templates(i):
-    """Template expressions by index; i is the id column."""
+    """Template expressions by index; i is the id column.
+
+    Built with `concat` of literals + pre-stringified args instead of
+    `format_string`: java.util.Formatter costs ~2× codegen'd concat per row
+    (round-6 measurement: one template over 4M rows 0.56 s vs 0.28 s on
+    local[8]), and the generator runs inside the TIMED pipeline region.
+    Byte-identical output proven by exceptAll in both directions against
+    the format_string originals (uniform + skew, round 6) — all args are
+    non-null by construction (derived from `id`), which is the condition
+    under which concat == format_string('%s'...)."""
     status = F.element_at(F.array(F.lit("200"), F.lit("404"), F.lit("500"), F.lit("301")), (i % 4 + 1).cast("int"))
     size = (i % 90000 + 100).cast("string")
     octet = (i % 250 + 1).cast("string")
@@ -49,72 +58,47 @@ def _templates(i):
     ms = F.lpad((i % 1000).cast("string"), 3, "0")
     user_email = F.concat(F.lit("user"), (i % 500).cast("string"), F.lit("@example.com"))
     api_key = F.concat(F.lit("sk-"), F.lpad(F.conv((i % 100000).cast("string"), 10, 16), 20, "a"))
+    C, L = F.concat, F.lit
     return [
         # 0: json_simple (test/test.js:5-32)
-        F.format_string('{"message":"hello world","counter":%s}', counter),
+        C(L('{"message":"hello world","counter":'), counter, L("}")),
         # 1: json_bunyan (test/test.js:34-65)
-        F.format_string(
-            '{"pid":%s,"level":30,"msg":"request done","time":"2017-02-08T21:13:49.%sZ","v":0,"counter":%s}',
-            pid,
-            ms,
-            counter,
+        C(
+            L('{"pid":'), pid,
+            L(',"level":30,"msg":"request done","time":"2017-02-08T21:13:49.'), ms,
+            L('Z","v":0,"counter":'), counter, L("}"),
         ),
         # 2: nginx combined (patterns.yml:544-568) — carries IP + email + key
-        F.format_string(
-            '91.67.80.%s - - [03/Apr/2016:06:25:38 +0000] "GET /about/%s HTTP/1.1" %s %s "https://sematext.com/x" "Mozilla/5.0"',
-            octet,
-            counter,
-            status,
-            size,
+        C(
+            L("91.67.80."), octet,
+            L(' - - [03/Apr/2016:06:25:38 +0000] "GET /about/'), counter,
+            L(' HTTP/1.1" '), status, L(" "), size,
+            L(' "https://sematext.com/x" "Mozilla/5.0"'),
         ),
         # 3: unparseable fallback, with maskable content (email/IP/API key)
-        F.format_string(
-            "agent note: contact %s from 10.0.0.%s using key %s",
-            user_email,
-            octet,
-            api_key,
-        ),
+        C(L("agent note: contact "), user_email, L(" from 10.0.0."), octet, L(" using key "), api_key),
         # 4: redis (patterns.yml:473-502)
-        F.format_string(
-            "%s:M 22 Jul 21:58:28.%s # Server started, Redis version 3.0.%s",
-            pid,
-            ms,
-            (i % 10).cast("string"),
-        ),
+        C(pid, L(":M 22 Jul 21:58:28."), ms, L(" # Server started, Redis version 3.0."), (i % 10).cast("string")),
         # 5: kafka (patterns.yml:381-387)
-        F.format_string(
-            "[2017-03-30 09:26:39,%s] INFO Client session %s timed out", ms, counter
-        ),
+        C(L("[2017-03-30 09:26:39,"), ms, L("] INFO Client session "), counter, L(" timed out")),
         # 6: mongodb (patterns.yml:463-471)
-        F.format_string(
-            "2015-07-28T00:35:46.%s+0000 I JOURNAL  [initandlisten] journal dir=/data/db/journal%s",
-            ms,
-            counter,
-        ),
+        C(L("2015-07-28T00:35:46."), ms, L("+0000 I JOURNAL  [initandlisten] journal dir=/data/db/journal"), counter),
         # 7: mysql (patterns.yml:524-531)
-        F.format_string(
-            "2015-07-25 14:11:35 %s [Note] mysqld starting as process %s ...", counter, pid
-        ),
+        C(L("2015-07-25 14:11:35 "), counter, L(" [Note] mysqld starting as process "), pid, L(" ...")),
         # 8: heroku router (patterns.yml:876-938)
-        F.format_string(
-            '285 <158>1 2016-04-05T19:36:48.459692+00:00 host heroku router - at=info method=GET path="/p/%s" status=%s bytes=%s',
-            counter,
-            status,
-            size,
+        C(
+            L('285 <158>1 2016-04-05T19:36:48.459692+00:00 host heroku router - at=info method=GET path="/p/'),
+            counter, L('" status='), status, L(" bytes="), size,
         ),
         # 9: macOS syslog (patterns.yml:1100-1122)
-        F.format_string(
-            "Jul 25 14:11:%s myhost myservice[%s]: something happened %s",
-            F.lpad((i % 60).cast("string"), 2, "0"),
-            pid,
-            counter,
+        C(
+            L("Jul 25 14:11:"), F.lpad((i % 60).cast("string"), 2, "0"),
+            L(" myhost myservice["), pid, L("]: something happened "), counter,
         ),
         # 10: elasticsearch block head (patterns.yml:111-135)
-        F.format_string(
-            "[2016-01-01 10:00:00,%s][ERROR][index.engine     ][node-1] merge failed %s", ms, counter
-        ),
+        C(L("[2016-01-01 10:00:00,"), ms, L("][ERROR][index.engine     ][node-1] merge failed "), counter),
         # 11: stack continuation line (attaches to previous blockStart)
-        F.format_string("\tat java.lang.Foo.bar(Foo.java:%s)", counter),
+        C(L("\tat java.lang.Foo.bar(Foo.java:"), counter, L(")")),
     ]
 
 
@@ -169,8 +153,16 @@ def transcript_projection(
         text = F.when(tmpl_idx == k, t) if text is None else text.when(tmpl_idx == k, t)
     tool = F.element_at(F.array(*[F.lit(t) for t in _TOOLS]), tmpl_idx + 1)
     role = F.element_at(F.array(*[F.lit(r) for r in ROLES]), F.pmod(i, F.lit(4)).cast("int") + 1)
+    # concat+lpad == format_string("conv-%08d") for conv < 10^8 (proven by
+    # exceptAll, round 6); the when-branch keeps exact %d semantics beyond
+    # the pad width (lpad would TRUNCATE a 9-digit conv, %08d does not)
+    conv_str = conv.cast("string")
+    conv_id = F.concat(
+        F.lit("conv-"),
+        F.when(conv < 100_000_000, F.lpad(conv_str, 8, "0")).otherwise(conv_str),
+    )
     return [
-        F.format_string("conv-%08d", conv).alias("conv_id"),
+        conv_id.alias("conv_id"),
         turn.alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),

@@ -173,10 +173,29 @@ def stamp_file_line_numbers(spark: SparkSession, raw: DataFrame) -> DataFrame:
     scan's full parallelism through the parse stage (a per-FILE window here
     would collapse parallelism to the file count AND shuffle every byte of
     raw text). turn_idx is int: per-file line numbers, so 2^31 lines per
-    single file is the only bound."""
+    single file is the only bound.
+
+    Driver-memory bound (round-6 guard): the offset table holds one tuple
+    per (file, block) — ~100 bytes each — and is then broadcast. That is
+    fine for the designed use (config input.files globs: thousands of
+    files), but pointing a petabyte of raw files at it would put millions
+    of keys on the driver; past LOGPIPE_MAX_FILE_BLOCKS (default 1_000_000,
+    ≈100 MB driver + broadcast) the stamp fails LOUDLY with the two-level
+    remedy instead of OOMing the driver mid-broadcast."""
+    import os
     from collections import defaultdict
 
     counts = raw.groupBy("_file", "_block").count().collect()
+    max_keys = int(os.environ.get("LOGPIPE_MAX_FILE_BLOCKS", "1000000"))
+    if len(counts) > max_keys:
+        raise RuntimeError(
+            f"stamp_file_line_numbers: {len(counts):,} (file, block) keys exceed "
+            f"LOGPIPE_MAX_FILE_BLOCKS={max_keys:,} — the driver-side offset table "
+            "is sized for config-scale file sets (thousands of files). For "
+            "millions of raw files, ingest per directory/partition batch, or "
+            "land the files into the transcript table (the 100 TB path) and "
+            "let its ordering keys replace per-file line numbers."
+        )
     per_file: dict = defaultdict(list)
     for r in counts:
         per_file[r["_file"]].append((r["_block"], r["count"]))

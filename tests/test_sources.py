@@ -263,3 +263,21 @@ def test_read_log_files_order_across_forced_splits(spark, tmp_path):
     assert [r["turn_idx"] for r in rows] == list(range(1, n + 1))
     # turn_idx k carries the file's k-th line, for every k
     assert all(r["text"] == f"line {i:07d} payload padding padding" for i, r in enumerate(rows))
+
+
+def test_stamp_file_line_numbers_key_cap_fails_loudly(spark, tmp_path, monkeypatch):
+    """The driver-side (file, block) offset table is capped
+    (LOGPIPE_MAX_FILE_BLOCKS): past it the stamp must raise with the
+    two-level remedy instead of OOMing the driver mid-broadcast (round-5
+    verdict #3). The cap reads on the driver, so monkeypatching env works."""
+    import pytest
+
+    from logpipe.sources import read_log_files
+
+    for name in ("a.log", "b.log"):
+        (tmp_path / name).write_text("one line\n")
+    monkeypatch.setenv("LOGPIPE_MAX_FILE_BLOCKS", "1")
+    with pytest.raises(RuntimeError, match="LOGPIPE_MAX_FILE_BLOCKS"):
+        read_log_files(spark, [str(tmp_path / "*.log")]).collect()
+    monkeypatch.setenv("LOGPIPE_MAX_FILE_BLOCKS", "1000000")
+    assert read_log_files(spark, [str(tmp_path / "*.log")]).count() == 2
