@@ -80,7 +80,7 @@ class ConfiguredPipeline:
     pipe: TranscriptPipeline
     input_paths: tuple[str, ...] = ()
     input_stages: tuple[Stage, ...] = ()
-    sql_queries: tuple[tuple[str, int], ...] = ()  # (query, interval_seconds)
+    sql_queries: tuple[tuple, ...] = ()  # (query, interval_seconds[, match_source])
     options: dict = dc_field(default_factory=dict)
     pattern_files: tuple[str, ...] = ()  # raw parser.patternFiles entries
     inline_docs: tuple[tuple[dict, str], ...] = ()  # inline parser sections
@@ -133,12 +133,14 @@ class ConfiguredPipeline:
 
     def sql_results(self, spark: SparkSession, routed: DataFrame) -> list[DataFrame]:
         """The configured interval-SQL queries over the routed frame
-        (sql.js buffers post-parse events; ours sees the routed table)."""
+        (sql.js buffers post-parse events; ours sees the routed table).
+        A query's optional matchSource gates the buffer exactly like
+        sql.js:88: only matching-sourceName events enter the interval."""
         from .aggregate import interval_sql
 
         return [
-            interval_sql(spark, routed, q, interval_seconds=iv)
-            for q, iv in self.sql_queries
+            interval_sql(spark, _gate_sql_buffer(routed, ms), q, interval_seconds=iv)
+            for q, iv, ms in (normalize_sql_query(t) for t in self.sql_queries)
         ]
 
     def run(self, spark: SparkSession, transcripts: DataFrame, out_dir: str | None = None):
@@ -198,6 +200,21 @@ def _gated(stage: Stage, match_source: Optional[str], label: str, schema_preserv
         )
 
     return _g
+
+
+def normalize_sql_query(t) -> tuple[str, int, Optional[str]]:
+    """(query, interval[, match_source]) → always a 3-tuple; the third
+    element is the sql.js:88 sourceName gate, None when ungated."""
+    q, iv, *rest = t
+    return str(q), int(iv), (rest[0] if rest else None)
+
+
+def _gate_sql_buffer(df: DataFrame, match_source: Optional[str]) -> DataFrame:
+    """sql.js:88 buffers only events whose sourceName matches before the
+    interval queries run; null log_source never matches (coalesce '')."""
+    if not match_source or "log_source" not in df.columns:
+        return df
+    return df.filter(F.coalesce(F.col("log_source"), F.lit("")).rlike(match_source))
 
 
 def _match_source(conf: dict) -> Optional[str]:
@@ -390,7 +407,14 @@ def _output_filter_stage(
     if module == "sql":
         c = conf.get("config", conf)
         interval = int(c.get("interval", 60))
-        queries = tuple((str(q), interval) for q in (c.get("queries") or []))
+        # reference sql.js:88 only buffers events whose sourceName matches
+        # before running the interval queries — carry matchSource as an
+        # optional third element so the runners can gate the buffer frame
+        # (2-tuples stay 2-tuples: the common ungated case keeps its shape)
+        queries = tuple(
+            (str(q), interval) if ms is None else (str(q), interval, ms)
+            for q in (c.get("queries") or [])
+        )
         return None, queries  # aggregation side-channel, not a row stage
     if module == "geoip":
         dim_path = conf.get("dimPath") or conf.get("maxmindDbDir")

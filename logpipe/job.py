@@ -88,12 +88,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.writeConfig or args.writePatterns:
         from logpipe import starter
 
-        if args.writeConfig:
-            starter.write_config(args.writeConfig, index=args.index)
-            print(f"config file was generated: {args.writeConfig}")
-        if args.writePatterns:
-            starter.write_patterns(args.writePatterns)
-            print(f"patterns file was generated: {args.writePatterns}")
+        # the reference overwrites + logs errors gracefully (cliArgs.js:
+        # 58-63); we keep the safer no-clobber 'x' open but turn the
+        # FileExistsError traceback into a clean message + exit code
+        try:
+            if args.writeConfig:
+                starter.write_config(args.writeConfig, index=args.index)
+                print(f"config file was generated: {args.writeConfig}")
+            if args.writePatterns:
+                starter.write_patterns(args.writePatterns)
+                print(f"patterns file was generated: {args.writePatterns}")
+        except FileExistsError as e:
+            print(f"refusing to overwrite existing file: {e.filename} (remove it first)")
+            return 1
         return 0
 
     from dataclasses import replace as dc_replace

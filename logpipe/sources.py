@@ -262,6 +262,35 @@ def stamp_file_line_numbers(spark: SparkSession, raw: DataFrame) -> DataFrame:
     )
 
 
+def _dedupe_glob_matches(spark: SparkSession, paths: list[str]) -> list[str]:
+    """Expand globs via the Hadoop FileSystem and drop duplicate matches —
+    a file matched by two overlapping globs (/var/log/**/*.log plus
+    /var/log/app/*.log, common in logagent configs) must ingest ONCE; the
+    reference's re-glob dedupes by path (files.js:55-93). A glob that
+    expands to nothing is kept verbatim so Spark raises the same
+    PATH_NOT_FOUND it always did."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    seen: set[str] = set()
+    out: list[str] = []
+    for p in paths:
+        try:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(conf)
+            statuses = fs.globStatus(jpath)
+        except Exception:
+            statuses = None
+        if not statuses:
+            out.append(p)  # unmatched: preserve the original error behavior
+            continue
+        for st in statuses:
+            u = st.getPath().toString()
+            if u not in seen:
+                seen.add(u)
+                out.append(u)
+    return out
+
+
 def read_log_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """Batch analog of the reference's file-glob input
     (lib/plugins/input/files.js:55-93 glob scan; config `input.files`):
@@ -269,9 +298,14 @@ def read_log_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     (files.js stamps sourceName with the path) and `ts` = ingestion time
     (parser.js:520 — absent timestamps become `now`; the parser cascade
     then extracts the real event time from the line where a rule matches).
-    Line numbering is shuffle-free — see stamp_file_line_numbers."""
+    Line numbering is shuffle-free — see stamp_file_line_numbers.
+    Overlapping globs are deduped by expanded path (round-5 advice): a file
+    matched twice would double every line AND collide on (conv_id,
+    turn_idx)."""
     if isinstance(paths, str):
         paths = [paths]
+    if len(paths) > 1:
+        paths = _dedupe_glob_matches(spark, paths)
     raw = _raw_line_projection(spark.read.text(paths))
     return stamp_file_line_numbers(spark, raw)
 
@@ -284,12 +318,25 @@ def read_log_lines_stream(
     """Streaming analog of read_log_files — the reference's PRIMARY mode
     (files.js tails globs continuously; new files picked up by the re-glob,
     here by the file source's per-trigger listing, offsets in the
-    checkpoint). Emits the RAW (text, _file, _block) shape — per-file line
+    checkpoint). DIVERGENCE (documented, round-5 advice): Spark's file
+    source reads each file exactly once at the size first seen — bytes
+    APPENDED to an already-seen file are never re-read, unlike the
+    reference's in-place tail. Feed it rotate-then-ingest (rename complete
+    files into the glob); see README "File-stream semantics".
+    Emits the RAW (text, _file, _block) shape — per-file line
     numbering and the transcript projection happen per micro-batch via
     stamp_file_line_numbers inside start_stream_pipeline's foreachBatch
     (neither windows nor the count-collect are legal on a streaming frame,
     and numbering must precede inputFilters to match the batch path).
     Multiple globs union — one file-source stream each, same checkpoint.
+    STREAM GLOBS MUST BE DISJOINT (round-5 advice, documented contract): a
+    file matched by two globs lands in two sources with independent
+    seen-files maps and ingests twice with identical (conv_id, turn_idx).
+    (A `{a,b}` brace-combined single source was tried and REJECTED: Hadoop
+    glob expansion lists a twice-matched file once per alternative, so it
+    does not dedupe either — verified empirically; the batch path dedupes
+    by explicit globStatus expansion instead, which a stream cannot do
+    without freezing the re-glob semantics.)
     `max_bytes_per_trigger` bounds the TOTAL admitted per trigger: each
     unioned source gets an equal share, otherwise K globs would over-admit
     K× the configured throttle (options.maxInputRate)."""

@@ -328,7 +328,7 @@ def start_stream_pipeline(
     input_stages: tuple[Callable[[DataFrame], DataFrame], ...] = (),
     serializers: tuple[tuple[str, Callable[[DataFrame], DataFrame]], ...] = (),
     max_bytes_per_trigger: int | None = None,
-    sql_queries: tuple[tuple[str, int], ...] = (),
+    sql_queries: tuple[tuple, ...] = (),  # (query, interval[, match_source])
 ):
     """readStream → parse/mask/enrich/route (batch stage functions, unchanged)
     → foreachBatch fan-out + per-batch metrics.
@@ -471,12 +471,21 @@ def start_stream_pipeline(
             # one result dir per query per batch, idempotent like the rest
             if sql_queries:
                 from .aggregate import interval_sql
+                from .config import _gate_sql_buffer, normalize_sql_query
 
-                for qi, (q, iv) in enumerate(sql_queries):
+                for qi, (q, iv, ms) in enumerate(
+                    normalize_sql_query(t) for t in sql_queries
+                ):
                     (
                         # batch_df lives in the cloned micro-batch session —
-                        # the temp view must register THERE, not the outer one
-                        interval_sql(batch_df.sparkSession, batch_df, q, interval_seconds=iv)
+                        # the temp view must register THERE, not the outer
+                        # one; matchSource gates the buffer (sql.js:88)
+                        interval_sql(
+                            batch_df.sparkSession,
+                            _gate_sql_buffer(batch_df, ms),
+                            q,
+                            interval_seconds=iv,
+                        )
                         .write.mode("overwrite")
                         .parquet(f"{out_dir}/sql/q{qi}/batch_id={batch_id}")
                     )

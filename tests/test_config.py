@@ -1265,3 +1265,42 @@ def test_journald_reparse_tracks_pattern_hot_reload(spark, tmp_path):
     f2 = stage(df).collect()[0]["fields"]
     assert any(k.startswith("v2.") for k in f2), f2
     assert not any(k.startswith("v1.") for k in f2)
+
+
+def test_sql_output_filter_match_source_gates_buffer(spark):
+    """sql.js:88 only buffers events whose sourceName matches before running
+    the interval queries: a matchSource on the sql section must gate the
+    frame interval_sql sees, not aggregate over all sources (round-5
+    advice). Ungated sections keep the plain (query, interval) shape."""
+    from logpipe.config import load_pipeline
+
+    doc = {
+        "outputFilter": {
+            "sql": {
+                "module": "sql",
+                # inside config:, like the reference reads it — logagent
+                # passes entry.config || entry to the filter (logagent.js:
+                # 231,240), so an entry-level matchSource next to a config:
+                # sub-key is invisible there too
+                "config": {
+                    "matchSource": "evtsrc",
+                    "interval": 60,
+                    "queries": [
+                        "SELECT COUNT(*) AS events, log_source FROM buffer GROUP BY log_source"
+                    ],
+                },
+            }
+        }
+    }
+    loaded = load_pipeline(doc)
+    (q,) = loaded.sql_queries
+    assert q == (
+        "SELECT COUNT(*) AS events, log_source FROM buffer GROUP BY log_source",
+        60,
+        "evtsrc",
+    )
+    routed = loaded.routed(transcripts(spark)).withColumnRenamed("event_ts", "ts_evt")
+    (res,) = loaded.sql_results(spark, routed)
+    rows = res.collect()
+    assert {r["log_source"] for r in rows} == {"evtsrc"}
+    assert sum(r["events"] for r in rows) == routed.filter("log_source = 'evtsrc'").count()

@@ -281,3 +281,32 @@ def test_stamp_file_line_numbers_key_cap_fails_loudly(spark, tmp_path, monkeypat
         read_log_files(spark, [str(tmp_path / "*.log")]).collect()
     monkeypatch.setenv("LOGPIPE_MAX_FILE_BLOCKS", "1000000")
     assert read_log_files(spark, [str(tmp_path / "*.log")]).count() == 2
+
+
+def test_overlapping_globs_ingest_once_batch(spark, tmp_path):
+    """BATCH: a file matched by two overlapping globs must ingest ONCE
+    (round-5 advice: the reference's re-glob dedupes by path) — the match
+    lists are expanded via Hadoop globStatus and deduped. (The STREAM path
+    documents disjoint-globs as its contract instead: neither a per-glob
+    union nor a brace-combined single source dedupes there — Hadoop glob
+    expansion lists a twice-matched file once per alternative.)"""
+    from logpipe.sources import read_log_files
+
+    d = tmp_path / "logs"
+    sub = d / "app"
+    sub.mkdir(parents=True)
+    (sub / "app.log").write_text("one\ntwo\n")
+    (d / "root.log").write_text("three\n")
+    globs = [f"{d}/**/*.log", f"{d}/app/*.log", f"{d}/*.log"]
+
+    batch = read_log_files(spark, globs)
+    assert batch.count() == 3
+    assert batch.filter("text = 'one'").count() == 1
+    # per-file numbering intact after dedupe: both files start at 1
+    assert batch.filter("turn_idx = 1").count() == 2
+    # a nonexistent glob still raises like before (kept verbatim)
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        read_log_files(spark, [f"{d}/*.log", f"{d}/missing/*.nope"]).count()
