@@ -177,18 +177,33 @@ def ngram_jaccard_pairs(
         return words
 
     def _sh_fn(texts: pd.Series) -> pd.Series:
-        out = []
+        # Round 6: hash ALL grams of the batch in one vectorized call
+        # (pandas.util.hash_array — fixed-key siphash, deterministic across
+        # processes) instead of per-gram md5: 0.70 s → 0.26 s on the sf0.1
+        # corpus. Unlike minhash/simhash, the ngram oracle verifies from the
+        # RAW gram strings, so the hash here is internal — any deterministic
+        # injective-at-corpus-scale hash yields identical jaccard output
+        # (np.unique dedups post-hash, so the Python set build goes too).
+        from pandas.util import hash_array
+
+        grams_flat: list[str] = []
+        bounds = [0]
         for t in texts:
-            if t is None:
-                out.append([])
-                continue
-            words = _words(str(t))
-            grams = {" ".join(words[i : i + n_words]) for i in range(max(len(words) - n_words + 1, 0))}
-            if not grams:
-                out.append([])
-                continue
-            arr = np.unique(np.fromiter((hash_str64(g) for g in grams), dtype=np.int64, count=len(grams)))
-            out.append(arr.tolist())
+            if t is not None:
+                words = _words(str(t))
+                grams_flat.extend(
+                    " ".join(words[i : i + n_words]) for i in range(max(len(words) - n_words + 1, 0))
+                )
+            bounds.append(len(grams_flat))
+        hashed = (
+            hash_array(np.array(grams_flat, dtype=object)).view(np.int64)
+            if grams_flat
+            else np.array([], dtype=np.int64)
+        )
+        out = []
+        for i in range(len(texts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            out.append(np.unique(hashed[lo:hi]).tolist() if hi > lo else [])
         return pd.Series(out)
 
     # asNondeterministic: same single-eval pin as minhash_signatures — stops

@@ -138,15 +138,20 @@ def _centroid_matrix(centroids: DataFrame) -> np.ndarray:
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
-def make_cell_assigner(centroids: DataFrame, n_probe: int = 1):
+def make_cell_assigner(centroids: DataFrame | np.ndarray, n_probe: int = 1):
     """Vectorized IVF cell assignment: one Arrow-batched pandas UDF over a
     closure-held normalized centroid matrix (k×dim). Replaces the round-1
     O(k)-deep when-chain, whose plan size and codegen blew up past k≈100s.
 
+    `centroids` may be the (cell, centroid) frame or an already-normalized
+    matrix from `_centroid_matrix` — callers building several assigners
+    (ivf_topk needs two probe depths) collect the dim ONCE and share it
+    (round 6: the double collect was ~half of ivf_topk's construction).
+
     Returns array<int> of the n_probe nearest cells (cosine, rounded to 9dp
     with lowest-cell tie-break so the assignment is reproducible in exact
     SQL oracles regardless of float summation order)."""
-    Cn = _centroid_matrix(centroids)
+    Cn = centroids if isinstance(centroids, np.ndarray) else _centroid_matrix(centroids)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _cells(vecs: pd.Series) -> pd.Series:
@@ -197,8 +202,9 @@ def ivf_topk(
     over the broadcast-sized centroid matrix (narrow pass — plan size is
     O(1) in k); the probe join is an equi-join on `cell`, partition-prunable
     when the corpus table is written bucketed by cell at 100 TB."""
-    assign1 = make_cell_assigner(centroids, n_probe=1)
-    assignp = make_cell_assigner(centroids, n_probe=n_probe)
+    Cn = _centroid_matrix(centroids)
+    assign1 = make_cell_assigner(Cn, n_probe=1)
+    assignp = make_cell_assigner(Cn, n_probe=n_probe)
     e = emb.withColumn("cell", F.element_at(assign1(F.col(vec_col)), 1))
     q = queries.withColumn("cell", F.explode(assignp(F.col(q_vec_col))))
     joined = e.join(F.broadcast(q), "cell")

@@ -765,3 +765,22 @@ def test_embedding_hot_bucket_guard(spark):
     assert dedup.embedding_near_dups(emb, threshold=0.99).count() == (
         500 * 499 // 2 + 5 * 4 // 2
     )
+
+
+def test_ngram_jaccard_exact_fraction(spark, docs):
+    # round 6: shingle hashing moved to a vectorized batch hash — the jaccard
+    # must still equal the STRING-set jaccard exactly. Docs 0 and 2 differ in
+    # the last word: 7 grams each, 6 shared -> |A∩B|/|A∪B| = 6/8 = 0.75.
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 2)] == 0.75
+    assert got[(1, 2)] == 0.75
+    dedup.release(dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3))
+
+
+def test_ngram_shingle_hash_deterministic_across_runs(spark, docs):
+    # the batch hash (pandas.util.hash_array, fixed-key siphash) must be
+    # process-stable: two independent evaluations agree on every pair.
+    a = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()))
+    b = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()))
+    assert a == b

@@ -273,3 +273,15 @@ def test_resume_fileset_change_no_double_count(spark, tmp_path):
     # metrics: latest row per unit — the re-run unit is not double-counted
     m = metrics_table(spark, lin_dir).collect()[0]
     assert m["rows_in"] == remaining and m["rows_out"] == remaining
+
+
+def test_prewarm_batteries_are_inert(spark):
+    # round 6: prewarm gained a construction battery and a literal-row parse
+    # warm. Both must be re-runnable, read no input files, and leave no
+    # cached/persisted state behind.
+    from logpipe.session import _prewarm_construction, _prewarm_parse
+
+    _prewarm_construction(spark)
+    _prewarm_parse(spark)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0

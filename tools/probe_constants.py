@@ -1,0 +1,83 @@
+"""Split each bench query's frozen-bench cold time into:
+construction (Python+py4j DataFrame building), analysis+optimization
+(executedPlan materialization), first execution, warm execution.
+
+Usage: python tools/probe_constants.py [names...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from logpipe.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "flagship_parse_route_agg",
+    "parse_grok_status",
+    "mask_hash_fields",
+    "mask_content_redact",
+    "agg_interval_window",
+    "sessionize_blocks",
+    "session_window_gap",
+    "enrich_broadcast_join",
+    "tpch_q1_pricing",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "similarity_ivf_topk",
+    "textstats_quality",
+    "token_counts",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or BENCH_QUERIES
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("probe-constants", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.bench_queries()
+    sc = spark.sparkContext
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    results = {}
+    for name in names:
+        sc.setJobDescription(f"probe:{name}")
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        t_construct = time.time() - t0
+        t0 = time.time()
+        # force analysis + optimization + physical planning without execution
+        df._jdf.queryExecution().executedPlan()
+        t_plan = time.time() - t0
+        t0 = time.time()
+        df.count()
+        t_first = time.time() - t0
+        # warm: fresh construction each time, take min of 2
+        warms = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            warms.append(time.time() - t0)
+        results[name] = {
+            "construct": round(t_construct, 3),
+            "plan": round(t_plan, 3),
+            "first_exec": round(t_first, 3),
+            "warm_total": round(min(warms), 3),
+        }
+        sc.setJobDescription(None)
+    print(json.dumps(results, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
