@@ -279,10 +279,14 @@ def test_prewarm_batteries_are_inert(spark):
     # round 6: prewarm gained a construction battery and a literal-row parse
     # warm. Both must be re-runnable, read no input files, and leave no
     # cached/persisted state behind.
-    from logpipe.session import _prewarm_construction, _prewarm_parse
+    from logpipe.session import _prewarm_construction, _prewarm_parse, _prewarm_udf_job
 
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()  # other tests may share the session
+    # every component UNwrapped: _prewarm's except-all would otherwise hide a
+    # component that raises (exactly how the original UDF job's annotation
+    # bug made the whole prewarm silently inert — round-6 continuation)
+    _prewarm_udf_job(spark)
     _prewarm_construction(spark)
     _prewarm_parse(spark)
     assert jsc.getPersistentRDDs().size() == before
