@@ -28,6 +28,7 @@ Stream: the same stages under readStream with foreachBatch fan-out.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -110,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
     from logpipe.session import get_spark
     from logpipe.tables import read_table
 
+    # short CLI batch jobs take the light prewarm (parser warm only) — the
+    # operator-family warm is for long-lived sessions; override via env
+    os.environ.setdefault("LOGPIPE_PREWARM", "light")
     spark = get_spark("logpipe-job", master=args.master)
     configured = None
     include_defaults = not args.skipDefaultPatterns

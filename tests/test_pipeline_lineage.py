@@ -279,7 +279,12 @@ def test_prewarm_batteries_are_inert(spark):
     # round 6: prewarm gained a construction battery and a literal-row parse
     # warm. Both must be re-runnable, read no input files, and leave no
     # cached/persisted state behind.
-    from logpipe.session import _prewarm_construction, _prewarm_parse, _prewarm_udf_job
+    from logpipe.session import (
+        _prewarm_construction,
+        _prewarm_operators,
+        _prewarm_parse,
+        _prewarm_udf_job,
+    )
 
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()  # other tests may share the session
@@ -289,4 +294,5 @@ def test_prewarm_batteries_are_inert(spark):
     _prewarm_udf_job(spark)
     _prewarm_construction(spark)
     _prewarm_parse(spark)
+    _prewarm_operators(spark)
     assert jsc.getPersistentRDDs().size() == before
